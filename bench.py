@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark runner: executes the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed with a noop write (full pipeline execution, no
+driver-side collect cost). The registry import is local so the driver can run
+this file standalone from the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+BENCH_QUERIES = [
+    # relational core
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_volume",
+    # window/series operators (pure SQL)
+    "moving_average_valid",
+    "moving_average_padded",
+    "median_filter_edge",
+    "standard_scaler",
+    "minmax_scaler",
+    "robust_scaler",
+    "segment_windows",
+    "supervised_windows",
+    "resample_linear",
+    "asof_join_purchase",
+    "failure_encoder",
+    # recurrence (Arrow/pandas path)
+    "ewma_closed_form",
+    # extension ops
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_dedup_pairs",
+    "simhash_fingerprints",
+    "cosine_topk",
+    "knn_classify",
+    "token_counts",
+    "text_quality",
+    "language_id",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from fdi_flow_spark.core.session import get_spark
+    from fdi_flow_spark.plans.registry import QUERIES
+
+    spark = get_spark(app_name="fdi_flow_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,32 @@
+from fdi_flow_spark.operators.filters import median_filter, moving_average
+from fdi_flow_spark.operators.recurrences import (
+    bandpass_filter,
+    double_exponential_smoothing,
+    exponential_smoothing,
+    kalman_filter_1d,
+)
+from fdi_flow_spark.operators.scalers import minmax_scale, robust_scale, standard_scale
+from fdi_flow_spark.operators.segmenters import (
+    failure_encode,
+    resample,
+    segment,
+    spline_upsample,
+    supervised_windows,
+)
+
+__all__ = [
+    "moving_average",
+    "median_filter",
+    "exponential_smoothing",
+    "double_exponential_smoothing",
+    "kalman_filter_1d",
+    "bandpass_filter",
+    "standard_scale",
+    "minmax_scale",
+    "robust_scale",
+    "segment",
+    "resample",
+    "spline_upsample",
+    "failure_encode",
+    "supervised_windows",
+]

@@ -1,0 +1,159 @@
+"""Sequential per-series recurrences — the ops Spark SQL cannot express as
+window functions (each output depends on the previous *output*).
+
+Reference semantics (``/root/reference/fdi_flow/preprocessing/filters.py``):
+
+- ``exponential_smoothing``  (EWMA)      ``filters.py:42-74``
+- ``double_exponential_smoothing`` (Holt) ``filters.py:77-119`` — returns
+  ``level + trend`` (one-step-ahead forecast), series with n<2 unchanged.
+- ``kalman_filter_1d``  (scalar random-walk KF) ``filters.py:295-369``
+- ``bandpass_filter``   (FFT zero-out)   ``filters.py:241-293``
+
+Execution: ``groupBy(series_id).applyInPandas`` — one Arrow-batched Python
+call per series, vectorized inside (pandas ``ewm`` for EWMA, NumPy loops
+compiled away where possible, ``np.fft`` for bandpass). The shuffle key is
+``series_id``; with many series this is embarrassingly parallel. For a
+100 TB single giant series the kernel supports *chunked* evaluation: every
+recurrence here carries O(1) state (EWMA: s; Holt: level,trend; KF: x,p), so
+a sorted chunk sequence can be replayed with carried state — the streaming
+variants in ``fdi_flow_spark.streaming`` use exactly that property via
+``applyInPandasWithState``. Bandpass is whole-series by definition (FFT).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+from fdi_flow_spark.core.series import SERIES_ID, assert_long
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("series_id", StringType()),
+        StructField("ts", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _apply_per_series(df: DataFrame, kernel) -> DataFrame:
+    """Run a 1-D numpy kernel per series, preserving (series_id, ts, value)."""
+    assert_long(df)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        out = kernel(pdf["value"].to_numpy(dtype=np.float64))
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].to_numpy(),
+                "ts": pdf["ts"].to_numpy(),
+                "value": out,
+            }
+        )
+
+    return df.groupBy(SERIES_ID).applyInPandas(fn, schema=_OUT_SCHEMA)
+
+
+# ---------------------------------------------------------------- EWMA (F1)
+
+
+def ewma_numpy(x: np.ndarray, alpha: float) -> np.ndarray:
+    """s[0]=x[0]; s[i] = a*x[i] + (1-a)*s[i-1] — pandas ewm(adjust=False)."""
+    if len(x) == 0:
+        return x.copy()
+    return (
+        pd.Series(x).ewm(alpha=alpha, adjust=False).mean().to_numpy(dtype=np.float64)
+    )
+
+
+def exponential_smoothing(df: DataFrame, alpha: float = 0.3) -> DataFrame:
+    if not 0 < alpha < 1:
+        raise ValueError("Alpha must be between 0 and 1")
+    return _apply_per_series(df, lambda x: ewma_numpy(x, alpha))
+
+
+# ----------------------------------------------------------------- Holt (F2)
+
+
+def holt_numpy(x: np.ndarray, alpha: float, beta: float) -> np.ndarray:
+    n = len(x)
+    if n < 2:
+        return x.copy()
+    level = np.empty(n)
+    trend = np.empty(n)
+    level[0] = x[0]
+    trend[0] = x[1] - x[0]
+    a, b = alpha, beta
+    for i in range(1, n):
+        level[i] = a * x[i] + (1 - a) * (level[i - 1] + trend[i - 1])
+        trend[i] = b * (level[i] - level[i - 1]) + (1 - b) * trend[i - 1]
+    return level + trend
+
+
+def double_exponential_smoothing(
+    df: DataFrame, alpha: float = 0.3, beta: float = 0.1
+) -> DataFrame:
+    if not 0 < alpha < 1 or not 0 < beta < 1:
+        raise ValueError("Alpha and beta must be between 0 and 1")
+    return _apply_per_series(df, lambda x: holt_numpy(x, alpha, beta))
+
+
+# ----------------------------------------------------- scalar Kalman (F6)
+
+
+def kalman1d_numpy(
+    x: np.ndarray, q: float, r: float, x0: float | None, p0: float
+) -> np.ndarray:
+    n = len(x)
+    if n == 0:
+        return x.copy()
+    s = x[0] if x0 is None else x0
+    p = p0
+    out = np.empty(n)
+    out[0] = s
+    for i in range(1, n):
+        p_pred = p + q
+        k = p_pred / (p_pred + r)
+        s = s + k * (x[i] - s)
+        p = (1 - k) * p_pred
+        out[i] = s
+    return out
+
+
+def kalman_filter_1d(
+    df: DataFrame,
+    q: float = 1.0,
+    r: float = 1.0,
+    x0: float | None = None,
+    p0: float = 1.0,
+) -> DataFrame:
+    return _apply_per_series(df, lambda x: kalman1d_numpy(x, q, r, x0, p0))
+
+
+# ------------------------------------------------------------ bandpass (F5)
+
+
+def bandpass_numpy(
+    x: np.ndarray, low_cutoff: float, high_cutoff: float, sample_rate: float
+) -> np.ndarray:
+    n = len(x)
+    if n == 0:
+        return x.copy()
+    fft = np.fft.fft(x)
+    freqs = np.fft.fftfreq(n, d=1.0 / sample_rate)
+    fft[(np.abs(freqs) < low_cutoff) | (np.abs(freqs) > high_cutoff)] = 0
+    return np.real(np.fft.ifft(fft))
+
+
+def bandpass_filter(
+    df: DataFrame, low_cutoff: float, high_cutoff: float, sample_rate: float
+) -> DataFrame:
+    if low_cutoff >= high_cutoff:
+        raise ValueError("Low cutoff must be less than high cutoff")
+    if sample_rate <= 0:
+        raise ValueError("Sample rate must be positive")
+    return _apply_per_series(
+        df, lambda x: bandpass_numpy(x, low_cutoff, high_cutoff, sample_rate)
+    )

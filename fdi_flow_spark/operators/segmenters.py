@@ -1,0 +1,345 @@
+"""Segmentation / resampling / failure encoding over long-format series.
+
+Reference semantics (``/root/reference/fdi_flow/preprocessing/segmenters.py``):
+
+- ``segment``:   sliding windows, ``segmenters.py:9-103``, incl. the
+  ``drop_last=False`` tail quirk (``:51-53``): the final emitted window is the
+  *last W samples* (an overlapping re-slice), appended only when
+  ``n - S - step > 0`` where ``S`` is the last regular start — and it is
+  appended even when it duplicates the last regular window.
+- ``resample``:  interpolation onto ``target_size`` evenly spaced points over
+  a [0,1] domain, ``segmenters.py:106-171``; ``linear``/``nearest`` are pure
+  SQL; ``nearest`` ties round *down* (scipy ``interp1d(kind='nearest')``).
+- ``spline_upsample``: B-spline upsampling ``segmenters.py:174-242``; scipy is
+  not available in this environment, so degree-3 uses a NumPy not-a-knot cubic
+  spline (interpolating, s=0); ``smoothing>0`` requires scipy and raises.
+- ``failure_encode``: per-series mode of nonzero labels above a threshold,
+  ``segmenters.py:245-297``. Tie-break is pinned to (count DESC, value ASC) —
+  a documented deviation from ``Counter`` insertion order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from fdi_flow_spark.core.series import SERIES_ID, TS, VALUE, assert_long
+
+
+def _with_idx_n(df: DataFrame) -> DataFrame:
+    ordered = Window.partitionBy(SERIES_ID).orderBy(TS)
+    whole = Window.partitionBy(SERIES_ID).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return df.withColumn("_i", F.row_number().over(ordered) - F.lit(1)).withColumn(
+        "_n", F.count(VALUE).over(whole)
+    )
+
+
+def segment(
+    df: DataFrame,
+    window_size: int,
+    step: int = 1,
+    drop_last: bool = True,
+    exploded: bool = False,
+) -> DataFrame:
+    """Sliding-window segmentation.
+
+    Packed output: ``(series_id, window_id, window_start, features ARRAY<DOUBLE>)``.
+    Exploded output: ``(series_id, window_id, window_start, pos, value)`` —
+    the driver-oracle-friendly form.
+
+    Plan shape: one Exchange+Sort on (series_id, ts); each start row collects
+    its leading frame (``ROWS BETWEEN CURRENT ROW AND W-1 FOLLOWING``) — no
+    self-join, no padded copies. Window ids: regular starts ``i/step`` for
+    ``i % step == 0 and i <= n-W``; the tail window gets id ``K+1``
+    (K = floor((n-W)/step)) and start ``n-W``, duplicating the regular window
+    when starts collide — exactly the reference's emission order.
+    Series with ``n < W`` emit nothing (the reference raises for those).
+    """
+    assert_long(df)
+    W, S = window_size, step
+    if W <= 0:
+        raise ValueError("Window size must be positive")
+
+    s = _with_idx_n(df)
+    lead_frame = Window.partitionBy(SERIES_ID).orderBy(TS).rowsBetween(0, W - 1)
+    s = s.withColumn("_feat", F.collect_list(VALUE).over(lead_frame))
+
+    n = F.col("_n")
+    i = F.col("_i")
+    K = F.floor((n - W) / S)
+    last_regular_start = K * S
+    empty = F.array().cast("array<long>")
+    regular = (i % S == 0) & (i <= n - W)
+    regular_arr = F.when(regular, F.array(F.floor(i / S).cast("long"))).otherwise(empty)
+    if drop_last:
+        tail_arr = empty
+    else:
+        tail_cond = (i == n - W) & ((n - last_regular_start - S) > 0)
+        tail_arr = F.when(tail_cond, F.array((K + 1).cast("long"))).otherwise(empty)
+    wids = F.concat(regular_arr, tail_arr)
+    starts = (
+        s.where(n >= W)
+        .withColumn("_wid", F.explode(wids))
+        .select(
+            SERIES_ID,
+            F.col("_wid").alias("window_id"),
+            i.cast("long").alias("window_start"),
+            F.col("_feat").alias("features"),
+        )
+    )
+    if not exploded:
+        return starts
+    return starts.select(
+        SERIES_ID,
+        "window_id",
+        "window_start",
+        F.posexplode("features").alias("pos", VALUE),
+    ).select(
+        SERIES_ID, "window_id", "window_start", F.col("pos").cast("long").alias("pos"), VALUE
+    )
+
+
+def supervised_windows(
+    df: DataFrame, time_steps: int, output_steps: int = 1, exploded: bool = False
+) -> DataFrame:
+    """Forecasting dataset windowing (reference ``time_series_model.py:67-86``):
+    ``x[i] = data[i : i+T]``, ``y[i] = data[i+T : i+T+H]`` for
+    ``i in [0, n-T-H]`` (inclusive), step 1.
+
+    Packed: ``(series_id, window_start, x ARRAY, y ARRAY)``;
+    exploded: ``(series_id, window_start, kind 'x'|'y', pos, value)``.
+    """
+    assert_long(df)
+    T, H = time_steps, output_steps
+    s = _with_idx_n(df)
+    x_frame = Window.partitionBy(SERIES_ID).orderBy(TS).rowsBetween(0, T - 1)
+    y_frame = Window.partitionBy(SERIES_ID).orderBy(TS).rowsBetween(T, T + H - 1)
+    s = (
+        s.withColumn("_x", F.collect_list(VALUE).over(x_frame))
+        .withColumn("_y", F.collect_list(VALUE).over(y_frame))
+        .where(F.col("_i") <= F.col("_n") - T - H)
+    )
+    packed = s.select(
+        SERIES_ID,
+        F.col("_i").cast("long").alias("window_start"),
+        F.col("_x").alias("x"),
+        F.col("_y").alias("y"),
+    )
+    if not exploded:
+        return packed
+    xs = packed.select(
+        SERIES_ID,
+        "window_start",
+        F.lit("x").alias("kind"),
+        F.posexplode("x").alias("pos", VALUE),
+    )
+    ys = packed.select(
+        SERIES_ID,
+        "window_start",
+        F.lit("y").alias("kind"),
+        F.posexplode("y").alias("pos", VALUE),
+    )
+    return xs.unionByName(ys).select(
+        SERIES_ID, "window_start", "kind", F.col("pos").cast("long").alias("pos"), VALUE
+    )
+
+
+def resample(df: DataFrame, target_size: int, method: str = "linear") -> DataFrame:
+    """Resample each series onto ``target_size`` evenly spaced points.
+
+    ``linear``/``nearest`` are pure Spark SQL (array gather over a per-series
+    sorted array — one shuffle, no Python). ``cubic`` runs a NumPy not-a-knot
+    cubic spline per series via ``applyInPandas`` (scipy-free equivalent of
+    ``interp1d(kind='cubic')``).
+    """
+    if target_size <= 0:
+        raise ValueError("Target size must be positive")
+    if method not in ("linear", "nearest", "cubic"):
+        raise ValueError("Method must be 'linear', 'nearest' or 'cubic'")
+    assert_long(df)
+
+    if method == "cubic":
+        return _resample_cubic(df, target_size)
+
+    packed = df.groupBy(SERIES_ID).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(TS, VALUE))), lambda s: s[VALUE]
+        ).alias("_arr")
+    )
+    n = F.size("_arr")
+    t = F.col("t")
+    pos = F.when(F.lit(target_size) == 1, F.lit(0.0)).otherwise(
+        t * (n - 1) / F.lit(float(target_size - 1))
+    )
+    exploded = packed.select(
+        SERIES_ID, "_arr", F.explode(F.sequence(F.lit(0), F.lit(target_size - 1))).alias("t")
+    )
+    if method == "linear":
+        lower = F.floor(pos).cast("int")
+        frac = pos - lower
+        v_lo = F.element_at("_arr", lower + 1)
+        v_hi = F.element_at("_arr", F.least(lower + F.lit(1), n - 1).cast("int") + 1)
+        val = v_lo + frac * (v_hi - v_lo)
+    else:  # nearest: ties round down (scipy interp1d 'nearest')
+        idx = F.ceil(pos - F.lit(0.5)).cast("int")
+        idx = F.greatest(F.lit(0), F.least(idx, n - 1))
+        val = F.element_at("_arr", idx + 1)
+    return exploded.select(
+        SERIES_ID, t.cast("long").alias(TS), val.cast("double").alias(VALUE)
+    )
+
+
+def _natural_interp_grid(n: int, target_size: int):
+    import numpy as np
+
+    x_orig = np.linspace(0.0, 1.0, n)
+    x_new = np.linspace(0.0, 1.0, target_size)
+    return x_orig, x_new
+
+
+def cubic_spline_eval(x, y, x_new):
+    """Not-a-knot cubic spline interpolation (NumPy tridiagonal solve).
+
+    Equivalent to ``scipy.interpolate.interp1d(kind='cubic')`` /
+    ``make_interp_spline(k=3)`` on ≥4 points; falls back to a natural spline
+    on 3 points and linear on 2.
+    """
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = len(x)
+    if n == 1:
+        return np.full_like(np.asarray(x_new, dtype=np.float64), y[0])
+    if n == 2:
+        return np.interp(x_new, x, y)
+    h = np.diff(x)
+    # Solve for second derivatives M with not-a-knot (n>=4) / natural (n==3).
+    A = np.zeros((n, n))
+    b = np.zeros(n)
+    for i in range(1, n - 1):
+        A[i, i - 1] = h[i - 1]
+        A[i, i] = 2.0 * (h[i - 1] + h[i])
+        A[i, i + 1] = h[i]
+        b[i] = 6.0 * ((y[i + 1] - y[i]) / h[i] - (y[i] - y[i - 1]) / h[i - 1])
+    if n >= 4:
+        # not-a-knot: third derivative continuous across x1 and x_{n-2}
+        A[0, 0], A[0, 1], A[0, 2] = h[1], -(h[0] + h[1]), h[0]
+        A[-1, -3], A[-1, -2], A[-1, -1] = h[-1], -(h[-2] + h[-1]), h[-2]
+    else:
+        A[0, 0] = 1.0
+        A[-1, -1] = 1.0
+    M = np.linalg.solve(A, b)
+    idx = np.clip(np.searchsorted(x, x_new, side="right") - 1, 0, n - 2)
+    xl, xr = x[idx], x[idx + 1]
+    hl = xr - xl
+    t_r = (x_new - xl) / hl
+    t_l = 1.0 - t_r
+    return (
+        t_l * y[idx]
+        + t_r * y[idx + 1]
+        + ((t_l**3 - t_l) * M[idx] + (t_r**3 - t_r) * M[idx + 1]) * hl**2 / 6.0
+    )
+
+
+_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("series_id", StringType()),
+        StructField("ts", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _resample_cubic(df: DataFrame, target_size: int) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("ts")
+        y = pdf["value"].to_numpy(dtype=np.float64)
+        x_orig, x_new = _natural_interp_grid(len(y), target_size)
+        out = cubic_spline_eval(x_orig, y, x_new)
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].iloc[0],
+                "ts": np.arange(target_size, dtype=np.int64),
+                "value": out,
+            }
+        )
+
+    return df.groupBy(SERIES_ID).applyInPandas(fn, schema=_RESAMPLE_SCHEMA)
+
+
+def spline_upsample(
+    df: DataFrame, target_size: int, spline_degree: int = 3, smoothing: float = 0.0
+) -> DataFrame:
+    """B-spline upsampling (reference ``segmenters.py:174-242``).
+
+    ``smoothing == 0``: interpolating spline — degree 1 is exact linear
+    interpolation; degree 2/3 use the cubic interpolation kernel above
+    (scipy-free; matches ``splrep(s=0)`` up to end-condition choice).
+    ``smoothing > 0`` needs scipy's FITPACK and raises if scipy is absent.
+    """
+    if spline_degree not in (1, 2, 3):
+        raise ValueError("Spline degree must be 1, 2 or 3")
+    if target_size <= 0:
+        raise ValueError("Target size must be positive")
+    if smoothing > 0:
+        try:
+            import scipy  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "smoothing>0 requires scipy (FITPACK smoothing splines), "
+                "which is not installed in this environment"
+            ) from e
+    if spline_degree == 1:
+        return resample(df, target_size, method="linear")
+    return _resample_cubic(df, target_size)
+
+
+def failure_encode(df: DataFrame, failure_threshold: float = 10.0) -> DataFrame:
+    """Per-series failure code: mode of nonzero values when the nonzero share
+    reaches ``failure_threshold`` percent, else 0 (reference
+    ``segmenters.py:278-287``). Output ``(series_id, fail_code DOUBLE)``.
+
+    Pure aggregation: value-counts -> rank (count DESC, value ASC) -> top-1,
+    joined with per-series totals. Two hash aggregates + one broadcast join;
+    no sort of the raw data.
+    """
+    if not 0 <= failure_threshold <= 100:
+        raise ValueError("failure_threshold must be between 0 and 100")
+    assert_long(df)
+    totals = df.groupBy(SERIES_ID).agg(
+        F.count("*").alias("_cnt"),
+        F.count(F.when(F.col(VALUE) != 0, 1)).alias("_nz"),
+    )
+    counts = (
+        df.where(F.col(VALUE) != 0)
+        .groupBy(SERIES_ID, VALUE)
+        .agg(F.count("*").alias("_c"))
+    )
+    rank_w = Window.partitionBy(SERIES_ID).orderBy(F.col("_c").desc(), F.col(VALUE).asc())
+    modes = (
+        counts.withColumn("_r", F.row_number().over(rank_w))
+        .where(F.col("_r") == 1)
+        .select(SERIES_ID, F.col(VALUE).alias("_mode"))
+    )
+    out = totals.join(F.broadcast(modes), SERIES_ID, "left")
+    code = (
+        F.when(F.col("_nz") == 0, F.lit(0.0))
+        .when(
+            F.lit(100.0) * F.col("_nz") / F.col("_cnt") >= F.lit(failure_threshold),
+            F.col("_mode"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return out.select(SERIES_ID, code.cast("double").alias("fail_code"))

@@ -1,0 +1,31 @@
+from fdi_flow_spark.pipelines.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from fdi_flow_spark.pipelines.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    knn_classify_exact,
+)
+from fdi_flow_spark.pipelines.text import (
+    document_fingerprint,
+    language_id,
+    text_quality,
+    token_counts,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_dedup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+    "knn_classify_exact",
+    "text_quality",
+    "language_id",
+    "token_counts",
+    "document_fingerprint",
+]

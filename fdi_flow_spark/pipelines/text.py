@@ -1,0 +1,150 @@
+"""Text analysis over a documents table ``(doc_id, text, ...)`` — the
+training-data-pipeline operators (driver mandate, SURVEY.md §2.9).
+
+All four ops are pure ``pyspark.sql.functions`` expressions (JVM-side,
+whole-stage-codegen; no Python in the hot path), so they scan 100 TB of
+parquet at I/O speed with full column pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Tiny per-language marker lists for the n-gram/stopword language heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "pour"),
+    "es": ("el", "la", "los", "de", "es", "una", "que", "por"),
+}
+
+PUNCT_CLASS = r"[.,!?;:'\"()\-]"
+
+
+def _tokens(col):
+    """Whitespace tokenization with empty tokens dropped (split + filter)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0)
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count plus a BPE-ish subword estimate
+    (ceil(len/4) per token — the ~4-chars-per-token rule)."""
+    toks = _tokens(F.col(text_col))
+    bpe = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("bigint"),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        bpe.alias("n_bpe_est"),
+    )
+
+
+def text_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality scoring: length/stopword/punctuation features + a composite
+    score in [0,1]. Formula is engine-defined (the reference has no text ops);
+    it is deterministic and SQL-expressible for the oracle.
+    """
+    toks = _tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,!?;:'\"()\-]", ""))
+    avg_tok = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), stop_ratio * 2))
+        + F.lit(0.3) * F.least(F.lit(1.0), avg_tok / F.lit(8.0))
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Language identification heuristic: CJK character share decides ``zh``;
+    otherwise the language whose marker-token count wins (ties resolve in
+    fixed de/en/es/fr lexical order via the score tuple)."""
+    toks = _tokens(F.lower(F.col(text_col)))
+
+    def _contains(markers):
+        return lambda t: F.array_contains(markers, t)
+
+    scores = []
+    for lang in sorted(LANG_MARKERS):  # de, en, es, fr — deterministic order
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, _contains(markers))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # max over (score, lang): larger score wins; on equal score the
+    # lexicographically *greatest* lang wins — pinned, mirrored in the oracle.
+    best = F.greatest(*scores)
+    cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+    pred = F.when(cjk > 0, F.lit("zh")).otherwise(best["lang"])
+    return docs.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        best["score"].cast("bigint").alias("marker_hits"),
+    )
+
+
+def document_fingerprint(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 16,
+    mod: int = 2**31 - 1,  # keeps acc*base+c < 2^40 — no long overflow under ANSI mode
+    base: int = 257,
+) -> DataFrame:
+    """Winnowing fingerprint: polynomial rolling hash over character k-grams,
+    then the min hash per window of ``window`` consecutive k-gram hashes
+    (Schleimer/Wilkerson/Aiken winnowing). Output: distinct selected hashes
+    per doc — the classic copy-detection fingerprint set.
+
+    Pure SQL via higher-order functions: the k-gram hashes are built with
+    ``transform(sequence(...))`` over the char codes, windows minimized with
+    a second ``transform`` — no Python, no explode until the final output.
+    """
+    # hash of the k-gram starting at 1-based position p:
+    # h = sum(ascii(c_j) * base^(k-1-j)) mod m, built positionally so the
+    # char-at(j) lookup can live inside the SQL lambda.
+    hashes = F.expr(
+        f"""
+        transform(sequence(1, greatest(0, length({text_col}) - {k - 1})),
+          p -> aggregate(sequence(p, p + {k - 1}),
+                         cast(0 as bigint),
+                         (acc, j) -> pmod(acc * {base} + ascii(substring({text_col}, j, 1)), {mod})))
+        """
+    )
+    mins = F.expr(
+        f"""
+        array_distinct(transform(
+          sequence(1, greatest(0, size(_gram_hashes) - {window - 1})),
+          w -> array_min(slice(_gram_hashes, w, {window}))))
+        """
+    )
+    out = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .withColumn("_gram_hashes", hashes)
+        .where(F.size("_gram_hashes") >= window)
+        .withColumn("fingerprint", F.explode(mins))
+        .select(id_col, "fingerprint")
+        .distinct()
+    )
+    return out

@@ -1,0 +1,722 @@
+"""Query registry: every implemented operator exposed as a named
+``(spark, sf_dir) -> DataFrame`` callable plus (where SQL-expressible) an
+ANSI-SQL twin for the driver's DuckDB oracle (SURVEY.md §2 legend "Y").
+
+Cross-engine float parity: computed doubles are rounded to 6 dp (2 dp for
+large money sums) in BOTH the Spark plan and the oracle SQL, so the driver's
+order-insensitive value-hash sees identical bits. Raw pass-through values
+(parquet doubles, ids) are never rounded. Timestamps are formatted to
+strings to dodge tz-representation differences.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from fdi_flow_spark.operators import (
+    exponential_smoothing,
+    failure_encode,
+    median_filter,
+    minmax_scale,
+    moving_average,
+    resample,
+    robust_scale,
+    segment,
+    standard_scale,
+    supervised_windows,
+)
+from fdi_flow_spark.operators.asof import asof_join
+from fdi_flow_spark.pipelines.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from fdi_flow_spark.pipelines.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    knn_classify_exact,
+)
+from fdi_flow_spark.pipelines.text import (
+    LANG_MARKERS,
+    document_fingerprint,
+    language_id,
+    text_quality,
+    token_counts,
+)
+from fdi_flow_spark.sources.tables import events_series, load_table
+
+# ---------------------------------------------------------------- helpers
+
+# The canonical events->series derivation, as a DuckDB CTE body.
+SERIES_SQL = """
+  SELECT event_type AS series_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS BIGINT) AS ts,
+         CAST(value AS DOUBLE) AS value
+  FROM events
+"""
+
+
+def _rounded(df: DataFrame, col: str = "value", nd: int = 6) -> DataFrame:
+    return df.withColumn(col, F.round(F.col(col), nd))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ======================================================== TPC-H-ish core
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_orders",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_volume",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+                  JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name
+    """,
+)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ================================================= preprocessing operators
+
+@register(
+    "moving_average_valid",
+    f"""
+    WITH s AS ({SERIES_SQL}),
+    t AS (
+      SELECT series_id, ts, value,
+             COUNT(*) OVER (PARTITION BY series_id) AS n,
+             AVG(value) OVER (PARTITION BY series_id ORDER BY ts
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma
+      FROM s)
+    SELECT series_id,
+           CASE WHEN n < 5 THEN ts ELSE ts - 4 END AS ts,
+           ROUND(CASE WHEN n < 5 THEN value ELSE ma END, 6) AS value
+    FROM t WHERE n < 5 OR ts >= 4
+    """,
+)
+def q_ma_valid(spark, sf_dir):
+    return _rounded(moving_average(events_series(spark, sf_dir), 5, pad_with_zeros=False))
+
+
+@register(
+    "moving_average_padded",
+    f"""
+    WITH s AS ({SERIES_SQL}),
+    t AS (
+      SELECT series_id, ts, value,
+             COUNT(*) OVER (PARTITION BY series_id) AS n,
+             FIRST_VALUE(value) OVER (PARTITION BY series_id ORDER BY ts) AS fv,
+             LAST_VALUE(value) OVER (PARTITION BY series_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv,
+             SUM(value) OVER (PARTITION BY series_id ORDER BY ts
+                 ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS core_sum
+      FROM s)
+    SELECT series_id, ts,
+           ROUND(CASE WHEN n < 4 THEN value ELSE
+             (core_sum + fv * GREATEST(0, 1 - ts) + lv * GREATEST(0, ts + 2 - (n - 1))) / 4.0
+           END, 6) AS value
+    FROM t
+    """,
+)
+def q_ma_padded(spark, sf_dir):
+    return _rounded(moving_average(events_series(spark, sf_dir), 4, pad_with_zeros=True))
+
+
+@register(
+    "median_filter_edge",
+    f"""
+    WITH s AS ({SERIES_SQL}),
+    m AS (SELECT series_id, COUNT(*) AS n FROM s GROUP BY series_id),
+    pos AS (
+      SELECT s.series_id, s.ts AS center, UNNEST(GENERATE_SERIES(-2, 2)) AS off
+      FROM s),
+    clamped AS (
+      SELECT p.series_id, p.center,
+             LEAST(GREATEST(p.center + p.off, 0), m.n - 1) AS j
+      FROM pos p JOIN m ON m.series_id = p.series_id),
+    joined AS (
+      SELECT c.series_id, c.center, v.value
+      FROM clamped c JOIN s v ON v.series_id = c.series_id AND v.ts = c.j)
+    SELECT series_id, center AS ts, ROUND(MEDIAN(value), 6) AS value
+    FROM joined GROUP BY series_id, center
+    """,
+)
+def q_median_edge(spark, sf_dir):
+    return _rounded(median_filter(events_series(spark, sf_dir), 5, pad_with_zeros=False))
+
+
+@register(
+    "median_filter_zeros",
+    f"""
+    WITH s AS ({SERIES_SQL}),
+    m AS (SELECT series_id, COUNT(*) AS n FROM s GROUP BY series_id),
+    pos AS (
+      SELECT s.series_id, s.ts AS center, s.ts + UNNEST(GENERATE_SERIES(-2, 1)) AS j
+      FROM s),
+    padded AS (
+      SELECT p.series_id, p.center,
+             CASE WHEN p.j < 0 OR p.j > m.n - 1 THEN 0.0 ELSE v.value END AS value
+      FROM pos p JOIN m ON m.series_id = p.series_id
+                 LEFT JOIN s v ON v.series_id = p.series_id AND v.ts = p.j)
+    SELECT series_id, center AS ts, ROUND(MEDIAN(value), 6) AS value
+    FROM padded GROUP BY series_id, center
+    """,
+)
+def q_median_zeros(spark, sf_dir):
+    return _rounded(median_filter(events_series(spark, sf_dir), 4, pad_with_zeros=True))
+
+
+@register(
+    "standard_scaler",
+    f"""
+    WITH s AS ({SERIES_SQL})
+    SELECT series_id, ts,
+           ROUND(CASE WHEN STDDEV_POP(value) OVER w > 0
+                 THEN (value - AVG(value) OVER w) / (STDDEV_POP(value) OVER w)
+                 ELSE value - AVG(value) OVER w END, 6) AS value
+    FROM s WINDOW w AS (PARTITION BY series_id)
+    """,
+)
+def q_standard(spark, sf_dir):
+    return _rounded(standard_scale(events_series(spark, sf_dir)))
+
+
+@register(
+    "minmax_scaler",
+    f"""
+    WITH s AS ({SERIES_SQL})
+    SELECT series_id, ts,
+           ROUND(CASE WHEN MAX(value) OVER w - MIN(value) OVER w = 0 THEN 0.5
+                 ELSE (value - MIN(value) OVER w) / (MAX(value) OVER w - MIN(value) OVER w)
+                 END, 6) AS value
+    FROM s WINDOW w AS (PARTITION BY series_id)
+    """,
+)
+def q_minmax(spark, sf_dir):
+    return _rounded(minmax_scale(events_series(spark, sf_dir)))
+
+
+@register(
+    "robust_scaler",
+    f"""
+    WITH s AS ({SERIES_SQL}),
+    st AS (SELECT series_id,
+                  QUANTILE_CONT(value, 0.5) AS med,
+                  QUANTILE_CONT(value, 0.25) AS q25,
+                  QUANTILE_CONT(value, 0.75) AS q75
+           FROM s GROUP BY series_id)
+    SELECT s.series_id, s.ts,
+           ROUND(CASE WHEN st.q75 - st.q25 > 0
+                 THEN (s.value - st.med) / (st.q75 - st.q25)
+                 ELSE s.value - st.med END, 6) AS value
+    FROM s JOIN st ON s.series_id = st.series_id
+    """,
+)
+def q_robust(spark, sf_dir):
+    return _rounded(robust_scale(events_series(spark, sf_dir)))
+
+
+@register(
+    "ewma_closed_form",
+    f"""
+    WITH s AS ({SERIES_SQL}),
+    short AS (SELECT * FROM s WHERE ts < 120),
+    t AS (SELECT series_id, ts,
+                 CASE WHEN ts = 0 THEN value
+                      ELSE 0.3 * POWER(0.7, -ts) * value END AS term
+          FROM short),
+    c AS (SELECT series_id, ts,
+                 SUM(term) OVER (PARTITION BY series_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT series_id, ts, ROUND(POWER(0.7, ts) * cum, 6) AS value FROM c
+    """,
+)
+def q_ewma(spark, sf_dir):
+    s = events_series(spark, sf_dir).where(F.col("ts") < 120)
+    return _rounded(exponential_smoothing(s, alpha=0.3))
+
+
+@register(
+    "failure_encoder",
+    f"""
+    WITH s0 AS ({SERIES_SQL}),
+    s AS (SELECT series_id, ts,
+                 CAST(CAST(FLOOR(ABS(value) * 1000) AS BIGINT) % 5 AS DOUBLE) AS value
+          FROM s0),
+    tot AS (SELECT series_id, COUNT(*) AS cnt,
+                   COUNT(CASE WHEN value <> 0 THEN 1 END) AS nz
+            FROM s GROUP BY series_id),
+    cnts AS (SELECT series_id, value, COUNT(*) AS c
+             FROM s WHERE value <> 0 GROUP BY series_id, value),
+    modes AS (SELECT series_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY series_id
+                                        ORDER BY c DESC, value ASC) AS r
+              FROM cnts)
+    SELECT t.series_id,
+           CAST(CASE WHEN t.nz = 0 THEN 0.0
+                WHEN 100.0 * t.nz / t.cnt >= 10.0 THEN m.value
+                ELSE 0.0 END AS DOUBLE) AS fail_code
+    FROM tot t LEFT JOIN (SELECT * FROM modes WHERE r = 1) m
+      ON t.series_id = m.series_id
+    """,
+)
+def q_failure(spark, sf_dir):
+    s = events_series(spark, sf_dir).withColumn(
+        "value", (F.floor(F.abs(F.col("value")) * 1000).cast("bigint") % 5).cast("double")
+    )
+    return failure_encode(s, failure_threshold=10.0)
+
+
+@register(
+    "segment_windows",
+    f"""
+    WITH s AS ({SERIES_SQL}),
+    m AS (SELECT series_id, COUNT(*) AS n FROM s GROUP BY series_id),
+    k AS (SELECT series_id, n, CAST(FLOOR((n - 25.0) / 7) AS BIGINT) AS kk
+          FROM m WHERE n >= 25),
+    wins AS (
+      SELECT series_id, UNNEST(GENERATE_SERIES(0, kk)) AS window_id,
+             UNNEST(GENERATE_SERIES(0, kk)) * 7 AS window_start
+      FROM k
+      UNION ALL
+      SELECT series_id, kk + 1, n - 25 FROM k WHERE n - kk * 7 - 7 > 0)
+    SELECT w.series_id, w.window_id, w.window_start,
+           s.ts - w.window_start AS pos, s.value
+    FROM wins w JOIN s ON s.series_id = w.series_id
+                      AND s.ts BETWEEN w.window_start AND w.window_start + 24
+    """,
+)
+def q_segment(spark, sf_dir):
+    return segment(events_series(spark, sf_dir), 25, step=7, drop_last=False, exploded=True)
+
+
+@register(
+    "supervised_windows",
+    f"""
+    WITH s AS ({SERIES_SQL}),
+    m AS (SELECT series_id, COUNT(*) AS n FROM s GROUP BY series_id),
+    w AS (SELECT s.series_id, s.ts AS window_start
+          FROM s JOIN m ON m.series_id = s.series_id
+          WHERE s.ts <= m.n - 35)
+    SELECT w.series_id, w.window_start, 'x' AS kind,
+           s.ts - w.window_start AS pos, s.value
+    FROM w JOIN s ON s.series_id = w.series_id
+                 AND s.ts BETWEEN w.window_start AND w.window_start + 29
+    UNION ALL
+    SELECT w.series_id, w.window_start, 'y' AS kind,
+           s.ts - w.window_start - 30 AS pos, s.value
+    FROM w JOIN s ON s.series_id = w.series_id
+                 AND s.ts BETWEEN w.window_start + 30 AND w.window_start + 34
+    """,
+)
+def q_supervised(spark, sf_dir):
+    return supervised_windows(events_series(spark, sf_dir), 30, 5, exploded=True)
+
+
+@register(
+    "resample_linear",
+    f"""
+    WITH s AS ({SERIES_SQL}),
+    arr AS (SELECT series_id, LIST(value ORDER BY ts) AS vals, COUNT(*) AS n
+            FROM s GROUP BY series_id),
+    t AS (SELECT series_id, vals, n, UNNEST(GENERATE_SERIES(0, 100)) AS tt FROM arr),
+    c AS (SELECT series_id, tt, vals, n,
+                 CAST(tt AS DOUBLE) * (n - 1) / 100.0 AS pos
+          FROM t)
+    SELECT series_id, CAST(tt AS BIGINT) AS ts,
+           ROUND(vals[CAST(FLOOR(pos) AS BIGINT) + 1]
+                 + (pos - FLOOR(pos))
+                   * (vals[LEAST(CAST(FLOOR(pos) AS BIGINT) + 1, n - 1) + 1]
+                      - vals[CAST(FLOOR(pos) AS BIGINT) + 1]), 6) AS value
+    FROM c
+    """,
+)
+def q_resample_linear(spark, sf_dir):
+    return _rounded(resample(events_series(spark, sf_dir), 101, "linear"))
+
+
+@register(
+    "resample_nearest",
+    f"""
+    WITH s AS ({SERIES_SQL}),
+    arr AS (SELECT series_id, LIST(value ORDER BY ts) AS vals, COUNT(*) AS n
+            FROM s GROUP BY series_id),
+    t AS (SELECT series_id, vals, n, UNNEST(GENERATE_SERIES(0, 36)) AS tt FROM arr),
+    c AS (SELECT series_id, tt, vals, n,
+                 CAST(tt AS DOUBLE) * (n - 1) / 36.0 AS pos
+          FROM t)
+    SELECT series_id, CAST(tt AS BIGINT) AS ts,
+           vals[GREATEST(0, LEAST(CAST(CEIL(pos - 0.5) AS BIGINT), n - 1)) + 1] AS value
+    FROM c
+    """,
+)
+def q_resample_nearest(spark, sf_dir):
+    return resample(events_series(spark, sf_dir), 37, "nearest")
+
+
+@register(
+    "asof_join_purchase",
+    """
+    WITH u AS (
+      SELECT user_id, ts, event_id, 0 AS tag FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, event_id, 1 FROM events WHERE event_type = 'error'),
+    w AS (
+      SELECT *, COUNT(CASE WHEN tag = 0 THEN 1 END)
+                OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                      ROWS UNBOUNDED PRECEDING) AS pcnt
+      FROM u),
+    p AS (
+      SELECT user_id, event_id AS pkey,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase')
+    SELECT w.event_id, p.pkey AS asof_event_id
+    FROM w LEFT JOIN p ON p.user_id = w.user_id AND p.rn = w.pcnt
+    WHERE w.tag = 1
+    """,
+)
+def q_asof(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_event_id")
+    )
+    out = asof_join(
+        errors,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload_cols=["p_event_id"],
+        tiebreak="p_event_id",
+    )
+    return out.select("event_id", F.col("asof_p_event_id").alias("asof_event_id"))
+
+
+# ===================================================== extension operators
+
+@register(
+    "dedup_exact",
+    """
+    SELECT MD5(text) AS digest, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY MD5(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), t -> LENGTH(t) > 0) AS tk
+      FROM documents),
+    grams AS (
+      SELECT id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               GENERATE_SERIES(1, GREATEST(0, LEN(tk) - 1)),
+               i -> tk[i] || ' ' || tk[i + 1]))) AS shingle
+      FROM toks WHERE LEN(tk) >= 2),
+    sizes AS (SELECT id, COUNT(*) AS ns FROM grams GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+      FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(c.c AS DOUBLE) / (sa.ns + sb.ns - c.c), 6) AS jaccard
+    FROM common c JOIN sizes sa ON sa.id = c.id_a
+                  JOIN sizes sb ON sb.id = c.id_b
+    WHERE CAST(c.c AS DOUBLE) / (sa.ns + sb.ns - c.c) >= 0.12
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=2, threshold=0.12
+    )
+
+
+@register("minhash_dedup_pairs")  # rows-only: engine-specific hash family
+def q_minhash(spark, sf_dir):
+    return minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), n=2, num_hashes=32, bands=8, threshold=0.2
+    )
+
+
+@register("simhash_fingerprints")  # rows-only (bit-vote fingerprint)
+def q_simhash(spark, sf_dir):
+    return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register("document_fingerprint")  # rows-only (winnowing min-hash selection)
+def q_doc_fingerprint(spark, sf_dir):
+    return document_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id % 25 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             LIST_COSINE_SIMILARITY(q.v, c.v) AS cos
+      FROM q, c WHERE q.query_id <> c.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           ROUND(cos, 6) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(emb.where(F.col("vec_id") % 25 == 0), emb, k=5)
+
+
+@register("cosine_topk_lsh")  # rows-only (approximate; recall tested in pytest)
+def q_cosine_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb.where(F.col("vec_id") % 25 == 0), emb, k=5)
+
+
+@register(
+    "knn_classify",
+    """
+    WITH tr AS (SELECT vec_id AS tid, embedding::DOUBLE[] AS v, label
+                FROM embeddings WHERE vec_id % 2 = 0),
+    te AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 1),
+    pairs AS (
+      SELECT te.vec_id, tr.tid, tr.label,
+             LIST_DISTANCE(te.v, tr.v) AS d
+      FROM te, tr),
+    knn AS (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, tid ASC) AS r
+      FROM pairs),
+    votes AS (
+      SELECT vec_id, label, COUNT(*) AS c FROM knn WHERE r <= 5 GROUP BY vec_id, label)
+    SELECT vec_id, label AS pred_label
+    FROM (SELECT vec_id, label,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, label ASC) AS vr
+          FROM votes)
+    WHERE vr = 1
+    """,
+)
+def q_knn(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_classify_exact(
+        emb.where(F.col("vec_id") % 2 == 0), emb.where(F.col("vec_id") % 2 == 1), k=5
+    )
+
+
+@register(
+    "token_counts",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             LENGTH(text) AS n_chars,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), t -> LENGTH(t) > 0) AS tk
+      FROM documents)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(LEN(tk) AS BIGINT) AS n_tokens,
+           CAST(LIST_SUM(LIST_TRANSFORM(tk, t -> CAST(CEIL(LENGTH(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_est
+    FROM toks
+    """,
+)
+def q_token_counts(spark, sf_dir):
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS["en"]) + "]"
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             LENGTH(text) AS n_chars,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), t -> LENGTH(t) > 0) AS tk
+      FROM documents),
+    feats AS (
+      SELECT doc_id,
+             CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(LEN(tk) AS BIGINT) AS n_tokens,
+             CASE WHEN LEN(tk) > 0 THEN CAST(n_chars AS DOUBLE) / LEN(tk) ELSE 0.0 END AS avg_tok,
+             CASE WHEN LEN(tk) > 0
+                  THEN CAST(LEN(LIST_FILTER(tk, t -> LIST_CONTAINS({_STOP_SQL}, t))) AS DOUBLE) / LEN(tk)
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN n_chars > 0
+                  THEN CAST(LENGTH(REGEXP_REPLACE(text, '[^.,!?;:''"()\\-]', '', 'g')) AS DOUBLE) / n_chars
+                  ELSE 0.0 END AS punct_ratio
+      FROM toks)
+    SELECT doc_id, n_chars, n_tokens,
+           ROUND(avg_tok, 6) AS avg_token_len,
+           ROUND(stop_ratio, 6) AS stopword_ratio,
+           ROUND(punct_ratio, 6) AS punct_ratio,
+           ROUND(0.4 * LEAST(1.0, n_tokens / 100.0)
+                 + 0.3 * (1.0 - LEAST(1.0, stop_ratio * 2))
+                 + 0.3 * LEAST(1.0, avg_tok / 8.0), 6) AS quality_score
+    FROM feats
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    return text_quality(load_table(spark, sf_dir, "documents"))
+
+
+_LANG_SCORE_UNION = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, text, '{lang}' AS lang, "
+    "LEN(LIST_FILTER(tk, t -> LIST_CONTAINS(["
+    + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    + "], t))) AS score FROM toks"
+    for lang in sorted(LANG_MARKERS)
+)
+
+
+@register(
+    "language_id",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'), t -> LENGTH(t) > 0) AS tk
+      FROM documents),
+    scored AS (
+{_LANG_SCORE_UNION}),
+    best AS (
+      SELECT doc_id, text, lang, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS r
+      FROM scored)
+    SELECT doc_id,
+           CASE WHEN LENGTH(REGEXP_REPLACE(text, '[^一-鿿]', '', 'g')) > 0
+                THEN 'zh' ELSE lang END AS pred_lang,
+           CAST(score AS BIGINT) AS marker_hits
+    FROM best WHERE r = 1
+    """,
+)
+def q_language_id(spark, sf_dir):
+    return language_id(load_table(spark, sf_dir, "documents"))

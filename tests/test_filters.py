@@ -1,0 +1,91 @@
+import numpy as np
+import pytest
+
+from fdi_flow_spark.operators import (
+    bandpass_filter,
+    double_exponential_smoothing,
+    exponential_smoothing,
+    kalman_filter_1d,
+    median_filter,
+    moving_average,
+)
+
+from .conftest import collect_series, make_long
+from .reference_kernels import (
+    ref_bandpass,
+    ref_ewma,
+    ref_holt,
+    ref_kalman1d,
+    ref_median_filter,
+    ref_moving_average,
+)
+
+
+def _input_arrays():
+    rng = np.random.default_rng(7)
+    t = np.linspace(0, 10, 60)
+    return {
+        "s1": 3 * np.sin(t) + rng.normal(0, 0.5, t.size),
+        "s2": 2 * t + rng.normal(0, 0.5, t.size),
+        "short": np.array([1.0, 2.0]),
+    }
+
+
+@pytest.mark.parametrize("W,padded", [(3, False), (4, False), (5, True), (4, True)])
+def test_moving_average(spark, W, padded):
+    arrays = _input_arrays()
+    out = collect_series(moving_average(make_long(spark, arrays), W, pad_with_zeros=padded))
+    for sid, arr in arrays.items():
+        expected = ref_moving_average(arr, W, padded)
+        np.testing.assert_allclose(out[sid], expected, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("W,zeros", [(3, False), (4, False), (5, True), (4, True)])
+def test_median_filter(spark, W, zeros):
+    arrays = _input_arrays()
+    out = collect_series(median_filter(make_long(spark, arrays), W, pad_with_zeros=zeros))
+    for sid, arr in arrays.items():
+        expected = ref_median_filter(arr, W, zeros)
+        np.testing.assert_allclose(out[sid], expected, rtol=1e-12, atol=1e-12)
+
+
+def test_ewma(spark):
+    arrays = _input_arrays()
+    out = collect_series(exponential_smoothing(make_long(spark, arrays), alpha=0.3))
+    for sid, arr in arrays.items():
+        np.testing.assert_allclose(out[sid], ref_ewma(arr, 0.3), rtol=1e-9)
+
+
+def test_holt(spark):
+    arrays = _input_arrays()
+    arrays["len1"] = np.array([5.0])
+    out = collect_series(
+        double_exponential_smoothing(make_long(spark, arrays), alpha=0.3, beta=0.1)
+    )
+    for sid, arr in arrays.items():
+        np.testing.assert_allclose(out[sid], ref_holt(arr, 0.3, 0.1), rtol=1e-9)
+
+
+def test_kalman1d(spark):
+    arrays = _input_arrays()
+    out = collect_series(kalman_filter_1d(make_long(spark, arrays), q=0.5, r=2.0))
+    for sid, arr in arrays.items():
+        np.testing.assert_allclose(out[sid], ref_kalman1d(arr, 0.5, 2.0, None, 1.0), rtol=1e-9)
+    out2 = collect_series(kalman_filter_1d(make_long(spark, arrays), q=1.0, r=1.0, x0=0.0, p0=2.0))
+    for sid, arr in arrays.items():
+        np.testing.assert_allclose(out2[sid], ref_kalman1d(arr, 1.0, 1.0, 0.0, 2.0), rtol=1e-9)
+
+
+def test_bandpass(spark):
+    arrays = {k: v for k, v in _input_arrays().items() if k != "short"}
+    out = collect_series(bandpass_filter(make_long(spark, arrays), 0.5, 3.0, 12.0))
+    for sid, arr in arrays.items():
+        np.testing.assert_allclose(
+            out[sid], ref_bandpass(arr, 0.5, 3.0, 12.0), rtol=1e-9, atol=1e-9
+        )
+
+
+def test_ewma_constant_fixed_point(spark):
+    arr = {"c": np.full(50, 3.25)}
+    out = collect_series(exponential_smoothing(make_long(spark, arr), alpha=0.42))
+    np.testing.assert_allclose(out["c"], arr["c"], rtol=0, atol=0)
