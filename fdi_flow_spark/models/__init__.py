@@ -1,0 +1,18 @@
+from fdi_flow_spark.models.generators import DynamicSystemDataGenerator, simulate_batch
+from fdi_flow_spark.models.systems import (
+    LinearContinuousStateSpaceModel,
+    LinearDiscreteStateSpaceModel,
+    NonlinearDiscreteStateSpaceModel,
+    NonlinearStateSpaceModel,
+)
+from fdi_flow_spark.models.utils import plot_simulation_results
+
+__all__ = [
+    "LinearContinuousStateSpaceModel",
+    "LinearDiscreteStateSpaceModel",
+    "NonlinearStateSpaceModel",
+    "NonlinearDiscreteStateSpaceModel",
+    "DynamicSystemDataGenerator",
+    "simulate_batch",
+    "plot_simulation_results",
+]

@@ -1,0 +1,16 @@
+from fdi_flow_spark.observers.linalg import ackermann_gain, place_observer_gain
+from fdi_flow_spark.observers.observers import (
+    KalmanFilterMatrix,
+    LuenbergerObserver,
+    SlidingModeObserver,
+    observer_replay,
+)
+
+__all__ = [
+    "LuenbergerObserver",
+    "KalmanFilterMatrix",
+    "SlidingModeObserver",
+    "observer_replay",
+    "ackermann_gain",
+    "place_observer_gain",
+]

@@ -513,6 +513,57 @@ def q_asof(spark, sf_dir):
     return out.select("event_id", F.col("asof_p_event_id").alias("asof_event_id"))
 
 
+# ================================================= simulation & observers
+
+@register("simulate_linear_batch")  # rows-only: sequential ODE integration
+def q_simulate(spark, sf_dir):
+    """FIXTURES.md §5 system, 8 seeded sims x 200 steps, sine inputs."""
+    import numpy as np
+
+    from fdi_flow_spark.models import (
+        DynamicSystemDataGenerator,
+        LinearContinuousStateSpaceModel,
+    )
+
+    model = LinearContinuousStateSpaceModel(
+        [[0, 1, 0], [0, 0, 1], [-1, -2, -3]],
+        [[0, 0], [1, 0], [0, 1]],
+        [[1, 0, 0], [0, 0, 1]],
+        np.zeros((2, 2)),
+    )
+    gen = DynamicSystemDataGenerator(model, ([-1, -1, -1], [1, 1, 1]), seed=42)
+    return gen.generate(
+        spark, 8, "sine", {"frequency": 0.5}, t_final=2.0, dt=0.01
+    )
+
+
+@register("observer_replay_luenberger")  # rows-only: matrix recurrence
+def q_observer(spark, sf_dir):
+    """FIXTURES.md §6 system: simulate truth, replay a Luenberger observer
+    over (series_id, step, u, y) rows distributed by series."""
+    import numpy as np
+
+    from fdi_flow_spark.models import LinearContinuousStateSpaceModel
+    from fdi_flow_spark.observers import LuenbergerObserver, observer_replay
+
+    A = np.array([[-2.0, 1.0], [1.0, -1.0]])
+    B = np.array([[-1.0], [1.0]])
+    C = np.array([[1.0, 0.0]])
+    dt, n_steps = 0.1, 200
+    m = LinearContinuousStateSpaceModel(A, B, C, [[0.0]])
+    u = np.array([[10 * np.sin(2 * np.pi * i * dt) * dt] for i in range(n_steps)])
+    truth = m.simulate(u, [2.0, 3.0], n_steps * dt, dt, method="euler")
+    rows = [
+        ("sys1", i, [float(u[i, 0])], [float(truth["outputs"][i, 0])])
+        for i in range(n_steps)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="series_id string, step long, u array<double>, y array<double>"
+    )
+    factory = lambda: LuenbergerObserver(A, B, C, dt, desired_poles=[-3.0, -4.0])  # noqa: E731
+    return observer_replay(df, factory)
+
+
 # ===================================================== extension operators
 
 @register(

@@ -1,0 +1,115 @@
+import numpy as np
+import pytest
+
+from fdi_flow_spark.models import (
+    DynamicSystemDataGenerator,
+    LinearContinuousStateSpaceModel,
+    LinearDiscreteStateSpaceModel,
+    NonlinearDiscreteStateSpaceModel,
+    simulate_batch,
+)
+
+A = [[0, 1, 0], [0, 0, 1], [-1, -2, -3]]
+B = [[0, 0], [1, 0], [0, 1]]
+C = [[1, 0, 0], [0, 0, 1]]
+D = np.zeros((2, 2))
+
+
+def test_euler_scalar_closed_form():
+    # dx = a x + b u, euler: x_{k+1} = x_k (1 + a dt) + b u dt — closed form
+    a, b, u0, x0, dt, tf = -0.5, 2.0, 0.3, 1.0, 0.01, 1.0
+    m = LinearContinuousStateSpaceModel([[a]], [[b]], [[1.0]], [[0.0]])
+    n_steps = int(tf / dt)
+    u = np.full((n_steps, 1), u0)
+    res = m.simulate(u, [x0], tf, dt, method="euler")
+    r = 1 + a * dt
+    ks = np.arange(1, n_steps + 1)
+    expected = x0 * r**ks + b * u0 * dt * (r**ks - 1) / (r - 1)
+    np.testing.assert_allclose(res["states"][:, 0], expected, rtol=1e-10)
+    # euler computes y from the post-update state (reference linear_models.py:63-68)
+    np.testing.assert_allclose(res["outputs"][:, 0], expected, rtol=1e-10)
+
+
+def test_rk4_matches_matrix_exponential():
+    m = LinearContinuousStateSpaceModel(A, B, C, D)
+    tf, dt = 2.0, 0.01
+    n_steps = int(tf / dt)
+    u = np.zeros((n_steps, 2))
+    x0 = np.array([1.0, -0.5, 0.25])
+    res = m.simulate(u, x0, tf, dt, method="RK45")
+    An = np.array(A)
+    # exact solution x(t) = expm(A t) x0 via eigendecomposition
+    w, V = np.linalg.eig(An)
+    for i, t in enumerate(res["time"]):
+        exact = np.real(V @ np.diag(np.exp(w * t)) @ np.linalg.inv(V) @ x0)
+        np.testing.assert_allclose(res["states"][i], exact, atol=1e-7)
+
+
+def test_discrete_closed_form():
+    Ad = np.array([[0.9, 0.1], [0.0, 0.8]])
+    Bd = np.array([[0.0], [1.0]])
+    Cd = np.array([[1.0, 0.0]])
+    m = LinearDiscreteStateSpaceModel(Ad, Bd, Cd, [[0.0]])
+    n_steps = 25
+    rng = np.random.default_rng(1)
+    u = rng.normal(0, 1, (n_steps, 1))
+    x0 = np.array([1.0, 2.0])
+    res = m.simulate(u, x0)
+    # independent closed form: x_k(recorded, post-update) = A^{k+1} x0 + sum_{j=0..k} A^{k-j} B u_j
+    for k in range(n_steps):
+        exact = np.linalg.matrix_power(Ad, k + 1) @ x0
+        for j in range(k + 1):
+            exact = exact + np.linalg.matrix_power(Ad, k - j) @ Bd @ u[j]
+        np.testing.assert_allclose(res["states"][k], exact, rtol=1e-9)
+        # y_k from pre-update state
+        pre = np.linalg.matrix_power(Ad, k) @ x0
+        for j in range(k):
+            pre = pre + np.linalg.matrix_power(Ad, k - 1 - j) @ Bd @ u[j]
+        np.testing.assert_allclose(res["outputs"][k], Cd @ pre, rtol=1e-9)
+
+
+def test_nonlinear_discrete_records_pre_update_state():
+    f = lambda x, u, k: 0.5 * x + u  # noqa: E731
+    g = lambda x, u, k: np.array([x[0] ** 2])  # noqa: E731
+    m = NonlinearDiscreteStateSpaceModel(f, g)
+    u = np.ones((5, 1))
+    res = m.simulate(u, np.array([2.0]))
+    np.testing.assert_allclose(res["states"][0], [2.0])  # pre-update recorded
+    np.testing.assert_allclose(res["outputs"][0], [4.0])
+
+
+def test_simulate_batch_matches_local(spark):
+    m = LinearContinuousStateSpaceModel(A, B, C, D)
+    tf, dt = 1.0, 0.01
+    n_steps = int(tf / dt)
+    rng = np.random.default_rng(3)
+    x0s = [rng.normal(0, 1, 3) for _ in range(4)]
+    us = [rng.normal(0, 1, (n_steps, 2)) for _ in range(4)]
+    sdf = simulate_batch(spark, m, x0s, us, tf, dt).toPandas()
+    for i in range(4):
+        local = m.simulate(us[i], x0s[i], tf, dt)
+        got = sdf[sdf.sim_id == i].sort_values("step")
+        np.testing.assert_allclose(np.vstack(got["states"]), local["states"], rtol=1e-12)
+        np.testing.assert_allclose(np.vstack(got["outputs"]), local["outputs"], rtol=1e-12)
+
+
+@pytest.mark.parametrize("signal_type", ["constant", "sine"])
+def test_generator_distributed_equals_local(spark, signal_type):
+    m = LinearContinuousStateSpaceModel(A, B, C, D)
+    gen = DynamicSystemDataGenerator(m, ([-1, -1, -1], [1, 1, 1]), seed=7)
+    params = {"frequency": 0.5} if signal_type == "sine" else {"min_val": -2, "max_val": 2}
+    local = gen.generate_local(3, signal_type, params, t_final=0.5, dt=0.01)
+    dist = gen.generate(spark, 3, signal_type, params, t_final=0.5, dt=0.01).toPandas()
+    for i in range(3):
+        got = dist[dist.sim_id == i].sort_values("step")
+        np.testing.assert_allclose(np.vstack(got["states"]), local[i]["states"], rtol=1e-12)
+
+
+def test_generator_seeded_determinism():
+    m = LinearContinuousStateSpaceModel(A, B, C, D)
+    g1 = DynamicSystemDataGenerator(m, ([-1] * 3, [1] * 3), seed=5)
+    g2 = DynamicSystemDataGenerator(m, ([-1] * 3, [1] * 3), seed=5)
+    r1 = g1.generate_local(2, "sine", {"frequency": 1.0}, t_final=0.2, dt=0.01)
+    r2 = g2.generate_local(2, "sine", {"frequency": 1.0}, t_final=0.2, dt=0.01)
+    for a, b in zip(r1, r2):
+        np.testing.assert_array_equal(a["states"], b["states"])
