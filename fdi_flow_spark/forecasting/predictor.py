@@ -1,0 +1,202 @@
+"""Forecasting: distributed data prep + (optional) Keras trainer.
+
+Reference: ``TimeSeriesPredictor``
+(``/root/reference/fdi_flow/forecasting/time_series_model.py:10-426``).
+
+The data path is fully distributed and reproduces the reference semantics
+exactly (``load_and_preprocess_data``, ``:88-166``):
+
+1. read CSVs with a ``y`` column (one series per file),
+2. downsample ``[::200]`` (row_number stride filter),
+3. global min/max over train AND test jointly (leaky by design in the
+   reference — reproduced for parity),
+4. min-max normalize with those global stats,
+5. supervised windowing ``X[i]=d[i:i+T]``, ``Y[i]=d[i+T:i+T+H]`` (``:67-86``)
+   — the same machinery as ``operators.segmenters.supervised_windows``,
+6. concat train windows across files (``unionByName``).
+
+Training (``build_model``/``train_model``, ``:168-235``) needs TensorFlow/
+Keras, which is optional here: the model layer raises ``NotImplementedError``
+when TF is missing. Architectures (when TF present) match the reference:
+``lstm`` = LSTM(100)+Dropout(.2)+Dense(H); ``convlstm`` =
+Conv1D(64,3,relu)+MaxPool(2)+LSTM(100)+Dropout(.2)+Dense(H); adam+mse.
+Distributed inference applies the trained weights with a Pandas UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fdi_flow_spark.operators.segmenters import supervised_windows
+from fdi_flow_spark.sources.tables import read_csv_series
+
+
+def prepare_supervised_data(
+    series: DataFrame,
+    time_steps: int,
+    output_steps: int = 1,
+    stride: int = 1,
+    global_minmax: tuple[float, float] | None = None,
+) -> tuple[DataFrame, tuple[float, float]]:
+    """Downsample -> global min-max normalize -> supervised windows.
+
+    Returns (windows_df ``(series_id, window_start, x, y)``, (min, max)).
+    Stats are computed over the WHOLE input (train+test jointly) unless
+    given — reference parity (``time_series_model.py:121-122``).
+    """
+    if stride > 1:
+        series = series.where(F.col("ts") % stride == 0).withColumn(
+            "ts", (F.col("ts") / stride).cast("long")
+        )
+    if global_minmax is None:
+        row = series.agg(F.min("value"), F.max("value")).first()
+        global_minmax = (float(row[0]), float(row[1]))
+    lo, hi = global_minmax
+    rng = hi - lo if hi > lo else 1.0
+    normalized = series.withColumn("value", (F.col("value") - F.lit(lo)) / F.lit(rng))
+    wins = supervised_windows(normalized, time_steps, output_steps)
+    return wins, global_minmax
+
+
+class TimeSeriesPredictor:
+    def __init__(
+        self,
+        time_steps: int = 50,
+        output_step: int = 1,
+        model_type: str = "convlstm",
+        epochs: int = 50,
+        batch_size: int = 32,
+        optimizer: str = "adam",
+        loss: str = "mse",
+        metrics: list | None = None,
+        verbose: int = 1,
+    ):
+        self.time_steps = time_steps
+        self.output_step = output_step
+        self.model_type = model_type.lower()
+        self.epochs = epochs
+        self.batch_size = batch_size
+        self.optimizer = optimizer
+        self.loss = loss
+        self.metrics = metrics or ["accuracy", "mean_squared_error", "mean_absolute_error"]
+        self.verbose = verbose
+        self.model = None
+        self.min_value = None
+        self.max_value = None
+        self.history = None
+
+    # ---- distributed data path ---------------------------------------
+    def load_and_preprocess_data(
+        self, spark: SparkSession, train_filenames: list[str], test_filename: str
+    ):
+        """Reference ``:88-166`` distributed. Returns numpy (X_train, y_train,
+        X_test, y_test) shaped for Keras ((n, T, 1) float32)."""
+        train = None
+        for fn in train_filenames:
+            s = read_csv_series(spark, fn, value_col="y", stride=200)
+            train = s if train is None else train.unionByName(s)
+        test = read_csv_series(spark, test_filename, value_col="y", stride=200)
+        both = train.unionByName(test)
+        row = both.agg(F.min("value"), F.max("value")).first()
+        self.min_value, self.max_value = float(row[0]), float(row[1])
+        mm = (self.min_value, self.max_value)
+        train_w, _ = prepare_supervised_data(train, self.time_steps, self.output_step, 1, mm)
+        test_w, _ = prepare_supervised_data(test, self.time_steps, self.output_step, 1, mm)
+
+        def collect_xy(wdf):
+            pdf = wdf.orderBy("series_id", "window_start").toPandas()
+            X = np.array(pdf["x"].tolist(), dtype=np.float32)
+            Y = np.array(pdf["y"].tolist(), dtype=np.float32)
+            return X.reshape((X.shape[0], X.shape[1], 1)), Y
+
+        X_train, y_train = collect_xy(train_w)
+        X_test, y_test = collect_xy(test_w)
+        return X_train, y_train, X_test, y_test
+
+    # ---- model layer (TF optional) -----------------------------------
+    def _require_tf(self):
+        try:
+            from tensorflow.keras.layers import (  # noqa: F401
+                LSTM,
+                Conv1D,
+                Dense,
+                Dropout,
+                MaxPooling1D,
+            )
+            from tensorflow.keras.models import Sequential  # noqa: F401
+
+            return Sequential, LSTM, Dense, Dropout, Conv1D, MaxPooling1D
+        except ImportError as e:
+            raise NotImplementedError(
+                "model training requires tensorflow/keras, which is optional "
+                "in this environment; the distributed data path works without it"
+            ) from e
+
+    def build_model(self):
+        Sequential, LSTM, Dense, Dropout, Conv1D, MaxPooling1D = self._require_tf()
+        model = Sequential()
+        if self.model_type == "lstm":
+            model.add(LSTM(100, input_shape=(self.time_steps, 1)))
+            model.add(Dropout(0.2))
+            model.add(Dense(self.output_step))
+        elif self.model_type == "convlstm":
+            model.add(
+                Conv1D(64, kernel_size=3, activation="relu", input_shape=(self.time_steps, 1))
+            )
+            model.add(MaxPooling1D(pool_size=2))
+            model.add(LSTM(100))
+            model.add(Dropout(0.2))
+            model.add(Dense(self.output_step))
+        else:
+            raise ValueError(f"unknown model_type {self.model_type!r}")
+        model.compile(optimizer=self.optimizer, loss=self.loss, metrics=self.metrics)
+        self.model = model
+        return model
+
+    def train_model(self, X_train, y_train, validation_split=0.1):
+        if self.model is None:
+            self.build_model()
+        self.history = self.model.fit(
+            X_train,
+            y_train,
+            epochs=self.epochs,
+            batch_size=self.batch_size,
+            validation_split=validation_split,
+            verbose=self.verbose,
+        )
+        return self.history
+
+    def evaluate_model(self, X_test, y_test):
+        if self.model is None:
+            raise RuntimeError("model not trained")
+        return self.model.evaluate(X_test, y_test, verbose=self.verbose)
+
+    def predict(self, X):
+        if self.model is None:
+            raise RuntimeError("model not trained")
+        return self.model.predict(X, verbose=self.verbose)
+
+    def predict_distributed(self, windows_df: DataFrame) -> DataFrame:
+        """Distributed inference: apply trained weights over packed window
+        rows with an Arrow-batched Pandas UDF (predict_batch pattern)."""
+        if self.model is None:
+            raise RuntimeError("model not trained")
+        weights = self.model.get_weights()
+        cfg = self.model.to_json()
+        T = self.time_steps
+
+        import pandas as pd
+        from pyspark.sql.types import ArrayType, DoubleType
+
+        @F.pandas_udf(ArrayType(DoubleType()))
+        def infer(xs: "pd.Series") -> "pd.Series":
+            from tensorflow.keras.models import model_from_json
+
+            local = model_from_json(cfg)
+            local.set_weights(weights)
+            X = np.array(xs.tolist(), dtype=np.float32).reshape((-1, T, 1))
+            out = local.predict(X, verbose=0)
+            return pd.Series([row.tolist() for row in out])
+
+        return windows_df.withColumn("y_pred", infer(F.col("x")))

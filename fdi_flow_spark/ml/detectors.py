@@ -1,0 +1,641 @@
+"""Fault-detector classifiers as MLlib Pipelines, mirroring the reference's
+seven-detector API (``/root/reference/fdi_flow/detectors/``): constructor
+hyperparameters + ``param_search_space``/``n_iter``/``search_method``/``cv``/
+``random_state``, then ``fit(X, y, test_size=0.2, optimize=False)``,
+``predict``, ``predict_proba``, ``score`` (accuracy), ``get_params``, and
+``get_feature_importances`` for tree models
+(``sklearn_detectors.py:19-253`` KNN API shape, repeated for each backend).
+
+Backend mapping (documented deviations where MLlib lacks an exact analog):
+
+| reference backend | here |
+|---|---|
+| sklearn KNeighborsClassifier   | exact relational KNN (crossJoin+rank+vote; LSH route at scale) |
+| sklearn RandomForestClassifier | MLlib RandomForestClassifier |
+| sklearn GradientBoosting       | MLlib GBTClassifier (+OneVsRest for multiclass) |
+| sklearn SVC (rbf)              | MLlib LinearSVC + OneVsRest — linear only; rbf unsupported |
+| XGBClassifier                  | xgboost.spark if installed, else GBT+OVR |
+| LGBMClassifier                 | GBT+OVR (31-leaf analog via maxDepth~5) |
+| CatBoostClassifier             | GBT+OVR (iterations->maxIter, depth->maxDepth, lr->stepSize) |
+
+Search: ``search_method='random'`` draws ``n_iter`` seeded parameter dicts
+from ``param_search_space`` (int range -> randint, float range -> uniform,
+list -> choice — the reference's distribution rules,
+``sklearn_detectors.py:114-122``) and scores each by k-fold CV with a
+deterministic ``pmod(hash(id), cv)`` fold column. ``'optuna'`` keeps the
+reference's TPE driver loop when optuna is installed (it is optional here).
+
+Data ingress: ``fit``/``predict`` accept numpy/pandas/list (reference parity;
+rows get a stable ``_row_id`` so predictions return in input order) or a
+Spark DataFrame with feature columns + label column (the distributed path).
+The reference's double-scaling ``score()`` bug in the SVM detector
+(``sklearn_detectors.py:796-800``) is intentionally NOT reproduced.
+"""
+
+from __future__ import annotations
+
+import random as _random
+
+import numpy as np
+from pyspark.ml import Pipeline
+from pyspark.ml.classification import (
+    GBTClassifier,
+    LinearSVC,
+    OneVsRest,
+    RandomForestClassifier,
+)
+from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+from pyspark.ml.feature import StandardScaler as MLStandardScaler
+from pyspark.ml.feature import VectorAssembler
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _active_spark() -> SparkSession:
+    s = SparkSession.getActiveSession()
+    if s is None:
+        from fdi_flow_spark.core.session import get_spark
+
+        s = get_spark()
+    return s
+
+
+class BaseFaultDetector:
+    """Shared fit/predict/score/search machinery over an MLlib Pipeline."""
+
+    def __init__(
+        self,
+        param_search_space=None,
+        n_iter=10,
+        search_method="random",
+        cv=5,
+        random_state=None,
+    ):
+        self.param_search_space = param_search_space
+        self.n_iter = n_iter
+        self.search_method = search_method
+        self.cv = cv
+        self.random_state = random_state
+        self.best_params_ = None
+        self.model_ = None
+        self.is_fitted = False
+        self._feature_cols: list[str] | None = None
+
+    # ---- data ingress -------------------------------------------------
+    def _to_train_df(self, X, y) -> DataFrame:
+        if isinstance(X, DataFrame):
+            if isinstance(y, str):
+                df = X.withColumnRenamed(y, "label")
+            else:
+                df = X
+            self._feature_cols = [c for c in df.columns if c not in ("label", "_row_id")]
+            return df.withColumn("label", F.col("label").cast("double"))
+        X = np.asarray(X, dtype=float)
+        y = np.asarray(y).ravel()
+        spark = _active_spark()
+        self._feature_cols = [f"f{i}" for i in range(X.shape[1])]
+        rows = [
+            (int(i), *[float(v) for v in X[i]], float(y[i])) for i in range(len(X))
+        ]
+        schema = (
+            "_row_id long, "
+            + ", ".join(f"{c} double" for c in self._feature_cols)
+            + ", label double"
+        )
+        return spark.createDataFrame(rows, schema=schema)
+
+    def _to_pred_df(self, X) -> DataFrame:
+        if isinstance(X, DataFrame):
+            return X
+        X = np.asarray(X, dtype=float)
+        spark = _active_spark()
+        rows = [(int(i), *[float(v) for v in X[i]]) for i in range(len(X))]
+        schema = "_row_id long, " + ", ".join(f"{c} double" for c in self._feature_cols)
+        return spark.createDataFrame(rows, schema=schema)
+
+    # ---- to be provided by subclasses ---------------------------------
+    def _default_params(self) -> dict:
+        raise NotImplementedError
+
+    def _build_pipeline(self, params: dict, n_classes: int) -> Pipeline:
+        raise NotImplementedError
+
+    # ---- search -------------------------------------------------------
+    def _sample_params(self, rng: "_random.Random") -> dict:
+        out = {}
+        for param, values in self.param_search_space.items():
+            v0 = values[0]
+            if isinstance(v0, bool) or isinstance(v0, str):
+                out[param] = rng.choice(list(values))
+            elif isinstance(v0, int) and len(values) == 2 and isinstance(values[1], int):
+                out[param] = rng.randrange(values[0], values[1])  # randint [lo, hi)
+            elif isinstance(v0, float):
+                out[param] = rng.uniform(values[0], values[1])
+            else:
+                out[param] = rng.choice(list(values))
+        return out
+
+    def _cv_accuracy(self, df: DataFrame, params: dict, n_classes: int) -> float:
+        folds = df.withColumn(
+            "_fold",
+            F.pmod(F.xxhash64(*[F.col(c) for c in self._feature_cols]), F.lit(self.cv)),
+        ).cache()
+        evaluator = MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction", metricName="accuracy"
+        )
+        scores = []
+        for k in range(self.cv):
+            train = folds.where(F.col("_fold") != k)
+            val = folds.where(F.col("_fold") == k)
+            model = self._build_pipeline(params, n_classes).fit(train)
+            scores.append(evaluator.evaluate(model.transform(val)))
+        folds.unpersist()
+        return float(np.mean(scores))
+
+    def _optimize_random(self, df: DataFrame, n_classes: int):
+        rng = _random.Random(self.random_state)
+        best_score, best_params = -1.0, None
+        for _ in range(self.n_iter):
+            params = self._sample_params(rng)
+            score = self._cv_accuracy(df, params, n_classes)
+            if score > best_score:
+                best_score, best_params = score, params
+        return best_params
+
+    def _optimize_optuna(self, df: DataFrame, n_classes: int):
+        try:
+            import optuna
+            from optuna.samplers import TPESampler
+        except ImportError as e:
+            raise NotImplementedError(
+                "search_method='optuna' requires the optional optuna package"
+            ) from e
+
+        def objective(trial):
+            params = {}
+            for param, values in self.param_search_space.items():
+                v0 = values[0]
+                if isinstance(v0, str) or isinstance(v0, bool):
+                    params[param] = trial.suggest_categorical(param, list(values))
+                elif isinstance(v0, int):
+                    params[param] = trial.suggest_int(param, values[0], values[1])
+                else:
+                    params[param] = trial.suggest_float(param, values[0], values[1])
+            return self._cv_accuracy(df, params, n_classes)
+
+        study = optuna.create_study(
+            direction="maximize", sampler=TPESampler(seed=self.random_state)
+        )
+        study.optimize(objective, n_trials=self.n_iter)
+        return study.best_params
+
+    # ---- public API ---------------------------------------------------
+    def fit(self, X, y=None, test_size: float = 0.2, optimize: bool = False):
+        df = self._to_train_df(X, y).cache()
+        n_classes = df.agg(F.countDistinct("label")).first()[0]
+        self._n_classes = int(n_classes)
+        params = self._default_params()
+        if optimize and self.param_search_space is not None:
+            if self.search_method == "random":
+                found = self._optimize_random(df, self._n_classes)
+            elif self.search_method == "optuna":
+                found = self._optimize_optuna(df, self._n_classes)
+            else:
+                raise ValueError("search_method must be either 'random' or 'optuna'")
+            self.best_params_ = found
+            params = {**params, **found}
+        self.model_ = self._build_pipeline(params, self._n_classes).fit(df)
+        df.unpersist()
+        self.is_fitted = True
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if not self.is_fitted:
+            raise RuntimeError("Model must be fitted before prediction")
+        return self.model_.transform(df)
+
+    def predict(self, X):
+        pred = self.transform(self._to_pred_df(X))
+        if "_row_id" in pred.columns:
+            rows = pred.select("_row_id", "prediction").orderBy("_row_id").collect()
+            return np.array([r.prediction for r in rows])
+        return pred.select("prediction")
+
+    def predict_proba(self, X):
+        pred = self.transform(self._to_pred_df(X))
+        if "probability" not in pred.columns:
+            raise RuntimeError("this backend does not expose class probabilities")
+        rows = pred.select("_row_id", "probability").orderBy("_row_id").collect()
+        return np.array([r.probability.toArray() for r in rows])
+
+    def score(self, X, y) -> float:
+        if isinstance(X, DataFrame):
+            pred = self.transform(X)
+            label = y if isinstance(y, str) else "label"
+            return (
+                pred.select(
+                    F.avg((F.col("prediction") == F.col(label).cast("double")).cast("double"))
+                ).first()[0]
+            )
+        yhat = self.predict(X)
+        y = np.asarray(y).ravel().astype(float)
+        return float(np.mean(yhat == y))
+
+    def get_params(self) -> dict:
+        if self.best_params_ is not None:
+            return self.best_params_
+        return self._default_params()
+
+    def get_feature_importances(self) -> dict:
+        if not self.is_fitted:
+            raise RuntimeError("Model must be fitted first")
+        stages = self.model_.stages
+        last = stages[-1]
+        if hasattr(last, "featureImportances"):
+            imp = last.featureImportances.toArray()
+            return {c: float(v) for c, v in zip(self._feature_cols, imp)}
+        raise RuntimeError("this backend does not expose feature importances")
+
+
+class _AssembledPipelineDetector(BaseFaultDetector):
+    """Detectors built as VectorAssembler (+scaler) -> classifier."""
+
+    scale_features = False
+
+    def _classifier(self, params: dict, n_classes: int):
+        raise NotImplementedError
+
+    def _build_pipeline(self, params: dict, n_classes: int) -> Pipeline:
+        stages = [
+            VectorAssembler(inputCols=self._feature_cols, outputCol="_features_raw")
+        ]
+        feat_col = "_features_raw"
+        if self.scale_features:
+            stages.append(
+                MLStandardScaler(
+                    inputCol=feat_col, outputCol="_features", withMean=True, withStd=True
+                )
+            )
+            feat_col = "_features"
+        clf = self._classifier(params, n_classes)
+        clf.setFeaturesCol(feat_col)
+        stages.append(clf)
+        return Pipeline(stages=stages)
+
+
+class RandomForestFaultDetector(_AssembledPipelineDetector):
+    """Reference D2 (``sklearn_detectors.py:256-518``): 100 trees, gini,
+    sqrt feature subset; exposes feature importances."""
+
+    def __init__(
+        self,
+        n_estimators=100,
+        criterion="gini",
+        max_depth=None,
+        min_samples_split=2,
+        min_samples_leaf=1,
+        max_features="sqrt",
+        param_search_space=None,
+        n_iter=10,
+        search_method="random",
+        cv=5,
+        random_state=None,
+    ):
+        super().__init__(param_search_space, n_iter, search_method, cv, random_state)
+        self.n_estimators = n_estimators
+        self.criterion = criterion
+        self.max_depth = max_depth
+        self.min_samples_split = min_samples_split
+        self.min_samples_leaf = min_samples_leaf
+        self.max_features = max_features
+
+    def _default_params(self):
+        return {
+            "n_estimators": self.n_estimators,
+            "criterion": self.criterion,
+            "max_depth": self.max_depth,
+            "min_samples_leaf": self.min_samples_leaf,
+            "max_features": self.max_features,
+        }
+
+    def _classifier(self, params, n_classes):
+        subset = {"sqrt": "sqrt", "log2": "log2", None: "all", "auto": "auto"}.get(
+            params.get("max_features", "sqrt"), "sqrt"
+        )
+        return RandomForestClassifier(
+            labelCol="label",
+            numTrees=int(params.get("n_estimators", 100)),
+            impurity={"gini": "gini", "entropy": "entropy"}.get(
+                params.get("criterion", "gini"), "gini"
+            ),
+            maxDepth=int(params["max_depth"]) if params.get("max_depth") else 10,
+            minInstancesPerNode=int(params.get("min_samples_leaf", 1)),
+            featureSubsetStrategy=subset,
+            seed=self.random_state or 42,
+        )
+
+
+class GradientBoostingFaultDetector(_AssembledPipelineDetector):
+    """Reference D4 (``sklearn_detectors.py:818-1163``): lr 0.1, depth 3.
+    GBTClassifier is binary-only; multiclass wraps in OneVsRest."""
+
+    def __init__(
+        self,
+        n_estimators=100,
+        learning_rate=0.1,
+        max_depth=3,
+        subsample=1.0,
+        param_search_space=None,
+        n_iter=10,
+        search_method="random",
+        cv=5,
+        random_state=None,
+    ):
+        super().__init__(param_search_space, n_iter, search_method, cv, random_state)
+        self.n_estimators = n_estimators
+        self.learning_rate = learning_rate
+        self.max_depth = max_depth
+        self.subsample = subsample
+
+    def _default_params(self):
+        return {
+            "n_estimators": self.n_estimators,
+            "learning_rate": self.learning_rate,
+            "max_depth": self.max_depth,
+            "subsample": self.subsample,
+        }
+
+    def _classifier(self, params, n_classes):
+        gbt = GBTClassifier(
+            labelCol="label",
+            maxIter=int(params.get("n_estimators", 100)),
+            stepSize=float(params.get("learning_rate", 0.1)),
+            maxDepth=int(params.get("max_depth", 3)),
+            subsamplingRate=float(params.get("subsample", 1.0)),
+            seed=self.random_state or 42,
+        )
+        if n_classes > 2:
+            return OneVsRest(classifier=gbt, labelCol="label")
+        return gbt
+
+    def get_feature_importances(self):
+        last = self.model_.stages[-1]
+        if hasattr(last, "featureImportances"):
+            imp = last.featureImportances.toArray()
+            return {c: float(v) for c, v in zip(self._feature_cols, imp)}
+        # OneVsRest: average importances across the per-class models
+        if hasattr(last, "models"):
+            imps = [m.featureImportances.toArray() for m in last.models]
+            mean = np.mean(imps, axis=0)
+            return {c: float(v) for c, v in zip(self._feature_cols, mean)}
+        raise RuntimeError("no feature importances available")
+
+
+class SVMFaultDetector(_AssembledPipelineDetector):
+    """Reference D3 (``sklearn_detectors.py:521-815``): SVC. MLlib has no
+    kernel SVM — only ``kernel='linear'`` is supported (LinearSVC + OVR);
+    rbf/poly raise. ``scale_features`` adds an MLlib StandardScaler stage.
+    The reference ``score()`` double-scaling bug (``:796-800``) is not
+    reproduced. ``predict_proba`` raises like the reference does when
+    ``probability=False`` (LinearSVC has no probability output)."""
+
+    def __init__(
+        self,
+        C=1.0,
+        kernel="linear",
+        gamma="scale",
+        probability=False,
+        scale_features=True,
+        max_iter=100,
+        param_search_space=None,
+        n_iter=10,
+        search_method="random",
+        cv=5,
+        random_state=None,
+    ):
+        super().__init__(param_search_space, n_iter, search_method, cv, random_state)
+        if kernel != "linear":
+            raise NotImplementedError(
+                f"kernel={kernel!r}: MLlib provides no kernel SVM; "
+                "only 'linear' (LinearSVC + OneVsRest) is supported"
+            )
+        self.C = C
+        self.kernel = kernel
+        self.probability = probability
+        self.scale_features = scale_features
+        self.max_iter = max_iter
+
+    def _default_params(self):
+        return {"C": self.C, "kernel": self.kernel, "max_iter": self.max_iter}
+
+    def _classifier(self, params, n_classes):
+        svc = LinearSVC(
+            labelCol="label",
+            regParam=1.0 / max(float(params.get("C", 1.0)), 1e-12),
+            maxIter=int(params.get("max_iter", 100)),
+        )
+        if n_classes > 2:
+            return OneVsRest(classifier=svc, labelCol="label")
+        return svc
+
+    def predict_proba(self, X):
+        raise RuntimeError(
+            "predict_proba requires probability=True with a probabilistic "
+            "backend; LinearSVC does not expose probabilities"
+        )
+
+
+class XGBFaultDetector(GradientBoostingFaultDetector):
+    """Reference D5 (``xgb_detectors.py:17-374``). Uses the distributed
+    ``xgboost.spark.SparkXGBClassifier`` when xgboost is installed (keeps the
+    exact algorithm); otherwise falls back to MLlib GBT (+OVR) with the same
+    hyperparameter names — a documented approximation."""
+
+    def _classifier(self, params, n_classes):
+        try:
+            from xgboost.spark import SparkXGBClassifier  # type: ignore
+
+            return SparkXGBClassifier(
+                label_col="label",
+                n_estimators=int(params.get("n_estimators", 100)),
+                learning_rate=float(params.get("learning_rate", 0.1)),
+                max_depth=int(params.get("max_depth", 3)),
+            )
+        except ImportError:
+            return super()._classifier(params, n_classes)
+
+
+class LGBMFaultDetector(GradientBoostingFaultDetector):
+    """Reference D6 (``lgbm_detectors.py:15-365``): LightGBM gbdt with 31
+    leaves. Maps to MLlib GBT: num_leaves -> maxDepth≈ceil(log2(leaves)),
+    n_estimators/learning_rate pass through. Documented approximation
+    (SynapseML LightGBM would keep the exact algorithm but adds a non-Spark
+    dependency)."""
+
+    def __init__(self, num_leaves=31, **kw):
+        super().__init__(**kw)
+        self.num_leaves = num_leaves
+
+    def _default_params(self):
+        return {**super()._default_params(), "num_leaves": self.num_leaves}
+
+    def _classifier(self, params, n_classes):
+        leaves = int(params.get("num_leaves", 31))
+        params = {**params, "max_depth": max(2, int(np.ceil(np.log2(leaves))))}
+        return super()._classifier(params, n_classes)
+
+
+class CatBoostFaultDetector(GradientBoostingFaultDetector):
+    """Reference D7 (``catboost_detector.py:15-298``): 500 iterations, lr
+    0.03, depth 6. Maps iterations->maxIter, depth->maxDepth, lr->stepSize;
+    CatBoost-specific knobs (border_count, bagging_temperature) have no MLlib
+    analog and are accepted but ignored (documented)."""
+
+    def __init__(
+        self,
+        iterations=500,
+        learning_rate=0.03,
+        depth=6,
+        border_count=None,
+        bagging_temperature=None,
+        **kw,
+    ):
+        super().__init__(
+            n_estimators=iterations, learning_rate=learning_rate, max_depth=depth, **kw
+        )
+        self.iterations = iterations
+        self.depth = depth
+        self.border_count = border_count
+        self.bagging_temperature = bagging_temperature
+
+
+class KNNFaultDetector(BaseFaultDetector):
+    """Reference D1 (``sklearn_detectors.py:19-253``) — exact distributed
+    KNN: no training, prediction is distance -> rank -> vote over the stored
+    train set (SQL, no Python in the loop). ``weights='distance'`` uses 1/d
+    votes. ``algorithm``/``leaf_size`` are accepted for API parity and
+    ignored (there is no kd-tree in a distributed scan; the LSH route in
+    ``fdi_flow_spark.pipelines.similarity`` is the scale analog)."""
+
+    def __init__(
+        self,
+        n_neighbors=5,
+        weights="uniform",
+        algorithm="auto",
+        leaf_size=30,
+        p=2,
+        metric="minkowski",
+        param_search_space=None,
+        n_iter=10,
+        search_method="random",
+        cv=5,
+        random_state=None,
+    ):
+        super().__init__(param_search_space, n_iter, search_method, cv, random_state)
+        if metric not in ("minkowski", "euclidean"):
+            raise NotImplementedError(f"metric {metric!r} not supported")
+        self.n_neighbors = n_neighbors
+        self.weights = weights
+        self.algorithm = algorithm
+        self.leaf_size = leaf_size
+        self.p = p
+        self.metric = metric
+
+    def _default_params(self):
+        return {
+            "n_neighbors": self.n_neighbors,
+            "weights": self.weights,
+            "algorithm": self.algorithm,
+            "leaf_size": self.leaf_size,
+            "p": self.p,
+            "metric": self.metric,
+        }
+
+    def fit(self, X, y=None, test_size: float = 0.2, optimize: bool = False):
+        df = self._to_train_df(X, y)
+        if optimize and self.param_search_space is not None:
+            if self.search_method == "random":
+                self.best_params_ = self._optimize_random(df, 0)
+            elif self.search_method == "optuna":
+                self.best_params_ = self._optimize_optuna(df, 0)
+            else:
+                raise ValueError("search_method must be either 'random' or 'optuna'")
+        self._train_df = df.cache()
+        self._train_df.count()
+        self.is_fitted = True
+        return self
+
+    def _predict_df(self, test_df: DataFrame, params: dict, train_df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        k = int(params.get("n_neighbors", 5))
+        p = int(params.get("p", 2))
+        weights = params.get("weights", "uniform")
+        tr = train_df.select(
+            F.col("_row_id").alias("_tid"),
+            F.array(*[F.col(c) for c in self._feature_cols]).alias("_tv"),
+            F.col("label").alias("_tl"),
+        )
+        te = test_df.select(
+            "_row_id", F.array(*[F.col(c) for c in self._feature_cols]).alias("_sv")
+        )
+        diff = F.zip_with(F.col("_sv"), F.col("_tv"), lambda a, b: F.abs(a - b))
+        if p == 2:
+            dist = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+        else:
+            dist = F.aggregate(
+                diff, F.lit(0.0), lambda acc, x: acc + F.pow(x, float(p))
+            )
+        pairs = tr.crossJoin(F.broadcast(te)).select(
+            "_row_id", "_tid", "_tl", dist.alias("_d")
+        )
+        w = Window.partitionBy("_row_id").orderBy(F.col("_d").asc(), F.col("_tid").asc())
+        knn = pairs.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= k)
+        if weights == "distance":
+            vote = F.sum(1.0 / F.sqrt(F.greatest(F.col("_d"), F.lit(1e-24))))
+        else:
+            vote = F.count("*").cast("double")
+        votes = knn.groupBy("_row_id", "_tl").agg(vote.alias("_vote"))
+        vw = Window.partitionBy("_row_id").orderBy(F.col("_vote").desc(), F.col("_tl").asc())
+        return (
+            votes.withColumn("_vr", F.row_number().over(vw))
+            .where(F.col("_vr") == 1)
+            .select("_row_id", F.col("_tl").alias("prediction"))
+        )
+
+    def _cv_accuracy(self, df: DataFrame, params: dict, n_classes: int) -> float:
+        folds = df.withColumn(
+            "_fold",
+            F.pmod(F.xxhash64(*[F.col(c) for c in self._feature_cols]), F.lit(self.cv)),
+        ).cache()
+        scores = []
+        for kf in range(self.cv):
+            train = folds.where(F.col("_fold") != kf)
+            val = folds.where(F.col("_fold") == kf)
+            pred = self._predict_df(val, params, train)
+            joined = val.join(pred, "_row_id")
+            acc = joined.select(
+                F.avg((F.col("prediction") == F.col("label")).cast("double"))
+            ).first()[0]
+            scores.append(acc or 0.0)
+        folds.unpersist()
+        return float(np.mean(scores))
+
+    def predict(self, X):
+        if not self.is_fitted:
+            raise RuntimeError("Model must be fitted before prediction")
+        te = self._to_pred_df(X)
+        params = self.best_params_ or self._default_params()
+        pred = self._predict_df(te, params, self._train_df)
+        if isinstance(X, DataFrame):
+            return pred
+        rows = pred.orderBy("_row_id").collect()
+        return np.array([r.prediction for r in rows])
+
+    def score(self, X, y) -> float:
+        yhat = self.predict(X)
+        return float(np.mean(yhat == np.asarray(y).ravel().astype(float)))
+
+    def predict_proba(self, X):
+        raise NotImplementedError(
+            "distributed KNN exposes votes, not calibrated probabilities"
+        )

@@ -564,6 +564,26 @@ def q_observer(spark, sf_dir):
     return observer_replay(df, factory)
 
 
+@register("rf_classify_embeddings")  # rows-only: tree ensembles are seeded but
+def q_rf_classify(spark, sf_dir):     # not SQL-expressible
+    """RandomForest fault-detector Pipeline on the embeddings table: first 8
+    dims as features, train on even vec_ids, predict odd ones."""
+    from fdi_flow_spark.ml import RandomForestFaultDetector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        F.col("vec_id").alias("_row_id"),
+        *[F.col("embedding")[i].cast("double").alias(f"f{i}") for i in range(8)],
+        F.col("label").cast("double").alias("label"),
+    )
+    train = feats.where(F.col("_row_id") % 2 == 0)
+    test = feats.where(F.col("_row_id") % 2 == 1).drop("label")
+    det = RandomForestFaultDetector(n_estimators=20, random_state=42).fit(train, "label")
+    return det.transform(test).select(
+        F.col("_row_id").alias("vec_id"), F.col("prediction").alias("pred_label")
+    )
+
+
 # ===================================================== extension operators
 
 @register(

@@ -1,0 +1,188 @@
+"""Structured Streaming variants of the stateful operators.
+
+The reference hints at streaming reuse via ``KalmanFilter.reset()``
+(``/root/reference/fdi_flow/preprocessing/filters.py:358-361``) and the
+observers' one-``step``-per-sample APIs (``state_observers/*.py``); it has no
+actual streaming runtime. Here each recurrence becomes an
+``applyInPandasWithState`` operator keyed by ``series_id``: the carried state
+is exactly the recurrence's O(1)/O(n²) state (EWMA: s; KF1D: x,p; matrix
+observer: x̂ flattened), so batch replay ≡ streaming replay — asserted in
+``tests/test_streaming.py``.
+
+Windowed segmentation maps to event-time sliding windows with a watermark
+(Spark's native late-data semantics; the reference has none, so watermark
+choice is engine-defined).
+
+Batches must arrive time-ordered per series for bit-equality with batch
+replay (the contract of any incremental recurrence); out-of-order *within* a
+micro-batch is handled by sorting on ``ts``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_OUT = StructType(
+    [
+        StructField("series_id", StringType()),
+        StructField("ts", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def streaming_ewma(df: DataFrame, alpha: float) -> DataFrame:
+    """EWMA over a stream of (series_id, ts, value). State: last smoothed s."""
+    state_schema = StructType([StructField("s", DoubleType())])
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        s = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            res = np.empty(len(vals))
+            for i, x in enumerate(vals):
+                s = x if s is None else alpha * x + (1 - alpha) * s
+                res[i] = s
+            out.append(
+                pd.DataFrame(
+                    {"series_id": key[0], "ts": pdf["ts"].to_numpy(), "value": res}
+                )
+            )
+        state.update((float(s),))
+        yield pd.concat(out)
+
+    return df.groupBy("series_id").applyInPandasWithState(
+        fn, _OUT, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_kalman_1d(
+    df: DataFrame, q: float = 1.0, r: float = 1.0, x0: float | None = None, p0: float = 1.0
+) -> DataFrame:
+    """Scalar random-walk Kalman filter (reference F6) over a stream.
+    State: (x, p, started)."""
+    state_schema = StructType(
+        [StructField("x", DoubleType()), StructField("p", DoubleType())]
+    )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            x, p = state.get
+            started = True
+        else:
+            x, p, started = None, p0, False
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            res = np.empty(len(vals))
+            for i, z in enumerate(vals):
+                if not started:
+                    x = z if x0 is None else x0
+                    started = True
+                else:
+                    p_pred = p + q
+                    k = p_pred / (p_pred + r)
+                    x = x + k * (z - x)
+                    p = (1 - k) * p_pred
+                res[i] = x
+            out.append(
+                pd.DataFrame(
+                    {"series_id": key[0], "ts": pdf["ts"].to_numpy(), "value": res}
+                )
+            )
+        state.update((float(x), float(p)))
+        yield pd.concat(out)
+
+    return df.groupBy("series_id").applyInPandasWithState(
+        fn, _OUT, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+_OBS_OUT = StructType(
+    [
+        StructField("series_id", StringType()),
+        StructField("step", LongType()),
+        StructField("x_hat", ArrayType(DoubleType())),
+    ]
+)
+
+
+def streaming_observer(df: DataFrame, observer_factory) -> DataFrame:
+    """Streaming replay of a Luenberger observer over (series_id, step, u, y)
+    rows. State: flattened x̂. The observer object is rebuilt per batch from
+    the factory (gains are deterministic), the estimate rides in state."""
+    state_schema = StructType([StructField("x_hat", ArrayType(DoubleType()))])
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        obs = observer_factory()
+        if state.exists:
+            obs.x_hat = np.array(state.get[0], dtype=float).reshape(-1, 1)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("step")
+            xs = []
+            for _, row in pdf.iterrows():
+                x = obs.update(np.array(row["u"], dtype=float), np.array(row["y"], dtype=float))
+                xs.append(x.ravel().tolist())
+            out.append(
+                pd.DataFrame(
+                    {"series_id": key[0], "step": pdf["step"].to_numpy(), "x_hat": xs}
+                )
+            )
+        state.update(([float(v) for v in obs.x_hat.ravel()],))
+        yield pd.concat(out)
+
+    return df.groupBy("series_id").applyInPandasWithState(
+        fn, _OBS_OUT, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_segment_windows(
+    df: DataFrame,
+    window_duration: str = "10 seconds",
+    slide_duration: str = "5 seconds",
+    watermark: str = "30 seconds",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Event-time sliding-window aggregation over a stream — the streaming
+    analog of the batch segmenter (G1): per (series, window) collect count /
+    mean / min / max. Late rows beyond the watermark are dropped (Spark
+    semantics; the reference has no late-data story)."""
+    return (
+        df.withWatermark(time_col, watermark)
+        .groupBy(
+            F.col("series_id"),
+            F.window(F.col(time_col), window_duration, slide_duration),
+        )
+        .agg(
+            F.count("value").alias("n"),
+            F.avg("value").alias("mean"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+        .select(
+            "series_id",
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+            "mean",
+            "min",
+            "max",
+        )
+    )

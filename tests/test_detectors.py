@@ -1,0 +1,111 @@
+import numpy as np
+import pytest
+
+from fdi_flow_spark.ml import (
+    CatBoostFaultDetector,
+    GradientBoostingFaultDetector,
+    KNNFaultDetector,
+    LGBMFaultDetector,
+    RandomForestFaultDetector,
+    SVMFaultDetector,
+)
+
+
+def _blobs(n_per_class=60, n_features=5, n_classes=3, seed=42, spread=1.0):
+    """Seeded gaussian blobs — the engine-side analog of the reference's
+    make_classification demo data (examples/detectors.ipynb)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-5, 5, (n_classes, n_features))
+    X = np.vstack(
+        [centers[c] + rng.normal(0, spread, (n_per_class, n_features)) for c in range(n_classes)]
+    )
+    y = np.repeat(np.arange(n_classes), n_per_class)
+    perm = rng.permutation(len(y))
+    return X[perm], y[perm]
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    X, y = _blobs()
+    n_train = int(len(y) * 0.8)
+    return (X[:n_train], y[:n_train], X[n_train:], y[n_train:])
+
+
+def test_knn_detector(spark, data):
+    Xtr, ytr, Xte, yte = data
+    det = KNNFaultDetector(n_neighbors=5).fit(Xtr, ytr)
+    assert det.score(Xte, yte) > 0.9
+    assert det.get_params()["n_neighbors"] == 5
+
+
+def test_knn_distance_weights(spark, data):
+    Xtr, ytr, Xte, yte = data
+    det = KNNFaultDetector(n_neighbors=5, weights="distance").fit(Xtr, ytr)
+    assert det.score(Xte, yte) > 0.9
+
+
+def test_random_forest_detector(spark, data):
+    Xtr, ytr, Xte, yte = data
+    det = RandomForestFaultDetector(n_estimators=20, random_state=42).fit(Xtr, ytr)
+    assert det.score(Xte, yte) > 0.9
+    imps = det.get_feature_importances()
+    assert set(imps) == {f"f{i}" for i in range(5)}
+    assert abs(sum(imps.values()) - 1.0) < 1e-6
+
+
+def test_gbt_multiclass_ovr(spark, data):
+    Xtr, ytr, Xte, yte = data
+    det = GradientBoostingFaultDetector(n_estimators=10, random_state=42).fit(Xtr, ytr)
+    assert det.score(Xte, yte) > 0.85
+    imps = det.get_feature_importances()  # averaged over OVR models
+    assert len(imps) == 5
+
+
+def test_svm_linear(spark, data):
+    Xtr, ytr, Xte, yte = data
+    det = SVMFaultDetector(C=1.0, max_iter=50).fit(Xtr, ytr)
+    assert det.score(Xte, yte) > 0.85
+    with pytest.raises(RuntimeError):
+        det.predict_proba(Xte)
+
+
+def test_svm_rejects_rbf():
+    with pytest.raises(NotImplementedError):
+        SVMFaultDetector(kernel="rbf")
+
+
+def test_lgbm_and_catboost_aliases(spark, data):
+    Xtr, ytr, Xte, yte = data
+    det = LGBMFaultDetector(num_leaves=15, n_estimators=10, random_state=42).fit(Xtr, ytr)
+    assert det.score(Xte, yte) > 0.85
+    det2 = CatBoostFaultDetector(iterations=10, depth=3, random_state=42).fit(Xtr, ytr)
+    assert det2.score(Xte, yte) > 0.85
+
+
+def test_random_search_returns_params_in_space(spark, data):
+    Xtr, ytr, Xte, yte = data
+    space = {"n_neighbors": [3, 10], "weights": ["uniform", "distance"]}
+    det = KNNFaultDetector(
+        param_search_space=space, n_iter=3, cv=2, random_state=42
+    ).fit(Xtr, ytr, optimize=True)
+    assert 3 <= det.best_params_["n_neighbors"] < 10
+    assert det.best_params_["weights"] in space["weights"]
+    assert det.score(Xte, yte) > 0.85
+
+
+def test_rf_random_search(spark, data):
+    Xtr, ytr, Xte, yte = data
+    space = {"n_estimators": [5, 15], "max_depth": [2, 6]}
+    det = RandomForestFaultDetector(
+        param_search_space=space, n_iter=2, cv=2, random_state=1
+    ).fit(Xtr, ytr, optimize=True)
+    assert 5 <= det.best_params_["n_estimators"] < 15
+    assert det.score(Xte, yte) > 0.85
+
+
+def test_binary_gbt_probability(spark):
+    X, y = _blobs(n_classes=2, n_per_class=50)
+    det = GradientBoostingFaultDetector(n_estimators=10).fit(X[:80], y[:80])
+    proba = det.predict_proba(X[80:])
+    assert proba.shape == (20, 2)
+    np.testing.assert_allclose(proba.sum(axis=1), 1.0, rtol=1e-6)
