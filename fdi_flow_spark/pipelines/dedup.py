@@ -37,6 +37,29 @@ def _word_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     )
 
 
+def _char_ngrams(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """Distinct character k-gram shingles per doc: (id, shingle).
+
+    Char shingles discriminate far better than word n-grams on small
+    vocabularies (the shingle space is |alphabet|^k, not |vocab|^n), which
+    keeps the inverted-index document-frequency per shingle low — the
+    property every exact similarity join lives or dies by."""
+    # NOTE: filter length >= k FIRST — Spark's sequence(1, 0) counts
+    # backwards ([1, 0]) rather than returning an empty array.
+    grams = F.expr(
+        f"""
+        array_distinct(transform(
+          sequence(1, length({text_col}) - {k - 1}),
+          i -> substring({text_col}, i, {k})))
+        """
+    )
+    return (
+        docs.where(F.length(F.col(text_col)) >= k)
+        .select(F.col(id_col).alias("id"), grams.alias("_g"))
+        .select("id", F.explode("_g").alias("shingle"))
+    )
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by content digest. Output one row per distinct
     text: ``(keeper_id = min id, dup_count)``."""
@@ -52,35 +75,115 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 2,
-    threshold: float = 0.2,
-    max_doc_freq: int | None = None,
+    threshold: float = 0.5,
+    prefix_filter: bool = True,
+    unit: str = "word",
+    char_k: int = 12,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
-    """Near-duplicate pairs by word-n-gram Jaccard similarity >= threshold.
+    """Near-duplicate pairs by n-gram Jaccard similarity >= threshold.
+    ``unit='word'`` shingles on word n-grams; ``unit='char'`` on character
+    k-grams (``char_k``) — prefer char shingles on low-vocabulary corpora.
 
     Output ``(id_a, id_b, jaccard)`` with ``id_a < id_b``; jaccard rounded to
     6 dp for cross-engine hash parity.
+
+    Scale path (``prefix_filter=True``, lossless): the AllPairs/PPJoin prefix
+    filter — shingles are globally ordered by (document frequency ASC,
+    shingle), each doc joins only on its first ``|d| - ceil(t*|d|) + 1``
+    rarest shingles (any pair with J >= t must collide there), plus the
+    Jaccard length filter ``t*|a| <= |b|``. Candidates are then verified
+    exactly with one ``array_intersect`` over the per-doc sorted shingle
+    arrays — the quadratic hot-shingle blowup of the naive inverted-index
+    join never materializes.
     """
-    shingles = _word_ngrams(docs, id_col, text_col, n)
-    if max_doc_freq is not None:
-        df_counts = shingles.groupBy("shingle").agg(F.count("*").alias("_df"))
-        shingles = (
-            shingles.join(df_counts.where(F.col("_df") <= max_doc_freq), "shingle")
-            .select("id", "shingle")
+    if unit == "char":
+        shingles = _char_ngrams(docs, id_col, text_col, char_k)
+    else:
+        shingles = _word_ngrams(docs, id_col, text_col, n)
+    # Join/shuffle on 8-byte shingle hashes instead of strings (xxhash64
+    # collisions are ~1e-11 at realistic shingle cardinalities — the exact
+    # intersection count is then computed over hashed arrays).
+    shingles = shingles.select("id", F.xxhash64("shingle").alias("shingle"))
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("ns"))
+    arrays = shingles.groupBy("id").agg(F.sort_array(F.collect_list("shingle")).alias("arr"))
+
+    if prefix_filter:
+        # Extended-prefix AllPairs: keep each doc's beta-fraction rarest
+        # shingles (beta > 1 - t keeps the >=1-collision guarantee) and use
+        # the SOUND count bound on prefix collisions: any pair with J >= t
+        # has overlap >= alpha = ceil(t/(1+t)*(na+nb)), and common shingles
+        # outside the prefixes number at most (na-pa)+(nb-pb), so prefix
+        # collisions c >= alpha - (na-pa) - (nb-pb). On realistic data that
+        # bound is in the tens — the pair aggregate itself kills the noise
+        # pairs, and only near-matches reach exact verification.
+        beta = max(0.8, 1.0 - threshold + 0.05)
+        dfreq = shingles.groupBy("shingle").agg(F.count("*").alias("_df"))
+        ranked = (
+            shingles.join(dfreq, "shingle")
+            .withColumn(
+                "_r",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy(F.col("_df").asc(), F.col("shingle").asc())
+                ),
+            )
+            .join(sizes, "id")
+            .withColumn("_p", F.ceil(F.lit(beta) * F.col("ns")))
+            .where(F.col("_r") <= F.col("_p"))
+            .select("id", "shingle", "ns", "_p")
         )
-    sizes = shingles.groupBy("id").agg(F.count("*").alias("n_shingles"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("_common"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("_na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("_nb"))
-    jac = F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common"))
+        a, b = ranked.alias("a"), ranked.alias("b")
+        na, nb = F.col("a.ns"), F.col("b.ns")
+        alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (na + nb))
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id"))
+                # length filter: J>=t requires t*max(|a|,|b|) <= min(|a|,|b|)
+                & (F.lit(threshold) * F.greatest(na, nb) <= F.least(na, nb)),
+            )
+            .groupBy(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                na.alias("_na"),
+                nb.alias("_nb"),
+                F.col("a._p").alias("_pa"),
+                F.col("b._p").alias("_pb"),
+            )
+            .agg(F.count("*").alias("_c"))
+            .where(
+                F.col("_c")
+                >= F.greatest(
+                    F.lit(1),
+                    F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("_na") + F.col("_nb")))
+                    - (F.col("_na") - F.col("_pa"))
+                    - (F.col("_nb") - F.col("_pb")),
+                )
+            )
+            .select("id_a", "id_b")
+        )
+    else:
+        a, b = shingles.alias("a"), shingles.alias("b")
+        cand = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+
+    aa = arrays.select(F.col("id").alias("id_a"), F.col("arr").alias("_arr_a"))
+    ab = arrays.select(F.col("id").alias("id_b"), F.col("arr").alias("_arr_b"))
+    inter = F.size(F.array_intersect("_arr_a", "_arr_b"))
+    na, nb = F.size("_arr_a"), F.size("_arr_b")
+    jac = inter / (na + nb - inter)
+    # broadcast_verify: the per-doc hash-array table is tiny relative to the
+    # candidate-pair stream at bench scale; at corpus sizes where it stops
+    # fitting in executor memory, flip to False for a shuffle join.
+    if broadcast_verify:
+        aa, ab = F.broadcast(aa), F.broadcast(ab)
     return (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        cand.join(aa, "id_a")
+        .join(ab, "id_b")
         .where(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )

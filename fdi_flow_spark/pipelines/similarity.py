@@ -15,6 +15,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -30,6 +31,68 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _blocked_partial_topk(candidates: DataFrame, q_ids, q_mat, k: int, metric: str,
+                          id_col: str, vec_col: str) -> DataFrame:
+    """mapInPandas blocked scorer: each Arrow batch of candidates is scored
+    against the broadcast query matrix with one BLAS matmul, and only the
+    per-batch top-k per query survives. The shuffle that follows carries
+    O(batches * |Q| * k) rows instead of O(|Q| * |C|) — this is the shape
+    that scales to 10^9 candidates."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark = candidates.sparkSession
+    bq = spark.sparkContext.broadcast((q_ids, q_mat))
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("_score", DoubleType()),
+        ]
+    )
+
+    def fn(batches):
+        q_ids_l, Q = bq.value  # (nq,), (nq, d) float64
+        qn = np.linalg.norm(Q, axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(pdf["_v"].tolist(), dtype=np.float64)  # (nc, d)
+            nid = pdf["_nid"].to_numpy()
+            if metric == "cosine":
+                cn = np.linalg.norm(C, axis=1)
+                S = (C @ Q.T) / np.outer(cn, qn)  # (nc, nq) similarity
+                order_scores = -S
+            else:  # squared euclidean distance
+                d2 = (
+                    (C * C).sum(axis=1)[:, None]
+                    - 2.0 * (C @ Q.T)
+                    + (Q * Q).sum(axis=1)[None, :]
+                )
+                S = d2
+                order_scores = S
+            nc = len(nid)
+            kk = min(k + 1, nc)  # +1 so a self-pair can be dropped later
+            part = np.argpartition(order_scores, kk - 1, axis=0)[:kk]  # (kk, nq)
+            rows = {"query_id": [], "neighbor_id": [], "_score": []}
+            for j, qid in enumerate(q_ids_l):
+                idx = part[:, j]
+                rows["query_id"].extend([qid] * len(idx))
+                rows["neighbor_id"].extend(nid[idx])
+                rows["_score"].extend(S[idx, j])
+            yield pd.DataFrame(rows)
+
+    c = candidates.select(
+        F.col(id_col).alias("_nid"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    return c.mapInPandas(fn, schema=out_schema)
+
+
 def cosine_topk_bruteforce(
     queries: DataFrame,
     candidates: DataFrame,
@@ -41,25 +104,31 @@ def cosine_topk_bruteforce(
 
     Output ``(query_id, rank, neighbor_id, cosine)`` (cosine rounded to 6 dp;
     ties broken by neighbor_id ASC). Self-pairs are excluded by id.
+
+    Execution: the query matrix (assumed broadcastable — that's what makes it
+    a top-k *search*) ships to executors once; candidates stream through a
+    BLAS-blocked partial top-k (see ``_blocked_partial_topk``), then a tiny
+    global rank finishes the job.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
-    ).withColumn("_qn", _norm(F.col("_qv")))
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
-    ).withColumn("_cn", _norm(F.col("_cv")))
-    pairs = c.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("neighbor_id"))
-    cos = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
-    scored = pairs.select("query_id", "neighbor_id", cos.alias("_cos"))
-    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
+    qrows = queries.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).collect()
+    q_ids = [r[0] for r in qrows]
+    q_mat = np.array([r["_v"] for r in qrows], dtype=np.float64)
+    spark = candidates.sparkSession
+    if len(q_ids) == 0:
+        return spark.createDataFrame(
+            [], schema="query_id long, rank long, neighbor_id long, cosine double"
+        )
+    partial = _blocked_partial_topk(candidates, q_ids, q_mat, k, "cosine", id_col, vec_col)
+    w = Window.partitionBy("query_id").orderBy(F.col("_score").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             "query_id",
             F.col("rank").cast("long").alias("rank"),
             "neighbor_id",
-            F.round("_cos", 6).alias("cosine"),
+            F.round("_score", 6).alias("cosine"),
         )
     )
 
@@ -161,30 +230,37 @@ def knn_classify_exact(
     Output ``(vec_id, pred_label)``. Vote ties break by (vote DESC, label ASC);
     distance ties rank by train id ASC — both pinned for determinism.
     """
+    # The *test* set is the broadcast side (it is the bounded "query" set);
+    # the train corpus streams through the BLAS-blocked scorer — so KNN
+    # classification scales with training-set size, the 100 TB axis.
+    qrows = test.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).collect()
+    q_ids = [r[0] for r in qrows]
+    q_mat = np.array([r["_v"] for r in qrows], dtype=np.float64)
+    if len(q_ids) == 0:
+        return train.sparkSession.createDataFrame(
+            [], schema=f"vec_id long, pred_label {train.schema[label_col].dataType.simpleString()}"
+        )
     tr = train.select(
-        F.col(id_col).alias("_tid"),
-        _as_double(F.col(vec_col)).alias("_tv"),
-        F.col(label_col).alias("_tl"),
+        F.col(id_col), F.col(vec_col), F.col(label_col).alias("_tl")
     )
-    te = test.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("_sv"))
-    d2 = F.aggregate(
-        F.zip_with(F.col("_sv"), F.col("_tv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    partial = _blocked_partial_topk(tr, q_ids, q_mat, k, "l2", id_col, vec_col)
+    labels = train.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_tl")
     )
-    pairs = tr.crossJoin(F.broadcast(te)).select(
-        "vec_id", "_tid", "_tl", d2.alias("_d2")
+    w = Window.partitionBy("query_id").orderBy(F.col("_score").asc(), F.col("neighbor_id").asc())
+    knn = (
+        partial.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .join(F.broadcast(labels), "neighbor_id")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("_d2").asc(), F.col("_tid").asc())
-    knn = pairs.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= k)
     if weights == "distance":
-        vote = F.sum(F.lit(1.0) / F.sqrt(F.greatest(F.col("_d2"), F.lit(1e-12))))
+        vote = F.sum(F.lit(1.0) / F.sqrt(F.greatest(F.col("_score"), F.lit(1e-24))))
     else:
         vote = F.count("*").cast("double")
-    votes = knn.groupBy("vec_id", "_tl").agg(vote.alias("_vote"))
-    vw = Window.partitionBy("vec_id").orderBy(F.col("_vote").desc(), F.col("_tl").asc())
+    votes = knn.groupBy("query_id", "_tl").agg(vote.alias("_vote"))
+    vw = Window.partitionBy("query_id").orderBy(F.col("_vote").desc(), F.col("_tl").asc())
     return (
         votes.withColumn("_vr", F.row_number().over(vw))
         .where(F.col("_vr") == 1)
-        .select("vec_id", F.col("_tl").alias("pred_label"))
+        .select(F.col("query_id").alias("vec_id"), F.col("_tl").alias("pred_label"))
     )

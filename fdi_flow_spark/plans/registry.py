@@ -600,15 +600,12 @@ def q_dedup_exact(spark, sf_dir):
 @register(
     "ngram_jaccard_pairs",
     """
-    WITH toks AS (
+    WITH grams AS (
       SELECT doc_id AS id,
-             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), t -> LENGTH(t) > 0) AS tk
-      FROM documents),
-    grams AS (
-      SELECT id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
-               GENERATE_SERIES(1, GREATEST(0, LEN(tk) - 1)),
-               i -> tk[i] || ' ' || tk[i + 1]))) AS shingle
-      FROM toks WHERE LEN(tk) >= 2),
+             UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               GENERATE_SERIES(1, LENGTH(text) - 11),
+               i -> SUBSTR(text, i, 12)))) AS shingle
+      FROM documents WHERE LENGTH(text) >= 12),
     sizes AS (SELECT id, COUNT(*) AS ns FROM grams GROUP BY id),
     common AS (
       SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
@@ -618,12 +615,12 @@ def q_dedup_exact(spark, sf_dir):
            ROUND(CAST(c.c AS DOUBLE) / (sa.ns + sb.ns - c.c), 6) AS jaccard
     FROM common c JOIN sizes sa ON sa.id = c.id_a
                   JOIN sizes sb ON sb.id = c.id_b
-    WHERE CAST(c.c AS DOUBLE) / (sa.ns + sb.ns - c.c) >= 0.12
+    WHERE CAST(c.c AS DOUBLE) / (sa.ns + sb.ns - c.c) >= 0.5
     """,
 )
 def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=2, threshold=0.12
+        load_table(spark, sf_dir, "documents"), threshold=0.5, unit="char", char_k=12
     )
 
 
