@@ -513,6 +513,41 @@ def q_asof(spark, sf_dir):
     return out.select("event_id", F.col("asof_p_event_id").alias("asof_event_id"))
 
 
+@register("holt_smoothing")  # rows-only: doubly-recursive, no stable closed form
+def q_holt(spark, sf_dir):
+    from fdi_flow_spark.operators import double_exponential_smoothing
+
+    return _rounded(
+        double_exponential_smoothing(events_series(spark, sf_dir), alpha=0.3, beta=0.1)
+    )
+
+
+@register("kalman1d_filter")  # rows-only: recursive gain schedule
+def q_kalman1d(spark, sf_dir):
+    from fdi_flow_spark.operators import kalman_filter_1d
+
+    return _rounded(kalman_filter_1d(events_series(spark, sf_dir), q=0.5, r=2.0))
+
+
+@register("bandpass_filter")  # rows-only: whole-series FFT
+def q_bandpass(spark, sf_dir):
+    from fdi_flow_spark.operators import bandpass_filter
+
+    return _rounded(bandpass_filter(events_series(spark, sf_dir), 0.01, 0.2, 1.0))
+
+
+@register("resample_cubic")  # rows-only: spline tridiagonal solve per series
+def q_resample_cubic(spark, sf_dir):
+    return _rounded(resample(events_series(spark, sf_dir), 101, "cubic"))
+
+
+@register("spline_upsample")  # rows-only
+def q_spline(spark, sf_dir):
+    from fdi_flow_spark.operators import spline_upsample
+
+    return _rounded(spline_upsample(events_series(spark, sf_dir), 151, spline_degree=3))
+
+
 # ================================================= simulation & observers
 
 @register("simulate_linear_batch")  # rows-only: sequential ODE integration

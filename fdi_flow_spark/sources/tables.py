@@ -47,11 +47,21 @@ def events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches the DuckDB oracle's ROW_NUMBER on the same keys.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    return ev.select(
+    # Rename BEFORE the window so the output partitioning attribute
+    # (series_id) survives into downstream operators — aliasing the
+    # partition column after the fact drops hashpartitioning(event_type)
+    # at the next projection and forces a second Exchange per chained op.
+    renamed = ev.select(
         F.col("event_type").alias("series_id"),
-        (F.row_number().over(w) - F.lit(1)).cast("long").alias("ts"),
+        F.col("ts").alias("_event_ts"),
+        F.col("event_id"),
         F.col("value").cast("double").alias("value"),
+    )
+    w = Window.partitionBy("series_id").orderBy("_event_ts", "event_id")
+    return renamed.select(
+        "series_id",
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias("ts"),
+        "value",
     )
 
 

@@ -1,0 +1,32 @@
+import numpy as np
+
+from fdi_flow_spark.core.series import long_to_wide, wide_to_long
+
+from .conftest import make_long
+
+
+def test_wide_long_roundtrip(spark):
+    rows = [(i, float(np.sin(i)), float(2 * i)) for i in range(30)]
+    wide = spark.createDataFrame(rows, schema="t long, sensor1 double, sensor2 double")
+    long_df = wide_to_long(wide, ts_col="t")
+    assert set(long_df.columns) == {"series_id", "ts", "value"}
+    assert long_df.count() == 60
+    back = long_to_wide(long_df).orderBy("ts").toPandas()
+    np.testing.assert_allclose(back["sensor1"], [r[1] for r in rows], rtol=1e-12)
+    np.testing.assert_allclose(back["sensor2"], [r[2] for r in rows], rtol=1e-12)
+
+
+def test_wide_to_long_subset_columns(spark):
+    wide = spark.createDataFrame(
+        [(0, 1.0, 2.0, "x")], schema="t long, a double, b double, note string"
+    )
+    out = wide_to_long(wide, ts_col="t", value_cols=["a", "b"])
+    got = {(r.series_id, r.value) for r in out.collect()}
+    assert got == {("a", 1.0), ("b", 2.0)}
+
+
+def test_long_to_wide_pivot(spark):
+    long_df = make_long(spark, {"s1": np.arange(5.0), "s2": np.arange(5.0) * 2})
+    wide = long_to_wide(long_df).orderBy("ts").toPandas()
+    assert list(wide.columns) == ["ts", "s1", "s2"]
+    np.testing.assert_allclose(wide["s2"], np.arange(5.0) * 2)
