@@ -62,6 +62,13 @@ def main() -> None:
     spark = get_spark(app_name="fdi_flow_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the session (JVM JIT, parquet footer reads, noop sink registration)
+    # so the first timed query doesn't absorb one-time startup cost.
+    from fdi_flow_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]

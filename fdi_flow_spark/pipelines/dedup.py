@@ -297,19 +297,22 @@ def simhash_fingerprints(
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
     tokens = docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
     hashed = tokens.withColumn("_h", _shingle_hash(F.col("tok")))
-    votes = (
-        hashed.select(
-            "id", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"), F.col("_h")
-        )
+    # One aggregation: collect the token hashes per doc (short arrays), then
+    # fold the 32 bit-votes with nested higher-order functions — no
+    # |docs| x bits explode, no second shuffle.
+    fp = (
+        hashed.groupBy("id")
+        .agg(F.collect_list("_h").alias("_hs"))
         .withColumn(
-            "_vote", F.expr("CASE WHEN (shiftright(_h, bit) & 1) = 1 THEN 1 ELSE -1 END")
+            "simhash",
+            F.expr(
+                f"""
+                aggregate(sequence(0, {bits - 1}), cast(0 as bigint),
+                  (acc, bit) -> acc + IF(
+                     2 * size(filter(_hs, h -> (shiftright(h, bit) & 1) = 1)) > size(_hs),
+                     shiftleft(cast(1 as bigint), bit), cast(0 as bigint)))
+                """
+            ),
         )
-        .groupBy("id", "bit")
-        .agg(F.sum("_vote").alias("_v"))
-    )
-    fp = votes.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("_v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(F.lit(0))
-        ).alias("simhash")
     )
     return fp.select(F.col("id").alias(id_col), "simhash")

