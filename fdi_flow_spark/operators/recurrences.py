@@ -74,6 +74,108 @@ def exponential_smoothing(df: DataFrame, alpha: float = 0.3) -> DataFrame:
     return _apply_per_series(df, lambda x: ewma_numpy(x, alpha))
 
 
+def exponential_smoothing_chunked(
+    df: DataFrame, alpha: float = 0.3, chunk_size: int = 100_000
+) -> DataFrame:
+    """EWMA for series too long for one executor group — the 100 TB path
+    for recurrences (SURVEY.md §7 'hard parts' #1).
+
+    EWMA is a *linear* recurrence, so it admits a parallel scan:
+      1. split each series into chunks of ``chunk_size``; each chunk computes
+         its zero-carry local EWMA in parallel (one applyInPandas over
+         (series, chunk) groups) plus a 2-number summary (decay A=(1-a)^len,
+         last local value B);
+      2. the carry chain c_{k+1} = B_k + A_k * c_k runs over the tiny
+         per-series summary table (one row per chunk — thousands of rows
+         for a trillion-sample series);
+      3. chunks finalize independently: s_i = local_i + (1-a)^(pos+1) * carry.
+
+    Numerically identical to the sequential recurrence up to ~1e-12 relative
+    (one extra multiply-add per element). The same decomposition pattern
+    applies to any linear recurrence (Holt is 2x2-matrix-valued).
+    """
+    if not 0 < alpha < 1:
+        raise ValueError("Alpha must be between 0 and 1")
+    assert_long(df)
+    from pyspark.sql import Window, functions as F
+
+    ordered = Window.partitionBy("series_id").orderBy("ts")
+    base = (
+        df.withColumn("_i", F.row_number().over(ordered) - F.lit(1))
+        .withColumn("_chunk", (F.col("_i") / chunk_size).cast("long"))
+        .withColumn("_pos", F.col("_i") % chunk_size)
+    )
+
+    local_schema = StructType(
+        [
+            StructField("series_id", StringType()),
+            StructField("_chunk", LongType()),
+            StructField("ts", LongType()),
+            StructField("_pos", LongType()),
+            StructField("_local", DoubleType()),
+        ]
+    )
+
+    def local_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_pos")
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        chunk = int(pdf["_chunk"].iloc[0])
+        if chunk == 0:
+            local = ewma_numpy(x, alpha)  # s0 = x0 semantics on the true head
+        else:
+            # zero-carry local scan: l_0 = a*x_0; l_i = a*x_i + (1-a)*l_{i-1}
+            local = np.empty(len(x))
+            acc = 0.0
+            for i, xi in enumerate(x):
+                acc = alpha * xi + (1 - alpha) * acc
+                local[i] = acc
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].to_numpy(),
+                "_chunk": pdf["_chunk"].to_numpy(),
+                "ts": pdf["ts"].to_numpy(),
+                "_pos": pdf["_pos"].to_numpy(),
+                "_local": local,
+            }
+        )
+
+    local = base.groupBy("series_id", "_chunk").applyInPandas(local_fn, local_schema)
+
+    # chunk summaries -> sequential carry chain over the tiny summary table
+    summaries = local.groupBy("series_id", "_chunk").agg(
+        F.count("*").alias("_len"), F.max_by("_local", "_pos").alias("_B")
+    )
+    carry_schema = StructType(
+        [
+            StructField("series_id", StringType()),
+            StructField("_chunk", LongType()),
+            StructField("_carry", DoubleType()),
+        ]
+    )
+
+    def carry_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_chunk")
+        carries = []
+        c = 0.0  # carry INTO each chunk; chunk 0 needs none
+        for _, row in pdf.iterrows():
+            carries.append(c)
+            A = (1 - alpha) ** int(row["_len"])
+            c = float(row["_B"]) + A * c
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].to_numpy(),
+                "_chunk": pdf["_chunk"].to_numpy(),
+                "_carry": carries,
+            }
+        )
+
+    carries = summaries.groupBy("series_id").applyInPandas(carry_fn, carry_schema)
+
+    out = local.join(F.broadcast(carries), ["series_id", "_chunk"])
+    value = F.col("_local") + F.pow(F.lit(1 - alpha), F.col("_pos") + 1) * F.col("_carry")
+    return out.select("series_id", "ts", value.alias("value"))
+
+
 # ----------------------------------------------------------------- Holt (F2)
 
 

@@ -195,6 +195,67 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q6_revenue_change",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_effect,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter+agg — every predicate must reach the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue_effect"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "sales_rollup",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS total_price,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregates (grouping-sets machinery, SURVEY §2.8)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("linestatus"),
+            "total_price",
+            "n_items",
+        )
+    )
+
+
 # ================================================= preprocessing operators
 
 @register(

@@ -45,3 +45,32 @@ def test_write_series_partitioned_roundtrip(spark, tmp_path):
     assert only_a.count() == 20
     vals = {r.ts: r.value for r in only_a.collect()}
     assert vals[7] == 7.0
+
+
+def test_salted_agg_matches_direct(spark):
+    from fdi_flow_spark.core.skew import salted_agg
+
+    rng = np.random.default_rng(21)
+    # skewed: 90% of rows share one key
+    rows = [("hot" if i % 10 else f"k{i%7}", float(rng.normal(0, 1)), i) for i in range(5000)]
+    df = spark.createDataFrame(rows, schema="k string, v double, i long")
+    got = {
+        r.k: (round(r.total, 6), r.cnt, round(r.mean, 6), r.lo)
+        for r in salted_agg(
+            df, ["k"], [("sum", "v", "total"), ("count", "v", "cnt"), ("avg", "v", "mean"), ("min", "i", "lo")]
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    exp = {
+        r.k: (round(r.total, 6), r.cnt, round(r.mean, 6), r.lo)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("total"),
+            F.count("v").alias("cnt"),
+            F.avg("v").alias("mean"),
+            F.min("i").alias("lo"),
+        )
+        .collect()
+    }
+    assert got == exp

@@ -89,3 +89,23 @@ def test_ewma_constant_fixed_point(spark):
     arr = {"c": np.full(50, 3.25)}
     out = collect_series(exponential_smoothing(make_long(spark, arr), alpha=0.42))
     np.testing.assert_allclose(out["c"], arr["c"], rtol=0, atol=0)
+
+
+def test_ewma_chunked_equals_sequential(spark):
+    from fdi_flow_spark.operators.recurrences import exponential_smoothing_chunked
+
+    rng = np.random.default_rng(13)
+    arrays = {"a": rng.normal(0, 5, 500), "b": np.linspace(-3, 3, 257)}
+    df = make_long(spark, arrays)
+    chunked = collect_series(exponential_smoothing_chunked(df, alpha=0.3, chunk_size=64))
+    for sid, arr in arrays.items():
+        np.testing.assert_allclose(chunked[sid], ref_ewma(arr, 0.3), rtol=1e-11)
+
+
+def test_ewma_chunked_single_chunk_degenerate(spark):
+    from fdi_flow_spark.operators.recurrences import exponential_smoothing_chunked
+
+    arrays = {"s": np.arange(10.0)}
+    df = make_long(spark, arrays)
+    out = collect_series(exponential_smoothing_chunked(df, alpha=0.5, chunk_size=1000))
+    np.testing.assert_allclose(out["s"], ref_ewma(arrays["s"], 0.5), rtol=1e-12)

@@ -25,10 +25,21 @@ finite_series = st.lists(
 @given(finite_series)
 @settings(max_examples=200, deadline=None)
 def test_standard_scale_invariants(xs):
-    out = ref_standard_scale(np.array(xs))
-    assert abs(out.mean()) < 1e-6 or np.std(xs) == 0
-    s = np.std(out)
-    assert abs(s - 1.0) < 1e-6 or np.std(np.asarray(xs, dtype=np.float64)) == 0
+    arr = np.asarray(xs, dtype=np.float64)
+    out = ref_standard_scale(arr)
+    centered = arr - arr.mean()
+    s_c = np.std(centered)
+    if s_c == 0:
+        # constant after centering: the kernel skips the divide by design
+        np.testing.assert_array_equal(out, centered)
+        return
+    if s_c < 1e-12 * max(1.0, np.abs(arr).max()):
+        # spread is rounding noise relative to magnitude; scaling amplifies
+        # ulp-level residuals, so only finiteness is meaningful here
+        assert np.all(np.isfinite(out))
+        return
+    assert abs(out.mean()) < 1e-6
+    assert abs(np.std(out) - 1.0) < 1e-6
 
 
 @given(finite_series)
