@@ -25,6 +25,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_nation_volume",
+    "q6_revenue_change",
+    "sales_rollup",
     # window/series operators (pure SQL)
     "moving_average_valid",
     "moving_average_padded",
@@ -45,7 +47,10 @@ BENCH_QUERIES = [
     "minhash_dedup_pairs",
     "simhash_fingerprints",
     "cosine_topk",
+    "embedding_near_dup",
     "knn_classify",
+    "multimodal_image_features",
+    "video_frame_sample",
     "token_counts",
     "text_quality",
     "language_id",

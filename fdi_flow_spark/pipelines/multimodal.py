@@ -71,6 +71,31 @@ def make_media_table(spark, rows) -> DataFrame:
     return spark.createDataFrame(data, schema=MEDIA_SCHEMA)
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministically derive a media table from the ``documents`` table so
+    the multimodal kernels are runnable (and driver-checkable) on the shared
+    testdata: payload = UTF-8 text bytes, kind cycles image/audio/video by
+    ``doc_id % 3``, and metadata is a pure function of ``doc_id``. This is a
+    fixture generator — on a real lake the media table is read directly."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    meta = F.struct(
+        (F.col("doc_id") % 7 + 4).cast("int").alias("width"),
+        (F.col("doc_id") % 5 + 4).cast("int").alias("height"),
+        F.lit(8000).alias("sample_rate"),
+        (F.col("doc_id") % 50 + 1).cast("int").alias("n_frames"),
+        kind.alias("format"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
 def _payload_rng(payload: bytes) -> np.random.Generator:
     digest = hashlib.sha256(payload or b"").digest()
     return np.random.default_rng(int.from_bytes(digest[:8], "big"))

@@ -34,7 +34,15 @@ from fdi_flow_spark.pipelines.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
+from fdi_flow_spark.pipelines.multimodal import (
+    audio_features,
+    frame_sample,
+    image_features,
+    media_from_documents,
+)
 from fdi_flow_spark.pipelines.similarity import (
+    cosine_near_dup_lsh,
+    cosine_near_dup_pairs,
     cosine_topk_bruteforce,
     cosine_topk_lsh,
     knn_classify_exact,
@@ -927,6 +935,70 @@ def q_knn(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_classify_exact(
         emb.where(F.col("vec_id") % 2 == 0), emb.where(F.col("vec_id") % 2 == 1), k=5
+    )
+
+
+@register(
+    "embedding_near_dup",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.4
+    """,
+)
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (driver mandate §2.9), exact."""
+    return cosine_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register("embedding_near_dup_lsh")  # rows-only (approximate; recall in pytest)
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """Beyond-broadcast near-dup path: (table, bucket)-partitioned self-join."""
+    return cosine_near_dup_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ------------------------------------------------------------- multimodal
+
+def _media(spark, sf_dir):
+    return media_from_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register("multimodal_image_features")  # rows-only (stubbed codec, SURVEY §2.9)
+def q_image_features(spark, sf_dir):
+    return image_features(_media(spark, sf_dir)).select(
+        "media_id",
+        F.round(F.element_at("mean_rgb", 1), 6).alias("mean_r"),
+        F.round(F.element_at("std_rgb", 1), 6).alias("std_r"),
+        "width",
+        "height",
+    )
+
+
+@register("multimodal_audio_bands")  # rows-only (FFT over PCM payload bytes)
+def q_audio_bands(spark, sf_dir):
+    return audio_features(_media(spark, sf_dir)).select(
+        "media_id",
+        "n_samples",
+        F.round(F.element_at("band_energy", 1), 6).alias("band0"),
+        F.round(F.element_at("band_energy", 8), 6).alias("band7"),
+    )
+
+
+@register(
+    "video_frame_sample",
+    """
+    SELECT doc_id AS media_id, CAST(f.frame_idx AS BIGINT) AS frame_idx
+    FROM documents,
+         UNNEST(GENERATE_SERIES(0, doc_id % 50, 10)) AS f(frame_idx)
+    WHERE doc_id % 3 = 2
+    """,
+)
+def q_frame_sample(spark, sf_dir):
+    """Metadata-driven frame sampling plan — pure SQL (sequence + explode)."""
+    return frame_sample(_media(spark, sf_dir), every_n=10).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
     )
 
 

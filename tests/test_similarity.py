@@ -1,0 +1,63 @@
+"""Similarity-search pipeline tests: exact near-dup vs a NumPy golden, and
+recall of the LSH-bucketed scale path against the exact result."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fdi_flow_spark.pipelines.similarity import (
+    cosine_near_dup_lsh,
+    cosine_near_dup_pairs,
+)
+from fdi_flow_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+def _golden_pairs(emb, threshold):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([list(map(float, r.embedding)) for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    out = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and S[i, j] >= threshold:
+                out.add((int(ids[i]), int(ids[j])))
+    return out
+
+def test_near_dup_exact_matches_numpy(spark, emb):
+    golden = _golden_pairs(emb, 0.4)
+    got = {(r.id_a, r.id_b) for r in cosine_near_dup_pairs(emb, threshold=0.4).collect()}
+    assert got == golden
+    assert len(golden) > 0  # fixture sanity: threshold chosen to be non-trivial
+
+
+def test_near_dup_pairs_ordered_and_rounded(spark, emb):
+    for r in cosine_near_dup_pairs(emb, threshold=0.4).collect():
+        assert r.id_a < r.id_b
+        assert r.cosine >= 0.4 - 1e-9
+        assert r.cosine == round(r.cosine, 6)
+
+
+def test_near_dup_lsh_recall_and_precision(spark, emb):
+    exact = {(r.id_a, r.id_b) for r in cosine_near_dup_pairs(emb, threshold=0.4).collect()}
+    approx = {
+        (r.id_a, r.id_b) for r in cosine_near_dup_lsh(emb, threshold=0.4).collect()
+    }
+    # every approx pair is exactly verified -> subset of the exact result
+    assert approx <= exact
+    # recall with the default 4-plane/8-table family is ~0.75 in expectation;
+    # assert a loose floor so seed drift can't flake the suite
+    assert len(approx) >= 0.5 * len(exact)
+
+
+def test_near_dup_empty_input(spark, emb):
+    none = emb.where(F.col("vec_id") < 0)
+    assert cosine_near_dup_pairs(none, threshold=0.4).count() == 0
