@@ -17,11 +17,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from fdi_flow_spark.core.partitioning import ensure_min_parallelism
+
 MERSENNE_P = 2**31 - 1
 
 
 def _word_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle)."""
+    docs = ensure_min_parallelism(docs, id_col)
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
     grams = F.expr(
         f"""
@@ -44,6 +47,7 @@ def _char_ngrams(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFra
     vocabularies (the shingle space is |alphabet|^k, not |vocab|^n), which
     keeps the inverted-index document-frequency per shingle low — the
     property every exact similarity join lives or dies by."""
+    docs = ensure_min_parallelism(docs, id_col)
     # NOTE: filter length >= k FIRST — Spark's sequence(1, 0) counts
     # backwards ([1, 0]) rather than returning an empty array.
     grams = F.expr(
@@ -294,6 +298,7 @@ def simhash_fingerprints(
     vote per bit position, fingerprint bit set where the vote is positive.
     Pure SQL (token explode + bit-position explode + two aggregates).
     """
+    docs = ensure_min_parallelism(docs, id_col)
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
     tokens = docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
     hashed = tokens.withColumn("_h", _shingle_hash(F.col("tok")))

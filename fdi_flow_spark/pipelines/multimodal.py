@@ -77,6 +77,9 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     testdata: payload = UTF-8 text bytes, kind cycles image/audio/video by
     ``doc_id % 3``, and metadata is a pure function of ``doc_id``. This is a
     fixture generator — on a real lake the media table is read directly."""
+    from fdi_flow_spark.core.partitioning import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(docs, "doc_id")
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
@@ -135,12 +138,11 @@ def image_features(media: DataFrame) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "mean_rgb": [], "std_rgb": [], "width": [], "height": []}
-            for _, row in pdf.iterrows():
-                meta = row["meta"]
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
                 w = int(meta["width"] or 16)
                 h = int(meta["height"] or 16)
-                arr = _decode_image_bytes(bytes(row["payload"] or b""), w, h)
-                out["media_id"].append(row["media_id"])
+                arr = _decode_image_bytes(bytes(payload or b""), w, h)
+                out["media_id"].append(mid)
                 out["mean_rgb"].append(arr.reshape(-1, 3).mean(axis=0).astype(float).tolist())
                 out["std_rgb"].append(arr.reshape(-1, 3).std(axis=0).astype(float).tolist())
                 out["width"].append(arr.shape[1])
@@ -166,15 +168,14 @@ def image_resize(media: DataFrame, target_w: int = 8, target_h: int = 8) -> Data
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, pix = [], []
-            for _, row in pdf.iterrows():
-                meta = row["meta"]
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
                 w = int(meta["width"] or 16)
                 h = int(meta["height"] or 16)
-                arr = _decode_image_bytes(bytes(row["payload"] or b""), w, h)
+                arr = _decode_image_bytes(bytes(payload or b""), w, h)
                 ys = (np.arange(target_h) * arr.shape[0] // target_h).clip(0, arr.shape[0] - 1)
                 xs = (np.arange(target_w) * arr.shape[1] // target_w).clip(0, arr.shape[1] - 1)
                 small = arr[np.ix_(ys, xs)].astype(float) / 255.0
-                ids.append(row["media_id"])
+                ids.append(mid)
                 pix.append(small.ravel().tolist())
             yield pd.DataFrame({"media_id": ids, "pixels": pix})
 
@@ -209,10 +210,10 @@ def audio_features(media: DataFrame, n_bands: int = 8) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ns, bands = [], [], []
-            for _, row in pdf.iterrows():
-                raw = bytes(row["payload"] or b"")
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
                 pcm = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2").astype(float)
-                ids.append(row["media_id"])
+                ids.append(mid)
                 ns.append(len(pcm))
                 if len(pcm) == 0:
                     bands.append([0.0] * n_bands)

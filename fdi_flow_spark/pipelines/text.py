@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from fdi_flow_spark.core.partitioning import ensure_min_parallelism
+
 # Tiny per-language marker lists for the n-gram/stopword language heuristic.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
@@ -29,6 +31,7 @@ def _tokens(col):
 def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Whitespace token count plus a BPE-ish subword estimate
     (ceil(len/4) per token — the ~4-chars-per-token rule)."""
+    docs = ensure_min_parallelism(docs, id_col)
     toks = _tokens(F.col(text_col))
     bpe = F.aggregate(
         toks,
@@ -48,6 +51,7 @@ def text_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     score in [0,1]. Formula is engine-defined (the reference has no text ops);
     it is deterministic and SQL-expressible for the oracle.
     """
+    docs = ensure_min_parallelism(docs, id_col)
     toks = _tokens(F.col(text_col))
     n_tokens = F.size(toks)
     n_chars = F.length(text_col)
@@ -75,31 +79,43 @@ def text_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
 def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Language identification heuristic: CJK character share decides ``zh``;
-    otherwise the language whose marker-token count wins (ties resolve in
-    fixed de/en/es/fr lexical order via the score tuple)."""
-    toks = _tokens(F.lower(F.col(text_col)))
+    otherwise the language whose marker-token count wins. Ties resolve to the
+    lexicographically greatest language (pinned, mirrored in the oracle);
+    docs with zero marker hits fall to that same rule over all languages
+    ('fr' with the builtin marker set).
 
-    def _contains(markers):
-        return lambda t: F.array_contains(markers, t)
-
-    scores = []
-    for lang in sorted(LANG_MARKERS):  # de, en, es, fr — deterministic order
-        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
-        scores.append(
-            F.struct(
-                F.size(F.filter(toks, _contains(markers))).alias("score"),
-                F.lit(lang).alias("lang"),
-            )
-        )
-    # max over (score, lang): larger score wins; on equal score the
-    # lexicographically *greatest* lang wins — pinned, mirrored in the oracle.
-    best = F.greatest(*scores)
+    Shape: token explode -> broadcast join against the tiny (lang, marker)
+    dict -> per-(doc, lang) count -> max_by. No O(|langs|) array scans per
+    row, and the marker dictionary can grow without re-compiling a giant
+    expression — this is the formulation that holds at 100 TB.
+    """
+    docs = ensure_min_parallelism(docs, id_col)
+    spark = docs.sparkSession
+    markers = spark.createDataFrame(
+        [(lang, w) for lang in sorted(LANG_MARKERS) for w in LANG_MARKERS[lang]],
+        schema="lang string, tok string",
+    )
+    fallback = max(LANG_MARKERS)  # all-zero docs: greatest lang wins the tie
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    hits = (
+        toks.join(F.broadcast(markers), "tok")
+        .groupBy(id_col, "lang")
+        .agg(F.count("*").alias("score"))
+    )
+    best = hits.groupBy(id_col).agg(
+        F.max(F.struct(F.col("score"), F.col("lang"))).alias("_best")
+    )
     cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
-    pred = F.when(cjk > 0, F.lit("zh")).otherwise(best["lang"])
-    return docs.select(
+    joined = docs.select(F.col(id_col), cjk.alias("_cjk")).join(best, id_col, "left")
+    pred = F.when(F.col("_cjk") > 0, F.lit("zh")).otherwise(
+        F.coalesce(F.col("_best.lang"), F.lit(fallback))
+    )
+    return joined.select(
         F.col(id_col),
         pred.alias("pred_lang"),
-        best["score"].cast("bigint").alias("marker_hits"),
+        F.coalesce(F.col("_best.score"), F.lit(0)).cast("bigint").alias("marker_hits"),
     )
 
 
@@ -121,6 +137,7 @@ def document_fingerprint(
     ``transform(sequence(...))`` over the char codes, windows minimized with
     a second ``transform`` — no Python, no explode until the final output.
     """
+    docs = ensure_min_parallelism(docs, id_col)
     # hash of the k-gram starting at 1-based position p:
     # h = sum(ascii(c_j) * base^(k-1-j)) mod m, built positionally so the
     # char-at(j) lookup can live inside the SQL lambda.

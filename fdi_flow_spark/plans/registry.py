@@ -645,10 +645,19 @@ def q_simulate(spark, sf_dir):
 def q_observer(spark, sf_dir):
     """FIXTURES.md §6 system: simulate truth, replay a Luenberger observer
     over (series_id, step, u, y) rows distributed by series."""
+    from fdi_flow_spark.observers import LuenbergerObserver, observer_replay
+
+    df, A, B, C, dt = _observer_fixture(spark)
+    factory = lambda: LuenbergerObserver(A, B, C, dt, desired_poles=[-3.0, -4.0])  # noqa: E731
+    return observer_replay(df, factory)
+
+
+def _observer_fixture(spark):
+    """Shared truth-signal fixture for the three observer replays
+    (FIXTURES.md §6 system)."""
     import numpy as np
 
     from fdi_flow_spark.models import LinearContinuousStateSpaceModel
-    from fdi_flow_spark.observers import LuenbergerObserver, observer_replay
 
     A = np.array([[-2.0, 1.0], [1.0, -1.0]])
     B = np.array([[-1.0], [1.0]])
@@ -664,8 +673,36 @@ def q_observer(spark, sf_dir):
     df = spark.createDataFrame(
         rows, schema="series_id string, step long, u array<double>, y array<double>"
     )
-    factory = lambda: LuenbergerObserver(A, B, C, dt, desired_poles=[-3.0, -4.0])  # noqa: E731
+    return df, A, B, C, dt
+
+
+@register("observer_replay_kalman")  # rows-only: matrix recurrence
+def q_observer_kalman(spark, sf_dir):
+    """Matrix Kalman filter replayed distributively over the §6 fixture
+    (reference kalman.py:3-91 semantics: predict + Joseph-less update)."""
+    import numpy as np
+
+    from fdi_flow_spark.observers import KalmanFilterMatrix, observer_replay
+
+    df, A, B, C, dt = _observer_fixture(spark)
+    Fm = np.eye(2) + dt * A  # discretized transition
+    factory = lambda: KalmanFilterMatrix(  # noqa: E731
+        Fm, dt * B, C, Q=0.01 * np.eye(2), R=np.array([[0.1]]),
+        x0=np.zeros(2), P0=np.eye(2),
+    )
     return observer_replay(df, factory)
+
+
+@register("observer_replay_sliding")  # rows-only: matrix recurrence
+def q_observer_sliding(spark, sf_dir):
+    """Sliding-mode observer replay (reference sliding_mode.py:4-100)."""
+    from fdi_flow_spark.observers import SlidingModeObserver, observer_replay
+
+    df, A, B, C, dt = _observer_fixture(spark)
+    factory = lambda: SlidingModeObserver(  # noqa: E731
+        A, B, C, desired_poles=[-3.0, -4.0], eta=1.0, eps=0.1
+    )
+    return observer_replay(df, factory, dt=dt)
 
 
 @register("rf_classify_embeddings")  # rows-only: tree ensembles are seeded but
