@@ -27,6 +27,10 @@ BENCH_QUERIES = [
     "q5_nation_volume",
     "q6_revenue_change",
     "sales_rollup",
+    "cube_order_stats",
+    "semi_join_urgent_customers",
+    "anti_join_quiet_customers",
+    "top_orders_per_customer",
     # window/series operators (pure SQL)
     "moving_average_valid",
     "moving_average_padded",
