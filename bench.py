@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "resample_linear",
     "asof_join_purchase",
     "failure_encoder",
+    "events_stats_salted",
     # recurrence (Arrow/pandas path)
     "ewma_closed_form",
     # extension ops

@@ -265,6 +265,45 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stats_salted",
+    """
+    SELECT event_type,
+           ROUND(SUM(value), 6) AS total_value,
+           COUNT(value) AS n_events,
+           ROUND(AVG(value), 6) AS mean_value,
+           MIN(user_id) AS first_user
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation (core/skew.py): events has 5 hot
+    event_type keys, so a direct groupBy funnels 5 reducers; salting fans
+    each key over 16 buckets and recombines — same result, oracle-checked
+    against the plain GROUP BY."""
+    from fdi_flow_spark.core.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        [
+            ("sum", "value", "total_value"),
+            ("count", "value", "n_events"),
+            ("avg", "value", "mean_value"),
+            ("min", "user_id", "first_user"),
+        ],
+    )
+    return out.select(
+        "event_type",
+        F.round("total_value", 6).alias("total_value"),
+        "n_events",
+        F.round("mean_value", 6).alias("mean_value"),
+        "first_user",
+    )
+
+
+@register(
     "semi_join_urgent_customers",
     """
     SELECT c_custkey, c_name, c_acctbal

@@ -66,3 +66,39 @@ def test_scaler_plan_is_pure_jvm(spark):
     assert "Batched: true" in plan  # vectorized columnar scan
     assert "Python" not in plan
 
+
+
+def test_q6_all_predicates_pushed(spark):
+    """q6 is pure filter+agg: every predicate must reach the parquet scan and
+    the scan must read only the four referenced columns."""
+    from fdi_flow_spark.plans.registry import QUERIES
+
+    plan = _plan(QUERIES["q6_revenue_change"](spark, SF))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_semi_anti_join_shapes(spark):
+    """EXISTS/NOT EXISTS compile to semi/anti joins — no row-multiplying
+    inner join followed by dedup."""
+    from fdi_flow_spark.plans.registry import QUERIES
+
+    semi = _plan(QUERIES["semi_join_urgent_customers"](spark, SF))
+    anti = _plan(QUERIES["anti_join_quiet_customers"](spark, SF))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_salted_agg_two_phase(spark):
+    """salted_agg must partial-aggregate on (key, salt) before the final
+    per-key combine, and the salt column must not leak into the output."""
+    from fdi_flow_spark.plans.registry import QUERIES
+
+    df = QUERIES["events_stats_salted"](spark, SF)
+    assert "_salt" not in df.columns
+    plan = _plan(df)
+    assert plan.count("Exchange") >= 2  # salt-bucket shuffle + final combine
