@@ -1,12 +1,16 @@
 from fdi_flow_spark.streaming.stateful import (
+    streaming_dedup_exact,
     streaming_ewma,
+    streaming_holt,
     streaming_kalman_1d,
     streaming_observer,
     streaming_segment_windows,
 )
 
 __all__ = [
+    "streaming_dedup_exact",
     "streaming_ewma",
+    "streaming_holt",
     "streaming_kalman_1d",
     "streaming_observer",
     "streaming_segment_windows",

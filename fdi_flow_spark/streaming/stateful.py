@@ -114,6 +114,84 @@ def streaming_kalman_1d(
     )
 
 
+def streaming_holt(df: DataFrame, alpha: float = 0.3, beta: float = 0.1) -> DataFrame:
+    """Holt double-exponential smoothing (reference F2) over a stream.
+
+    The batch kernel initializes ``trend[0] = x[1] - x[0]`` — a one-sample
+    LOOK-AHEAD — so the first input row cannot be emitted until the second
+    arrives: it rides in state as a pending sample and both outputs are
+    emitted together (possibly in a later micro-batch than the first row's
+    arrival; append mode permits that). Bit-equal to the batch operator for
+    series with >= 2 samples — a 1-sample stream never emits (the batch op
+    returns it unchanged, which a stream cannot know to do).
+    State: (pending_ts, pending_x, level, trend, phase).
+    """
+    state_schema = StructType(
+        [
+            StructField("pts", LongType()),
+            StructField("px", DoubleType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("phase", LongType()),  # 0=empty, 1=pending, 2=running
+        ]
+    )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            pts, px, level, trend, phase = state.get
+        else:
+            pts, px, level, trend, phase = 0, 0.0, 0.0, 0.0, 0
+        out_ts, out_v = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, x in zip(pdf["ts"].to_numpy(), pdf["value"].to_numpy(np.float64)):
+                if phase == 0:
+                    pts, px, phase = int(ts), float(x), 1
+                elif phase == 1:
+                    level, trend = px, x - px  # level[0]=x0, trend[0]=x1-x0
+                    out_ts.append(pts)
+                    out_v.append(level + trend)
+                    prev_level = level
+                    level = alpha * x + (1 - alpha) * (level + trend)
+                    trend = beta * (level - prev_level) + (1 - beta) * trend
+                    out_ts.append(int(ts))
+                    out_v.append(level + trend)
+                    phase = 2
+                else:
+                    prev_level = level
+                    level = alpha * x + (1 - alpha) * (level + trend)
+                    trend = beta * (level - prev_level) + (1 - beta) * trend
+                    out_ts.append(int(ts))
+                    out_v.append(level + trend)
+        state.update((int(pts), float(px), float(level), float(trend), int(phase)))
+        yield pd.DataFrame(
+            {"series_id": key[0], "ts": out_ts, "value": out_v}
+        ) if out_ts else pd.DataFrame({"series_id": [], "ts": [], "value": []})
+
+    return df.groupBy("series_id").applyInPandasWithState(
+        fn, _OUT, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_dedup_exact(
+    docs: DataFrame,
+    time_col: str = "event_time",
+    watermark: str = "10 minutes",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming analog of
+    ``pipelines.dedup.exact_dedup``: first occurrence of each content digest
+    is kept; re-arrivals within the watermark horizon are dropped, and the
+    per-digest state expires once the watermark passes (bounded state — the
+    property that lets this run forever at ingest scale; the batch op has no
+    such horizon because it sees everything)."""
+    return (
+        docs.withColumn("digest", F.md5(F.col(text_col)))
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["digest"])
+    )
+
+
 _OBS_OUT = StructType(
     [
         StructField("series_id", StringType()),

@@ -136,3 +136,137 @@ def test_streaming_observer_equals_batch(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         spark.catalog.dropTempView("obs_sink")
+
+
+def test_streaming_holt_equals_batch(spark, chunked_stream_dir):
+    from fdi_flow_spark.operators import double_exponential_smoothing
+    from fdi_flow_spark.streaming import streaming_holt
+
+    d, batch_df = chunked_stream_dir
+    got = _as_map(
+        _run_stream(spark, d, lambda s: streaming_holt(s, alpha=0.3, beta=0.1))
+    )
+    exp = _as_map(
+        double_exponential_smoothing(batch_df, alpha=0.3, beta=0.1)
+        .toPandas()
+        .sort_values(["series_id", "ts"])
+    )
+    for sid in exp:
+        np.testing.assert_array_equal(got[sid], exp[sid])
+    spark.catalog.dropTempView("sink_tbl")
+
+
+def test_streaming_dedup_keeps_first_occurrence(spark):
+    import shutil
+    import tempfile
+
+    from fdi_flow_spark.streaming import streaming_dedup_exact
+
+    d = tempfile.mkdtemp(prefix="fdi_dedup_stream_")
+    try:
+        rows0 = [(0, "alpha text", "2024-01-01 00:00:00"),
+                 (1, "beta text", "2024-01-01 00:00:01"),
+                 (2, "alpha text", "2024-01-01 00:00:02")]   # dup within batch
+        rows1 = [(3, "beta text", "2024-01-01 00:00:03"),    # dup across batch
+                 (4, "gamma text", "2024-01-01 00:00:04")]
+        schema = "doc_id long, text string, event_time timestamp"
+        spark.createDataFrame(
+            [(i, t, __import__("datetime").datetime.fromisoformat(ts)) for i, t, ts in rows0],
+            schema=schema,
+        ).coalesce(1).write.parquet(f"{d}/b=0")
+        spark.createDataFrame(
+            [(i, t, __import__("datetime").datetime.fromisoformat(ts)) for i, t, ts in rows1],
+            schema=schema,
+        ).coalesce(1).write.parquet(f"{d}/b=1")
+        stream = (
+            spark.readStream.schema(schema + ", b int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        out = streaming_dedup_exact(stream.select("doc_id", "text", "event_time"))
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("dedup_sink").toPandas().sort_values("doc_id")
+        # one row per distinct text, and it is the FIRST occurrence by id
+        assert sorted(got["doc_id"].tolist()) == [0, 1, 4]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.catalog.dropTempView("dedup_sink")
+
+
+def test_streaming_segment_windows_matches_batch_closed_windows(spark):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fdi_flow_spark.streaming import streaming_segment_windows
+
+    d = tempfile.mkdtemp(prefix="fdi_win_stream_")
+    try:
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            ("s1", base + datetime.timedelta(seconds=i), float(i)) for i in range(120)
+        ]
+        schema = "series_id string, event_time timestamp, value double"
+        df = spark.createDataFrame(rows, schema=schema)
+        df.where("value < 60").coalesce(1).write.parquet(f"{d}/b=0")
+        df.where("value >= 60").coalesce(1).write.parquet(f"{d}/b=1")
+        stream = (
+            spark.readStream.schema(schema + ", b int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        out = streaming_segment_windows(
+            stream.select("series_id", "event_time", "value"),
+            window_duration="20 seconds",
+            slide_duration="10 seconds",
+            watermark="5 seconds",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("win_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("win_sink").toPandas()
+        assert len(got) > 0  # watermark advanced far enough to close windows
+        # every emitted (closed) window must match the batch computation
+        batch = (
+            df.groupBy("series_id", F.window("event_time", "20 seconds", "10 seconds"))
+            .agg(
+                F.count("value").alias("n"),
+                F.avg("value").alias("mean"),
+                F.min("value").alias("min"),
+                F.max("value").alias("max"),
+            )
+            .select(
+                "series_id",
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "n",
+                "mean",
+                "min",
+                "max",
+            )
+            .toPandas()
+        )
+        merged = got.merge(
+            batch, on=["series_id", "window_start", "window_end"], suffixes=("_s", "_b")
+        )
+        assert len(merged) == len(got)  # every streamed window exists in batch
+        for col in ("n", "mean", "min", "max"):
+            np.testing.assert_allclose(merged[f"{col}_s"], merged[f"{col}_b"])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.catalog.dropTempView("win_sink")
