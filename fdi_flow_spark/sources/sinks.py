@@ -35,3 +35,26 @@ def write_series(
 
 def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (and optionally sort-bucketed) managed table.
+
+    Bucketing pre-shuffles the data ONCE at write time: two tables bucketed
+    on the same key with the same bucket count join with NO Exchange on
+    either side — the join that at 100 TB would shuffle terabytes per query
+    instead reads co-located buckets. Same for groupBy on the bucket key.
+    Sorted buckets additionally let sort-merge join skip its sort.
+    (Bucketed tables must be managed tables — `saveAsTable`, not `parquet(path)`.)
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table, format="parquet")

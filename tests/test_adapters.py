@@ -74,3 +74,43 @@ def test_salted_agg_matches_direct(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with zero
+    Exchange operators — the co-located join contract write_bucketed exists
+    to provide."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from fdi_flow_spark.sources.sinks import write_bucketed
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("w")
+    )
+    try:
+        write_bucketed(left, "bk_left", ["k"], n_buckets=8, sort_cols=["k"])
+        write_bucketed(right, "bk_right", ["k"], n_buckets=8, sort_cols=["k"])
+        # disable broadcast so the shuffle-avoidance claim is actually
+        # exercised (a broadcast join would sidestep bucketing entirely)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = spark.table("bk_left").join(spark.table("bk_right"), "k")
+            assert joined.count() == 1000
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            assert "Exchange" not in plan, plan
+            assert "Bucketed: true" in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
