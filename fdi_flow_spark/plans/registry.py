@@ -556,6 +556,32 @@ def q_ewma(spark, sf_dir):
 
 
 @register(
+    "ewma_chunked",
+    f"""
+    WITH s AS ({SERIES_SQL}),
+    short AS (SELECT * FROM s WHERE ts < 120),
+    t AS (SELECT series_id, ts,
+                 CASE WHEN ts = 0 THEN value
+                      ELSE 0.3 * POWER(0.7, -ts) * value END AS term
+          FROM short),
+    c AS (SELECT series_id, ts,
+                 SUM(term) OVER (PARTITION BY series_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT series_id, ts, ROUND(POWER(0.7, ts) * cum, 6) AS value FROM c
+    """,
+)
+def q_ewma_chunked(spark, sf_dir):
+    """The beyond-memory EWMA path (chunk-parallel scan + carry chain) must
+    hash-match the same oracle as the sequential operator — the scale path
+    is held to full correctness, not a looser approximate check."""
+    from fdi_flow_spark.operators.recurrences import exponential_smoothing_chunked
+
+    s = events_series(spark, sf_dir).where(F.col("ts") < 120)
+    return _rounded(exponential_smoothing_chunked(s, alpha=0.3, chunk_size=48))
+
+
+@register(
     "failure_encoder",
     f"""
     WITH s0 AS ({SERIES_SQL}),

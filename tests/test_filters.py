@@ -109,3 +109,38 @@ def test_ewma_chunked_single_chunk_degenerate(spark):
     df = make_long(spark, arrays)
     out = collect_series(exponential_smoothing_chunked(df, alpha=0.5, chunk_size=1000))
     np.testing.assert_allclose(out["s"], ref_ewma(arrays["s"], 0.5), rtol=1e-12)
+
+
+def test_holt_chunked_equals_sequential(spark):
+    from fdi_flow_spark.operators.recurrences import (
+        double_exponential_smoothing_chunked,
+        holt_numpy,
+    )
+
+    rng = np.random.default_rng(17)
+    arrays = {"a": rng.normal(0, 5, 500), "b": np.linspace(-3, 3, 257)}
+    df = make_long(spark, arrays)
+    out = collect_series(
+        double_exponential_smoothing_chunked(df, alpha=0.3, beta=0.1, chunk_size=64)
+    )
+    for sid, arr in arrays.items():
+        np.testing.assert_allclose(
+            out[sid], holt_numpy(arr, 0.3, 0.1), rtol=1e-10, atol=1e-12
+        )
+
+
+def test_holt_chunked_short_series(spark):
+    from fdi_flow_spark.operators.recurrences import (
+        double_exponential_smoothing_chunked,
+    )
+
+    arrays = {"one": np.array([4.2]), "two": np.array([1.0, 3.0])}
+    df = make_long(spark, arrays)
+    out = collect_series(
+        double_exponential_smoothing_chunked(df, alpha=0.5, beta=0.5, chunk_size=16)
+    )
+    np.testing.assert_allclose(out["one"], [4.2])  # n<2: unchanged
+    # n=2: out[0]=x1, out[1]=level1+trend1 from the reference recurrence
+    l1 = 0.5 * 3.0 + 0.5 * 3.0
+    t1 = 0.5 * (l1 - 1.0) + 0.5 * 2.0
+    np.testing.assert_allclose(out["two"], [3.0, l1 + t1])
