@@ -371,6 +371,29 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_above_customer_avg",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (SELECT AVG(o2.o_totalprice)
+                                FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate comparison — decorrelated to one window pass
+    (single shuffle) instead of the naive self-join a literal translation
+    would pay."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("_avg", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > 1.5 * F.col("_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
     "top_orders_per_customer",
     """
     SELECT o_custkey, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
