@@ -1,0 +1,112 @@
+"""Dedup pipeline unit tests. The load-bearing one is prefix-filter
+losslessness: the AllPairs/PPJoin candidate pruning in ngram_jaccard_pairs
+claims to be EXACT (never drops a qualifying pair) — assert it against the
+unpruned inverted-index join on a corpus engineered to contain near-dups,
+exact dups, and unrelated documents."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fdi_flow_spark.pipelines.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+
+WORDS = [f"w{i}" for i in range(60)]
+
+
+def _corpus(rng, n_docs=40, doc_len=30, n_near=8, n_exact=3):
+    """Random word docs + near-dup pairs (few words changed) + exact dups."""
+    docs = []
+    for i in range(n_docs):
+        docs.append(" ".join(rng.choice(WORDS, size=doc_len)))
+    next_id = n_docs
+    for i in range(n_near):  # near-dup of doc i: perturb 3 words
+        toks = docs[i].split()
+        for j in rng.choice(doc_len, size=3, replace=False):
+            toks[j] = str(rng.choice(WORDS))
+        docs.append(" ".join(toks))
+        next_id += 1
+    for i in range(n_exact):  # exact dup of doc i
+        docs.append(docs[i])
+    return [(i, t) for i, t in enumerate(docs)]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rng = np.random.default_rng(123)
+    return spark.createDataFrame(
+        _corpus(rng), schema="doc_id long, text string"
+    ).cache()
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b): r.jaccard for r in df.collect()}
+
+
+def test_prefix_filter_is_lossless(spark, docs_df):
+    for threshold in (0.3, 0.5, 0.7):
+        pruned = _pairs(
+            ngram_jaccard_pairs(docs_df, n=2, threshold=threshold, prefix_filter=True)
+        )
+        full = _pairs(
+            ngram_jaccard_pairs(docs_df, n=2, threshold=threshold, prefix_filter=False)
+        )
+        assert pruned == full, f"threshold={threshold}"
+    # fixture sanity: the corpus actually produced qualifying pairs
+    assert len(full) > 0
+
+
+def test_jaccard_pairs_respect_threshold_and_order(spark, docs_df):
+    out = ngram_jaccard_pairs(docs_df, n=2, threshold=0.5).collect()
+    for r in out:
+        assert r.id_a < r.id_b
+        assert r.jaccard >= 0.5
+
+
+def test_exact_dedup_groups(spark, docs_df):
+    groups = exact_dedup(docs_df).collect()
+    n_docs = docs_df.count()
+    assert sum(g.dup_count for g in groups) == n_docs
+    dup_groups = [g for g in groups if g.dup_count > 1]
+    assert len(dup_groups) >= 3  # the 3 engineered exact dups
+    ids = docs_df.agg(F.collect_list("doc_id")).first()[0]
+    for g in dup_groups:
+        assert g.keeper_id in ids  # keeper is a real doc id (the min)
+
+
+def test_minhash_finds_exact_dups_with_high_estimate(spark, docs_df):
+    pairs = minhash_dedup_pairs(docs_df, n=2, threshold=0.2)
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
+    # exact duplicates (jaccard 1.0) must collide in every band -> found,
+    # with signature agreement 1.0
+    texts = {r.doc_id: r.text for r in docs_df.collect()}
+    exact_pairs = [
+        (a, b)
+        for a in texts
+        for b in texts
+        if a < b and texts[a] == texts[b]
+    ]
+    assert exact_pairs
+    for p in exact_pairs:
+        assert p in got
+        assert got[p] == 1.0
+
+
+def test_simhash_similarity_ordering(spark, docs_df):
+    fp = {r.doc_id: r.simhash for r in simhash_fingerprints(docs_df).collect()}
+    texts = {r.doc_id: r.text for r in docs_df.collect()}
+    exact = [(a, b) for a in texts for b in texts if a < b and texts[a] == texts[b]]
+    for a, b in exact:
+        assert fp[a] == fp[b]  # identical docs -> identical fingerprints
+    # a near-dup pair should be closer in hamming distance than an arbitrary
+    # unrelated pair, on average
+    def ham(x, y):
+        return bin(x ^ y).count("1")
+
+    near = np.mean([ham(fp[i], fp[40 + i]) for i in range(8)])  # engineered near-dups
+    far = np.mean([ham(fp[i], fp[20 + i]) for i in range(8)])  # unrelated
+    assert near < far
