@@ -904,6 +904,45 @@ def q_rf_classify(spark, sf_dir):     # not SQL-expressible
     )
 
 
+@register("gbt_classify_embeddings")  # rows-only: OneVsRest(GBT) multiclass
+def q_gbt_classify(spark, sf_dir):
+    """Gradient-boosting fault detector (reference D4) as a Pipeline query:
+    same split protocol as rf_classify_embeddings; small trees keep the t2
+    run fast."""
+    from fdi_flow_spark.ml import GradientBoostingFaultDetector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        F.col("vec_id").alias("_row_id"),
+        *[F.col("embedding")[i].cast("double").alias(f"f{i}") for i in range(8)],
+        F.col("label").cast("double").alias("label"),
+    )
+    train = feats.where(F.col("_row_id") % 2 == 0)
+    test = feats.where(F.col("_row_id") % 2 == 1).drop("label")
+    det = GradientBoostingFaultDetector(
+        n_estimators=5, max_depth=3, random_state=42
+    ).fit(train, "label")
+    return det.transform(test).select(
+        F.col("_row_id").alias("vec_id"), F.col("prediction").alias("pred_label")
+    )
+
+
+@register("multimodal_image_resize")  # rows-only (stubbed codec, SURVEY §2.9)
+def q_image_resize(spark, sf_dir):
+    """Nearest-neighbor image resize to an 4x4 grid — the model-input
+    plumbing path; emits a checksum per image rather than 48 floats."""
+    from fdi_flow_spark.pipelines.multimodal import image_resize
+
+    resized = image_resize(_media(spark, sf_dir), target_w=4, target_h=4)
+    return resized.select(
+        "media_id",
+        F.round(
+            F.aggregate("pixels", F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("pixel_sum"),
+        F.size("pixels").alias("n_values"),
+    )
+
+
 # ===================================================== extension operators
 
 @register(
