@@ -110,3 +110,18 @@ def test_simhash_similarity_ordering(spark, docs_df):
     near = np.mean([ham(fp[i], fp[40 + i]) for i in range(8)])  # engineered near-dups
     far = np.mean([ham(fp[i], fp[20 + i]) for i in range(8)])  # unrelated
     assert near < far
+
+
+def test_prefix_filter_lossless_char_unit(spark, docs_df):
+    pruned = _pairs(
+        ngram_jaccard_pairs(
+            docs_df, unit="char", char_k=6, threshold=0.5, prefix_filter=True
+        )
+    )
+    full = _pairs(
+        ngram_jaccard_pairs(
+            docs_df, unit="char", char_k=6, threshold=0.5, prefix_filter=False
+        )
+    )
+    assert pruned == full
+    assert len(full) > 0

@@ -102,3 +102,24 @@ def test_salted_agg_two_phase(spark):
     assert "_salt" not in df.columns
     plan = _plan(df)
     assert plan.count("Exchange") >= 2  # salt-bucket shuffle + final combine
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-tag as-of join must shuffle once (hashpartitioning on the
+    key), never build an N x M range join."""
+    from fdi_flow_spark.plans.registry import QUERIES
+
+    plan = _plan(QUERIES["asof_join_purchase"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 1, plan
+
+
+def test_q5_small_dims_broadcast(spark):
+    """nation/region (25 / 5 rows) must ride broadcast joins in the 6-table
+    q5 — a shuffle join on them would be the classic small-dim mistake."""
+    from fdi_flow_spark.plans.registry import QUERIES
+
+    plan = _plan(QUERIES["q5_nation_volume"](spark, SF))
+    assert "BroadcastHashJoin" in plan
