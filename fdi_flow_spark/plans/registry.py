@@ -761,20 +761,58 @@ def q_asof(spark, sf_dir):
     return out.select("event_id", F.col("asof_p_event_id").alias("asof_event_id"))
 
 
-@register("holt_smoothing")  # rows-only: doubly-recursive, no stable closed form
+@register(
+    "holt_smoothing",
+    # The doubly-recursive Holt update has no numerically stable closed form,
+    # but DuckDB's recursive CTE replays the recurrence with the exact same
+    # arithmetic as the kernel — full value-hash oracle, not just rows.
+    f"""
+    WITH RECURSIVE base AS ({SERIES_SQL}),
+    s AS (SELECT series_id, ts, value,
+                 LEAD(value) OVER (PARTITION BY series_id ORDER BY ts) AS nxt
+          FROM base WHERE ts < 150),
+    rec AS (
+      SELECT series_id, ts, value AS level, nxt - value AS trend
+      FROM s WHERE ts = 0
+      UNION ALL
+      SELECT s.series_id, s.ts,
+             0.3 * s.value + 0.7 * (rec.level + rec.trend) AS level,
+             0.1 * ((0.3 * s.value + 0.7 * (rec.level + rec.trend)) - rec.level)
+               + 0.9 * rec.trend AS trend
+      FROM rec JOIN s ON s.series_id = rec.series_id AND s.ts = rec.ts + 1)
+    SELECT series_id, ts, ROUND(level + trend, 6) AS value FROM rec
+    """,
+)
 def q_holt(spark, sf_dir):
     from fdi_flow_spark.operators import double_exponential_smoothing
 
-    return _rounded(
-        double_exponential_smoothing(events_series(spark, sf_dir), alpha=0.3, beta=0.1)
-    )
+    s = events_series(spark, sf_dir).where(F.col("ts") < 150)
+    return _rounded(double_exponential_smoothing(s, alpha=0.3, beta=0.1))
 
 
-@register("kalman1d_filter")  # rows-only: recursive gain schedule
+@register(
+    "kalman1d_filter",
+    # Same recursive-CTE oracle strategy: replay (x, p) with identical float
+    # arithmetic. q=0.5, r=2.0, x0=first sample, p0=1.0.
+    f"""
+    WITH RECURSIVE base AS ({SERIES_SQL}),
+    s AS (SELECT series_id, ts, value FROM base WHERE ts < 150),
+    rec AS (
+      SELECT series_id, ts, value AS x, CAST(1.0 AS DOUBLE) AS p
+      FROM s WHERE ts = 0
+      UNION ALL
+      SELECT s.series_id, s.ts,
+             rec.x + ((rec.p + 0.5) / (rec.p + 0.5 + 2.0)) * (s.value - rec.x) AS x,
+             (1.0 - (rec.p + 0.5) / (rec.p + 0.5 + 2.0)) * (rec.p + 0.5) AS p
+      FROM rec JOIN s ON s.series_id = rec.series_id AND s.ts = rec.ts + 1)
+    SELECT series_id, ts, ROUND(x, 6) AS value FROM rec
+    """,
+)
 def q_kalman1d(spark, sf_dir):
     from fdi_flow_spark.operators import kalman_filter_1d
 
-    return _rounded(kalman_filter_1d(events_series(spark, sf_dir), q=0.5, r=2.0))
+    s = events_series(spark, sf_dir).where(F.col("ts") < 150)
+    return _rounded(kalman_filter_1d(s, q=0.5, r=2.0))
 
 
 @register("bandpass_filter")  # rows-only: whole-series FFT
