@@ -893,6 +893,77 @@ def _observer_fixture(spark):
     return df, A, B, C, dt
 
 
+def _luenberger_oracle_sql() -> str:
+    """Recursive-CTE oracle for a Luenberger observer driven by the events
+    series as its measurement (u = 0): the update is linear in the 2-state
+    estimate, so DuckDB replays it with literally the same operation order
+    as ``LuenbergerObserver.update`` (A@x + B@u - L@(Cx - y), then
+    x += dx*dt). Gains are computed once here and inlined as full-precision
+    literals into both engines."""
+    import numpy as np
+
+    from fdi_flow_spark.observers.linalg import place_observer_gain
+
+    A = np.array([[-2.0, 1.0], [1.0, -1.0]])
+    C = np.array([[1.0, 0.0]])
+    L = place_observer_gain(A, C, [-3.0, -4.0])
+    dt = 0.1
+    a00, a01, a10, a11 = (repr(float(v)) for v in A.ravel())
+    c00, c01 = (repr(float(v)) for v in C.ravel())
+    l0, l1 = (repr(float(v)) for v in L.ravel())
+    step1 = (
+        f"rec.x1 + (({a00}*rec.x1 + {a01}*rec.x2) + 0.0 - "
+        f"{l0}*(({c00}*rec.x1 + {c01}*rec.x2) - s.y)) * {dt}"
+    )
+    step2 = (
+        f"rec.x2 + (({a10}*rec.x1 + {a11}*rec.x2) + 0.0 - "
+        f"{l1}*(({c00}*rec.x1 + {c01}*rec.x2) - s.y)) * {dt}"
+    )
+    # anchor = one update from the zero initial estimate
+    a1 = f"(0.0 + (0.0 + 0.0 - {l0}*(0.0 - y)) * {dt})"
+    a2 = f"(0.0 + (0.0 + 0.0 - {l1}*(0.0 - y)) * {dt})"
+    return f"""
+    WITH RECURSIVE base AS ({SERIES_SQL}),
+    s AS (SELECT series_id, ts, value AS y FROM base WHERE ts < 150),
+    rec AS (
+      SELECT series_id, ts, CAST({a1} AS DOUBLE) AS x1, CAST({a2} AS DOUBLE) AS x2
+      FROM s WHERE ts = 0
+      UNION ALL
+      SELECT s.series_id, s.ts, {step1} AS x1, {step2} AS x2
+      FROM rec JOIN s ON s.series_id = rec.series_id AND s.ts = rec.ts + 1)
+    SELECT series_id, ts AS step, ROUND(x1, 6) AS x1, ROUND(x2, 6) AS x2 FROM rec
+    """
+
+
+@register("observer_luenberger_events", _luenberger_oracle_sql())
+def q_observer_events(spark, sf_dir):
+    """Luenberger observer replay over REAL table data (events series as the
+    measurement, u=0) — the observer family's value-hash-checked member;
+    the fixture-driven replays stay rows-only."""
+    import numpy as np
+
+    from fdi_flow_spark.observers import LuenbergerObserver, observer_replay
+
+    A = np.array([[-2.0, 1.0], [1.0, -1.0]])
+    B = np.array([[-1.0], [1.0]])
+    C = np.array([[1.0, 0.0]])
+    s = events_series(spark, sf_dir).where(F.col("ts") < 150)
+    df = s.select(
+        "series_id",
+        F.col("ts").alias("step"),
+        F.array(F.lit(0.0)).alias("u"),
+        F.array(F.col("value")).alias("y"),
+    )
+    factory = lambda: LuenbergerObserver(A, B, C, 0.1, desired_poles=[-3.0, -4.0])  # noqa: E731
+    out = observer_replay(df, factory)
+    return out.select(
+        "series_id",
+        "step",
+        F.round(F.col("x_hat")[0], 6).alias("x1"),
+        F.round(F.col("x_hat")[1], 6).alias("x2"),
+    )
+
+
 @register("observer_replay_kalman")  # rows-only: matrix recurrence
 def q_observer_kalman(spark, sf_dir):
     """Matrix Kalman filter replayed distributively over the §6 fixture
