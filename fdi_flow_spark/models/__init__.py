@@ -1,4 +1,8 @@
-from fdi_flow_spark.models.generators import DynamicSystemDataGenerator, simulate_batch
+from fdi_flow_spark.models.generators import (
+    DynamicSystemDataGenerator,
+    simulate_batch,
+    simulate_discrete_replay,
+)
 from fdi_flow_spark.models.systems import (
     LinearContinuousStateSpaceModel,
     LinearDiscreteStateSpaceModel,
@@ -14,5 +18,6 @@ __all__ = [
     "NonlinearDiscreteStateSpaceModel",
     "DynamicSystemDataGenerator",
     "simulate_batch",
+    "simulate_discrete_replay",
     "plot_simulation_results",
 ]

@@ -175,3 +175,51 @@ class DynamicSystemDataGenerator:
             except TypeError:
                 results.append(self.model.simulate(u=u, x0=x0, dt=dt))
         return results
+
+
+def simulate_discrete_replay(df: DataFrame, model, x0) -> DataFrame:
+    """Replay a (picklable) discrete model over TABLE-RESIDENT inputs:
+    ``df`` is ``(series_id, step, u ARRAY<DOUBLE>)``; each series' ordered
+    input rows drive one ``model.simulate`` on an executor — the scale axis
+    is the number of series, and the inputs never pass through the driver
+    (contrast ``simulate_batch``, whose u/x0 configs originate driver-side).
+
+    Output: ``(series_id, step, x ARRAY<DOUBLE>, y ARRAY<DOUBLE>)`` with the
+    reference's discrete conventions (post-update state, pre-update output —
+    /root/reference/fdi_flow/models/linear_models.py:132-140).
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    x0 = np.array(x0, dtype=float)
+    schema = StructType(
+        [
+            StructField("series_id", StringType()),
+            StructField("step", LongType()),
+            StructField("x", ArrayType(DoubleType())),
+            StructField("y", ArrayType(DoubleType())),
+        ]
+    )
+
+    def fn(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("step")
+        u = np.array([list(map(float, row)) for row in pdf["u"]])
+        sim = model.simulate(u, x0)
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].to_numpy(),
+                "step": pdf["step"].to_numpy(),
+                "x": [row.tolist() for row in sim["states"]],
+                "y": [row.tolist() for row in sim["outputs"]],
+            }
+        )
+
+    return df.groupBy("series_id").applyInPandas(fn, schema)

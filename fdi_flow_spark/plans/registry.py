@@ -964,6 +964,67 @@ def q_observer_events(spark, sf_dir):
     )
 
 
+_SIM_A = ((0.9, 0.1), (-0.05, 0.85))
+_SIM_B = ((0.1,), (0.05,))
+_SIM_C = ((1.0, 0.0),)
+_SIM_D = ((0.3,),)
+
+
+def _discrete_sim_oracle_sql() -> str:
+    """Recursive-CTE oracle for the discrete linear simulation driven by the
+    events series as its input signal: x' = Ax + Bu (post-update recorded),
+    y = Cx + Du from the PRE-update state — replayed with the kernel's exact
+    operation order (reference linear_models.py:132-140 conventions)."""
+    (a00, a01), (a10, a11) = _SIM_A
+    (b0,), (b1,) = _SIM_B
+    ((c00, c01),) = _SIM_C
+    ((d0,),) = _SIM_D
+    return f"""
+    WITH RECURSIVE base AS ({SERIES_SQL}),
+    s AS (SELECT series_id, ts, value AS u FROM base WHERE ts < 150),
+    rec AS (
+      SELECT series_id, ts,
+             CAST(({a00!r}*0.0 + {a01!r}*0.0) + {b0!r}*u AS DOUBLE) AS x1,
+             CAST(({a10!r}*0.0 + {a11!r}*0.0) + {b1!r}*u AS DOUBLE) AS x2,
+             CAST(({c00!r}*0.0 + {c01!r}*0.0) + {d0!r}*u AS DOUBLE) AS y
+      FROM s WHERE ts = 0
+      UNION ALL
+      SELECT s.series_id, s.ts,
+             ({a00!r}*rec.x1 + {a01!r}*rec.x2) + {b0!r}*s.u AS x1,
+             ({a10!r}*rec.x1 + {a11!r}*rec.x2) + {b1!r}*s.u AS x2,
+             ({c00!r}*rec.x1 + {c01!r}*rec.x2) + {d0!r}*s.u AS y
+      FROM rec JOIN s ON s.series_id = rec.series_id AND s.ts = rec.ts + 1)
+    SELECT series_id, ts AS step,
+           ROUND(x1, 6) AS x1, ROUND(x2, 6) AS x2, ROUND(y, 6) AS y
+    FROM rec
+    """
+
+
+@register("simulate_discrete_events", _discrete_sim_oracle_sql())
+def q_simulate_discrete(spark, sf_dir):
+    """Discrete linear state-space simulation (M2) over real table data —
+    events series values as the input signal, one distributed replay per
+    series, value-hash-checked against a recursive-CTE oracle."""
+    from fdi_flow_spark.models import (
+        LinearDiscreteStateSpaceModel,
+        simulate_discrete_replay,
+    )
+
+    m = LinearDiscreteStateSpaceModel(_SIM_A, _SIM_B, _SIM_C, _SIM_D)
+    s = events_series(spark, sf_dir).where(F.col("ts") < 150)
+    df = s.select(
+        "series_id", F.col("ts").alias("step"), F.array(F.col("value")).alias("u")
+    )
+    out = simulate_discrete_replay(df, m, x0=[0.0, 0.0])
+    return out.select(
+        "series_id",
+        "step",
+        F.round(F.col("x")[0], 6).alias("x1"),
+        F.round(F.col("x")[1], 6).alias("x2"),
+        F.round(F.col("y")[0], 6).alias("y"),
+    )
+
+
 @register("observer_replay_kalman")  # rows-only: matrix recurrence
 def q_observer_kalman(spark, sf_dir):
     """Matrix Kalman filter replayed distributively over the §6 fixture

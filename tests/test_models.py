@@ -113,3 +113,30 @@ def test_generator_seeded_determinism():
     r2 = g2.generate_local(2, "sine", {"frequency": 1.0}, t_final=0.2, dt=0.01)
     for a, b in zip(r1, r2):
         np.testing.assert_array_equal(a["states"], b["states"])
+
+
+def test_simulate_discrete_replay_matches_local(spark):
+    from fdi_flow_spark.models import (
+        LinearDiscreteStateSpaceModel,
+        simulate_discrete_replay,
+    )
+
+    rng = np.random.default_rng(3)
+    m = LinearDiscreteStateSpaceModel(
+        [[0.9, 0.1], [-0.05, 0.85]], [[0.1], [0.05]], [[1.0, 0.0]], [[0.3]]
+    )
+    u = rng.normal(0, 1, size=(50, 1))
+    rows = [("s", i, [float(u[i, 0])]) for i in range(50)]
+    df = spark.createDataFrame(rows, schema="series_id string, step long, u array<double>")
+    got = (
+        simulate_discrete_replay(df, m, x0=[0.0, 0.0])
+        .orderBy("step")
+        .collect()
+    )
+    exp = m.simulate(u, [0.0, 0.0])
+    np.testing.assert_allclose(
+        np.array([r.x for r in got]), exp["states"], rtol=0, atol=0
+    )
+    np.testing.assert_allclose(
+        np.array([r.y for r in got]), exp["outputs"], rtol=0, atol=0
+    )
