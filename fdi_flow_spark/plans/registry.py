@@ -1097,6 +1097,27 @@ def q_gbt_classify(spark, sf_dir):
     )
 
 
+@register("svm_classify_embeddings")  # rows-only: OneVsRest(LinearSVC)
+def q_svm_classify(spark, sf_dir):
+    """Linear-SVM fault detector (reference D3) as a Pipeline query, with
+    the internal StandardScaler stage engaged; few iterations keep the t2
+    gate fast."""
+    from fdi_flow_spark.ml import SVMFaultDetector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        F.col("vec_id").alias("_row_id"),
+        *[F.col("embedding")[i].cast("double").alias(f"f{i}") for i in range(8)],
+        F.col("label").cast("double").alias("label"),
+    )
+    train = feats.where(F.col("_row_id") % 2 == 0)
+    test = feats.where(F.col("_row_id") % 2 == 1).drop("label")
+    det = SVMFaultDetector(max_iter=20, scale_features=True).fit(train, "label")
+    return det.transform(test).select(
+        F.col("_row_id").alias("vec_id"), F.col("prediction").alias("pred_label")
+    )
+
+
 @register("multimodal_image_resize")  # rows-only (stubbed codec, SURVEY §2.9)
 def q_image_resize(spark, sf_dir):
     """Nearest-neighbor image resize to an 4x4 grid — the model-input
