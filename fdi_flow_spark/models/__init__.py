@@ -2,6 +2,7 @@ from fdi_flow_spark.models.generators import (
     DynamicSystemDataGenerator,
     simulate_batch,
     simulate_discrete_replay,
+    simulate_replay,
 )
 from fdi_flow_spark.models.systems import (
     LinearContinuousStateSpaceModel,
@@ -19,5 +20,6 @@ __all__ = [
     "DynamicSystemDataGenerator",
     "simulate_batch",
     "simulate_discrete_replay",
+    "simulate_replay",
     "plot_simulation_results",
 ]

@@ -177,16 +177,16 @@ class DynamicSystemDataGenerator:
         return results
 
 
-def simulate_discrete_replay(df: DataFrame, model, x0) -> DataFrame:
-    """Replay a (picklable) discrete model over TABLE-RESIDENT inputs:
-    ``df`` is ``(series_id, step, u ARRAY<DOUBLE>)``; each series' ordered
-    input rows drive one ``model.simulate`` on an executor — the scale axis
-    is the number of series, and the inputs never pass through the driver
-    (contrast ``simulate_batch``, whose u/x0 configs originate driver-side).
+def simulate_replay(df: DataFrame, sim_fn) -> DataFrame:
+    """Replay a simulation kernel over TABLE-RESIDENT inputs: ``df`` is
+    ``(series_id, step, u ARRAY<DOUBLE>)``; each series' ordered input rows
+    drive one ``sim_fn(u_matrix) -> {'states', 'outputs'}`` call on an
+    executor — the scale axis is the number of series, and the inputs never
+    pass through the driver (contrast ``simulate_batch``, whose u/x0
+    configs originate driver-side). ``sim_fn`` must be picklable
+    (cloudpickle ships lambdas/closures fine).
 
-    Output: ``(series_id, step, x ARRAY<DOUBLE>, y ARRAY<DOUBLE>)`` with the
-    reference's discrete conventions (post-update state, pre-update output —
-    /root/reference/fdi_flow/models/linear_models.py:132-140).
+    Output: ``(series_id, step, x ARRAY<DOUBLE>, y ARRAY<DOUBLE>)``.
     """
     from pyspark.sql.types import (
         ArrayType,
@@ -197,7 +197,6 @@ def simulate_discrete_replay(df: DataFrame, model, x0) -> DataFrame:
         StructType,
     )
 
-    x0 = np.array(x0, dtype=float)
     schema = StructType(
         [
             StructField("series_id", StringType()),
@@ -212,7 +211,7 @@ def simulate_discrete_replay(df: DataFrame, model, x0) -> DataFrame:
 
         pdf = pdf.sort_values("step")
         u = np.array([list(map(float, row)) for row in pdf["u"]])
-        sim = model.simulate(u, x0)
+        sim = sim_fn(u)
         return pd.DataFrame(
             {
                 "series_id": pdf["series_id"].to_numpy(),
@@ -223,3 +222,11 @@ def simulate_discrete_replay(df: DataFrame, model, x0) -> DataFrame:
         )
 
     return df.groupBy("series_id").applyInPandas(fn, schema)
+
+
+def simulate_discrete_replay(df: DataFrame, model, x0) -> DataFrame:
+    """M2 wrapper over :func:`simulate_replay` (reference discrete
+    conventions: post-update state, pre-update output —
+    /root/reference/fdi_flow/models/linear_models.py:132-140)."""
+    x0 = np.array(x0, dtype=float)
+    return simulate_replay(df, lambda u: model.simulate(u, x0))

@@ -1025,6 +1025,61 @@ def q_simulate_discrete(spark, sf_dir):
     )
 
 
+def _euler_sim_oracle_sql() -> str:
+    """Recursive-CTE oracle for the CONTINUOUS model's Euler path driven by
+    the events series: x' = x + (Ax + Bu)*dt, y = Cx' + Du from the
+    POST-update state (the M1 quirk, reference linear_models.py:60-68).
+    dt = 0.5 (a power of two) keeps n_steps = int(t_final/dt) float-exact."""
+    return f"""
+    WITH RECURSIVE base AS ({SERIES_SQL}),
+    s AS (SELECT series_id, ts, value AS u FROM base WHERE ts < 150),
+    rec AS (
+      SELECT series_id, ts, u, x1, x2,
+             CAST((1.0*x1 + 0.0*x2) + 0.3*u AS DOUBLE) AS y
+      FROM (SELECT series_id, ts, u,
+                   CAST(0.0 + ((-2.0*0.0 + 1.0*0.0) + -1.0*u) * 0.5 AS DOUBLE) AS x1,
+                   CAST(0.0 + ((1.0*0.0 + -1.0*0.0) + 1.0*u) * 0.5 AS DOUBLE) AS x2
+            FROM s WHERE ts = 0)
+      UNION ALL
+      SELECT series_id, ts, u, x1, x2,
+             (1.0*x1 + 0.0*x2) + 0.3*u AS y
+      FROM (SELECT s.series_id, s.ts, s.u,
+                   rec.x1 + ((-2.0*rec.x1 + 1.0*rec.x2) + -1.0*s.u) * 0.5 AS x1,
+                   rec.x2 + ((1.0*rec.x1 + -1.0*rec.x2) + 1.0*s.u) * 0.5 AS x2
+            FROM rec JOIN s ON s.series_id = rec.series_id AND s.ts = rec.ts + 1)
+      )
+    SELECT series_id, ts AS step,
+           ROUND(x1, 6) AS x1, ROUND(x2, 6) AS x2, ROUND(y, 6) AS y
+    FROM rec
+    """
+
+
+@register("simulate_euler_events", _euler_sim_oracle_sql())
+def q_simulate_euler(spark, sf_dir):
+    """Continuous linear simulation, Euler path (M1), over real table data;
+    value-hash-checked against a recursive-CTE oracle replicating the
+    post-update-output quirk."""
+    from fdi_flow_spark.models import LinearContinuousStateSpaceModel, simulate_replay
+
+    m = LinearContinuousStateSpaceModel(
+        [[-2.0, 1.0], [1.0, -1.0]], [[-1.0], [1.0]], [[1.0, 0.0]], [[0.3]]
+    )
+    dt = 0.5
+    s = events_series(spark, sf_dir).where(F.col("ts") < 150)
+    df = s.select(
+        "series_id", F.col("ts").alias("step"), F.array(F.col("value")).alias("u")
+    )
+    sim_fn = lambda u: m.simulate(u, [0.0, 0.0], t_final=len(u) * dt, dt=dt)  # noqa: E731
+    out = simulate_replay(df, sim_fn)
+    return out.select(
+        "series_id",
+        "step",
+        F.round(F.col("x")[0], 6).alias("x1"),
+        F.round(F.col("x")[1], 6).alias("x2"),
+        F.round(F.col("y")[0], 6).alias("y"),
+    )
+
+
 @register("observer_replay_kalman")  # rows-only: matrix recurrence
 def q_observer_kalman(spark, sf_dir):
     """Matrix Kalman filter replayed distributively over the §6 fixture
