@@ -1080,6 +1080,101 @@ def q_simulate_euler(spark, sf_dir):
     )
 
 
+_KF_F = ((0.9, 0.1), (0.0, 0.8))
+_KF_Q = ((0.01, 0.0), (0.0, 0.01))
+_KF_R = 2.0
+
+
+def _matrix_kalman_oracle_sql() -> str:
+    """Recursive-CTE oracle for the full matrix Kalman filter (O2) driven by
+    the events series (H = [1, 0], u = none): predict / gain / update are
+    expanded element-wise over (x1, x2, p00, p01, p10, p11) in numpy's exact
+    evaluation order — including K = P H^T * (1/S) as a reciprocal multiply,
+    which is what ``np.linalg.inv`` of a 1x1 produces."""
+    (f00, f01), (f10, f11) = _KF_F
+    (q00, q01), (q10, q11) = _KF_Q
+    r = _KF_R
+    # predict stage (level 1)
+    pred = f"""
+      SELECT series_id, ts, z,
+             {f00!r}*x1 + {f01!r}*x2 AS xp1,
+             {f10!r}*x1 + {f11!r}*x2 AS xp2,
+             ({f00!r}*p00 + {f01!r}*p10)*{f00!r} + ({f00!r}*p01 + {f01!r}*p11)*{f01!r} + {q00!r} AS pp00,
+             ({f00!r}*p00 + {f01!r}*p10)*{f10!r} + ({f00!r}*p01 + {f01!r}*p11)*{f11!r} + {q01!r} AS pp01,
+             ({f10!r}*p00 + {f11!r}*p10)*{f00!r} + ({f10!r}*p01 + {f11!r}*p11)*{f01!r} + {q10!r} AS pp10,
+             ({f10!r}*p00 + {f11!r}*p10)*{f10!r} + ({f10!r}*p01 + {f11!r}*p11)*{f11!r} + {q11!r} AS pp11
+    """
+    # gain stage (level 2): H=[1,0] so H@P=[pp00,pp01], P@H.T=[pp00,pp10]
+    gain = f"""
+      SELECT series_id, ts, z, xp1, xp2, pp00, pp01, pp10, pp11,
+             z - (1.0*xp1 + 0.0*xp2) AS yv,
+             (pp00*1.0 + pp01*0.0) * (1.0/((1.0*pp00 + 0.0*pp10)*1.0 + (1.0*pp01 + 0.0*pp11)*0.0 + {r!r})) AS k0,
+             (pp10*1.0 + pp11*0.0) * (1.0/((1.0*pp00 + 0.0*pp10)*1.0 + (1.0*pp01 + 0.0*pp11)*0.0 + {r!r})) AS k1
+    """
+    # update stage (level 3): x += K y; P = (I - K H) P
+    upd = """
+      SELECT series_id, ts,
+             xp1 + k0*yv AS x1,
+             xp2 + k1*yv AS x2,
+             (1.0 - k0*1.0)*pp00 + (0.0 - k0*0.0)*pp10 AS p00,
+             (1.0 - k0*1.0)*pp01 + (0.0 - k0*0.0)*pp11 AS p01,
+             (0.0 - k1*1.0)*pp00 + (1.0 - k1*0.0)*pp10 AS p10,
+             (0.0 - k1*1.0)*pp01 + (1.0 - k1*0.0)*pp11 AS p11
+    """
+    return f"""
+    WITH RECURSIVE base AS ({SERIES_SQL}),
+    s AS (SELECT series_id, ts, value AS z FROM base WHERE ts < 150),
+    rec AS (
+      SELECT series_id, ts,
+             CAST(x1 AS DOUBLE) AS x1, CAST(x2 AS DOUBLE) AS x2,
+             CAST(p00 AS DOUBLE) AS p00, CAST(p01 AS DOUBLE) AS p01,
+             CAST(p10 AS DOUBLE) AS p10, CAST(p11 AS DOUBLE) AS p11
+      FROM ({upd} FROM ({gain} FROM ({pred}
+            FROM (SELECT series_id, ts, z,
+                         CAST(0.0 AS DOUBLE) AS x1, CAST(0.0 AS DOUBLE) AS x2,
+                         CAST(1.0 AS DOUBLE) AS p00, CAST(0.0 AS DOUBLE) AS p01,
+                         CAST(0.0 AS DOUBLE) AS p10, CAST(1.0 AS DOUBLE) AS p11
+                  FROM s WHERE ts = 0))))
+      UNION ALL
+      SELECT series_id, ts, x1, x2, p00, p01, p10, p11
+      FROM ({upd} FROM ({gain} FROM ({pred}
+            FROM (SELECT s.series_id, s.ts, s.z,
+                         rec.x1, rec.x2, rec.p00, rec.p01, rec.p10, rec.p11
+                  FROM rec JOIN s ON s.series_id = rec.series_id AND s.ts = rec.ts + 1))))
+      )
+    SELECT series_id, ts AS step, ROUND(x1, 6) AS x1, ROUND(x2, 6) AS x2 FROM rec
+    """
+
+
+@register("observer_kalman_events", _matrix_kalman_oracle_sql())
+def q_kalman_matrix_events(spark, sf_dir):
+    """Matrix Kalman filter (O2) replayed over real table data — the events
+    series as the measurement stream, no control input; value-hash-checked
+    against an element-wise recursive-CTE oracle."""
+    import numpy as np
+
+    from fdi_flow_spark.observers import KalmanFilterMatrix, observer_replay
+
+    s = events_series(spark, sf_dir).where(F.col("ts") < 150)
+    df = s.select(
+        "series_id",
+        F.col("ts").alias("step"),
+        F.array().cast("array<double>").alias("u"),
+        F.array(F.col("value")).alias("y"),
+    )
+    factory = lambda: KalmanFilterMatrix(  # noqa: E731
+        np.array(_KF_F), np.zeros((2, 1)), np.array([[1.0, 0.0]]),
+        np.array(_KF_Q), np.array([[_KF_R]]), x0=np.zeros(2), P0=np.eye(2),
+    )
+    out = observer_replay(df, factory)
+    return out.select(
+        "series_id",
+        "step",
+        F.round(F.col("x_hat")[0], 6).alias("x1"),
+        F.round(F.col("x_hat")[1], 6).alias("x2"),
+    )
+
+
 @register("observer_replay_kalman")  # rows-only: matrix recurrence
 def q_observer_kalman(spark, sf_dir):
     """Matrix Kalman filter replayed distributively over the §6 fixture
