@@ -1192,6 +1192,87 @@ def q_observer_kalman(spark, sf_dir):
     return observer_replay(df, factory)
 
 
+def _sliding_oracle_sql() -> str:
+    """Recursive-CTE oracle for the sliding-mode observer (O3) on the events
+    measurement stream: nonlinear (tanh switching term) but still a plain
+    recurrence — the CTE replays x' = x + (Ax + Bu + L·S + K·tanh(S/eps))·dt
+    with numpy's left-associative sum order; gains are placed/bounded
+    driver-side and inlined as full-precision literals."""
+    import numpy as np
+
+    from fdi_flow_spark.observers import SlidingModeObserver
+
+    obs = SlidingModeObserver(
+        np.array([[-2.0, 1.0], [1.0, -1.0]]),
+        np.array([[-1.0], [1.0]]),
+        np.array([[1.0, 0.0]]),
+        desired_poles=[-3.0, -4.0],
+        eta=1.0,
+        eps=0.1,
+    )
+    a00, a01, a10, a11 = (repr(float(v)) for v in obs.A.ravel())
+    b0, b1 = (repr(float(v)) for v in obs.B.ravel())
+    c0, c1 = (repr(float(v)) for v in obs.C.ravel())
+    l0, l1 = (repr(float(v)) for v in obs.L.ravel())
+    k0, k1 = (repr(float(v)) for v in obs.K.ravel())
+    eps, dt = repr(float(obs.eps)), repr(0.1)
+
+    def th(z):
+        # DuckDB has no tanh; (e^2z - 1)/(e^2z + 1) with saturation clamps
+        # (np.tanh is exactly +-1.0 beyond |z| ~ 19, where exp would overflow)
+        return (
+            f"(CASE WHEN {z} > 20.0 THEN 1.0 WHEN {z} < -20.0 THEN -1.0 "
+            f"ELSE (exp(2.0*({z})) - 1.0)/(exp(2.0*({z})) + 1.0) END)"
+        )
+
+    def stp(x1, x2, s):
+        e1 = f"{x1} + ((({a00}*{x1} + {a01}*{x2}) + {b0}*0.0) + {l0}*{s} + {k0}*{th(f'{s}/{eps}')}) * {dt}"
+        e2 = f"{x2} + ((({a10}*{x1} + {a11}*{x2}) + {b1}*0.0) + {l1}*{s} + {k1}*{th(f'{s}/{eps}')}) * {dt}"
+        return e1, e2
+
+    s_anchor = "(y - (0.0 + 0.0))"
+    a1, a2 = stp("0.0", "0.0", s_anchor)
+    s_step = f"(s.y - ({c0}*rec.x1 + {c1}*rec.x2))"
+    e1, e2 = stp("rec.x1", "rec.x2", s_step)
+    return f"""
+    WITH RECURSIVE base AS ({SERIES_SQL}),
+    s AS (SELECT series_id, ts, value AS y FROM base WHERE ts < 150),
+    rec AS (
+      SELECT series_id, ts, CAST({a1} AS DOUBLE) AS x1, CAST({a2} AS DOUBLE) AS x2
+      FROM s WHERE ts = 0
+      UNION ALL
+      SELECT s.series_id, s.ts, {e1} AS x1, {e2} AS x2
+      FROM rec JOIN s ON s.series_id = rec.series_id AND s.ts = rec.ts + 1)
+    SELECT series_id, ts AS step, ROUND(x1, 6) AS x1, ROUND(x2, 6) AS x2 FROM rec
+    """
+
+
+@register("observer_sliding_events", _sliding_oracle_sql())
+def q_sliding_events(spark, sf_dir):
+    """Sliding-mode observer (O3) over real table data — completes the
+    value-hash-checked observer trio."""
+    from fdi_flow_spark.observers import SlidingModeObserver, observer_replay
+
+    s = events_series(spark, sf_dir).where(F.col("ts") < 150)
+    df = s.select(
+        "series_id",
+        F.col("ts").alias("step"),
+        F.array(F.lit(0.0)).alias("u"),
+        F.array(F.col("value")).alias("y"),
+    )
+    factory = lambda: SlidingModeObserver(  # noqa: E731
+        [[-2.0, 1.0], [1.0, -1.0]], [[-1.0], [1.0]], [[1.0, 0.0]],
+        desired_poles=[-3.0, -4.0], eta=1.0, eps=0.1,
+    )
+    out = observer_replay(df, factory, dt=0.1)
+    return out.select(
+        "series_id",
+        "step",
+        F.round(F.col("x_hat")[0], 6).alias("x1"),
+        F.round(F.col("x_hat")[1], 6).alias("x2"),
+    )
+
+
 @register("observer_replay_sliding")  # rows-only: matrix recurrence
 def q_observer_sliding(spark, sf_dir):
     """Sliding-mode observer replay (reference sliding_mode.py:4-100)."""
