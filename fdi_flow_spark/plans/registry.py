@@ -1405,13 +1405,6 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
-@register("minhash_dedup_pairs")  # rows-only: LSH banding (signatures Y-checked below)
-def q_minhash(spark, sf_dir):
-    return minhash_dedup_pairs(
-        load_table(spark, sf_dir, "documents"), n=2, num_hashes=32, bands=8, threshold=0.2
-    )
-
-
 def _minhash_coeff_values() -> str:
     """The exact permutation family used by minhash_signatures(seed=42),
     inlined as SQL VALUES so the DuckDB oracle applies identical hashes."""
@@ -1424,6 +1417,51 @@ def _minhash_coeff_values() -> str:
         (i, rng.randrange(1, 2**31 - 1), rng.randrange(0, 2**31 - 1)) for i in range(32)
     ]
     return ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, a, b in coeffs)
+
+
+@register(
+    "minhash_dedup_pairs",
+    # Fully integer-derived (md5-bridge hashes, min over an inlined
+    # permutation family, band-bucket string equality, agreement/32) so the
+    # banding path is value-hash-checked, not just the signatures.
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), t -> LENGTH(t) > 0) AS tk
+      FROM documents),
+    grams AS (
+      SELECT id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               GENERATE_SERIES(1, GREATEST(0, LEN(tk) - 1)),
+               i -> tk[i] || ' ' || tk[i + 1]))) AS shingle
+      FROM toks WHERE LEN(tk) >= 2),
+    hashed AS (
+      SELECT id, ('0x' || SUBSTR(MD5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+      FROM grams),
+    coeffs AS (SELECT * FROM (VALUES {{COEFFS}}) c(hash_idx, a, b)),
+    sigrows AS (
+      SELECT hashed.id, coeffs.hash_idx,
+             MIN((hashed.h * coeffs.a + coeffs.b) % 2147483647) AS sig
+      FROM hashed CROSS JOIN coeffs GROUP BY hashed.id, coeffs.hash_idx),
+    arr AS (SELECT id, LIST(sig ORDER BY hash_idx) AS sig FROM sigrows GROUP BY id),
+    banded AS (
+      SELECT id, sig, t.b,
+             CAST(t.b AS VARCHAR) || ':' || ARRAY_TO_STRING(sig[t.b*4+1:t.b*4+4], ',') AS bucket
+      FROM arr, UNNEST(GENERATE_SERIES(0, 7)) AS t(b)),
+    cand AS (
+      SELECT DISTINCT x.id AS id_a, y.id AS id_b, x.sig AS sa, y.sig AS sb
+      FROM banded x JOIN banded y
+        ON x.b = y.b AND x.bucket = y.bucket AND x.id < y.id)
+    SELECT id_a, id_b,
+           ROUND(LEN(LIST_FILTER(GENERATE_SERIES(1, 32), i -> sa[i] = sb[i])) / 32.0, 6)
+             AS est_jaccard
+    FROM cand
+    WHERE LEN(LIST_FILTER(GENERATE_SERIES(1, 32), i -> sa[i] = sb[i])) / 32.0 >= 0.2
+    """.replace("{COEFFS}", _minhash_coeff_values()),
+)
+def q_minhash(spark, sf_dir):
+    return minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), n=2, num_hashes=32, bands=8, threshold=0.2
+    )
 
 
 @register(
