@@ -159,13 +159,20 @@ def cosine_topk_lsh(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 6,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate cosine top-k: ``n_tables`` independent random-hyperplane
     bucketings; a pair is scored only when it collides in at least one table.
     Exact cosine reranks the collided set. Same output schema as brute force.
+
+    Defaults (4 planes x 8 tables) target the top-k regime where neighbors
+    sit at cosine ~0.3-0.5: collision probability per table is
+    (1 - acos(c)/pi)^planes, so FEWER planes (wider buckets) and MORE tables
+    is what buys recall; 6x4 measured only ~0.16 recall@5 on random 64-dim
+    data versus ~0.5+ for 4x8. Tune planes UP only when neighbors are
+    near-duplicates (cosine > 0.8).
 
     At 100 TB the candidate side is partitioned by (table, bucket) — each
     bucket is a tiny fraction of the corpus, so the join is sparse instead of
