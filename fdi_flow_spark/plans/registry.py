@@ -790,6 +790,20 @@ def q_holt(spark, sf_dir):
     return _rounded(double_exponential_smoothing(s, alpha=0.3, beta=0.1))
 
 
+@register("holt_chunked", ORACLES["holt_smoothing"])
+def q_holt_chunked(spark, sf_dir):
+    """The beyond-memory Holt path (2x2 affine parallel scan) held to the
+    same recursive-CTE oracle as the sequential operator."""
+    from fdi_flow_spark.operators.recurrences import (
+        double_exponential_smoothing_chunked,
+    )
+
+    s = events_series(spark, sf_dir).where(F.col("ts") < 150)
+    return _rounded(
+        double_exponential_smoothing_chunked(s, alpha=0.3, beta=0.1, chunk_size=48)
+    )
+
+
 @register(
     "kalman1d_filter",
     # Same recursive-CTE oracle strategy: replay (x, p) with identical float
