@@ -31,30 +31,45 @@ BENCH_QUERIES = [
     "semi_join_urgent_customers",
     "anti_join_quiet_customers",
     "top_orders_per_customer",
+    "orders_above_customer_avg",
     # window/series operators (pure SQL)
     "moving_average_valid",
     "moving_average_padded",
     "median_filter_edge",
+    "median_filter_zeros",
     "standard_scaler",
     "minmax_scaler",
     "robust_scaler",
     "segment_windows",
     "supervised_windows",
     "resample_linear",
+    "resample_nearest",
     "asof_join_purchase",
     "failure_encoder",
     "events_stats_salted",
-    # recurrence (Arrow/pandas path)
+    # recurrence (Arrow/pandas path) + chunk-parallel scale variants
     "ewma_closed_form",
+    "ewma_chunked",
+    "holt_smoothing",
+    "holt_chunked",
+    "kalman1d_filter",
+    "bandpass_filter",
+    # simulation / observers over table data
+    "simulate_discrete_events",
+    "simulate_euler_events",
+    "observer_luenberger_events",
+    "observer_kalman_events",
     # extension ops
     "dedup_exact",
     "ngram_jaccard_pairs",
     "minhash_dedup_pairs",
     "simhash_fingerprints",
+    "document_fingerprint",
     "cosine_topk",
     "embedding_near_dup",
     "knn_classify",
     "multimodal_image_features",
+    "multimodal_audio_bands",
     "video_frame_sample",
     "token_counts",
     "text_quality",
