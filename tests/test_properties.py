@@ -56,7 +56,15 @@ def test_minmax_bounds_and_constant_midpoint(xs):
 @given(finite_series)
 @settings(max_examples=200, deadline=None)
 def test_robust_scale_median_zero(xs):
-    out = ref_robust_scale(np.array(xs))
+    arr = np.asarray(xs, dtype=np.float64)
+    centered = arr - np.median(arr)
+    iqr = np.percentile(centered, 75) - np.percentile(centered, 25)
+    if 0 < iqr < 1e-300:
+        # denormal IQR: dividing by it overflows to inf and median/percentile
+        # halving underflows asymmetrically (e.g. [0.0, 5e-324]) — the
+        # reference itself produces inf here, so no invariant holds
+        return
+    out = ref_robust_scale(arr)
     assert abs(np.median(out)) < 1e-9
 
 
