@@ -417,6 +417,96 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "set_ops_customer_cohorts",
+    """
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE EXTRACT(YEAR FROM o_orderdate) = 1995),
+         y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE EXTRACT(YEAR FROM o_orderdate) = 1996)
+    SELECT 'churned_95' AS cohort, o_custkey
+    FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+    UNION ALL
+    SELECT 'retained' AS cohort, o_custkey
+    FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface (SURVEY §2.8: `np.concatenate` → unionByName,
+    plus EXCEPT/INTERSECT the relational layer owes): customers who ordered
+    in 1995 split into churned (no 1996 order) vs retained cohorts.
+    EXCEPT DISTINCT == `subtract`, INTERSECT DISTINCT == `intersect`."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    churned = y95.subtract(y96).select(
+        F.lit("churned_95").alias("cohort"), "o_custkey"
+    )
+    retained = y95.intersect(y96).select(F.lit("retained").alias("cohort"), "o_custkey")
+    return churned.unionByName(retained)
+
+
+@register(
+    "min_cost_supplier",
+    """
+    WITH minp AS (SELECT l_partkey, MIN(l_extendedprice) AS min_price
+                  FROM lineitem GROUP BY l_partkey)
+    SELECT s.s_name,
+           COUNT(*) AS n_best_offers,
+           ROUND(SUM(m.min_price), 2) AS best_revenue
+    FROM lineitem l
+    JOIN minp m ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.min_price
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2-shaped correlated MIN (no partsupp table in the testdata, so
+    lineitem price plays the part-cost role): per part, which supplier ships
+    it cheapest. Decorrelated to groupBy-min + equi-join back (ties kept by
+    both engines — the tie set is deterministic); the tiny supplier dim is
+    broadcast so the only shuffles are the two aggregations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    minp = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("min_price"))
+    best = li.join(
+        minp,
+        (li.l_partkey == minp.l_partkey) & (li.l_extendedprice == minp.min_price),
+    )
+    return (
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.count("*").alias("n_best_offers"),
+            F.round(F.sum("min_price"), 2).alias("best_revenue"),
+        )
+    )
+
+
+@register(
+    "distinct_counts_by_status",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           COUNT(DISTINCT o_orderpriority) AS n_prio,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT(DISTINCT) per group — exercises Spark's
+    Expand-based multi-distinct aggregation (partial aggregation still
+    applies; at 100 TB switch to approx_count_distinct where a 2% error
+    is acceptable — kept exact here for oracle parity)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 # ================================================= preprocessing operators
 
 @register(

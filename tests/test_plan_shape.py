@@ -123,3 +123,14 @@ def test_q5_small_dims_broadcast(spark):
 
     plan = _plan(QUERIES["q5_nation_volume"](spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_min_cost_supplier_broadcasts_dim(spark):
+    """The q2-shaped correlated-min decorrelation joins lineitem back to a
+    per-part MIN; the supplier dim must be broadcast so the only exchanges
+    are the two aggregations (per-part min, per-supplier rollup)."""
+    from fdi_flow_spark.plans.registry import QUERIES
+
+    plan = _plan(QUERIES["min_cost_supplier"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
