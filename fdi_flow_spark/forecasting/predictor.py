@@ -38,6 +38,7 @@ def prepare_supervised_data(
     output_steps: int = 1,
     stride: int = 1,
     global_minmax: tuple[float, float] | None = None,
+    exploded: bool = False,
 ) -> tuple[DataFrame, tuple[float, float]]:
     """Downsample -> global min-max normalize -> supervised windows.
 
@@ -55,7 +56,7 @@ def prepare_supervised_data(
     lo, hi = global_minmax
     rng = hi - lo if hi > lo else 1.0
     normalized = series.withColumn("value", (F.col("value") - F.lit(lo)) / F.lit(rng))
-    wins = supervised_windows(normalized, time_steps, output_steps)
+    wins = supervised_windows(normalized, time_steps, output_steps, exploded=exploded)
     return wins, global_minmax
 
 

@@ -772,6 +772,47 @@ def q_supervised(spark, sf_dir):
 
 
 @register(
+    "forecast_prep",
+    f"""
+    WITH s0 AS ({SERIES_SQL}),
+    d AS (SELECT series_id, CAST(ts / 4 AS BIGINT) AS ts, value
+          FROM s0 WHERE ts % 4 = 0),
+    g AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM d),
+    s AS (SELECT d.series_id, d.ts,
+                 (d.value - g.lo)
+                 / (CASE WHEN g.hi > g.lo THEN g.hi - g.lo ELSE 1.0 END) AS value
+          FROM d, g),
+    m AS (SELECT series_id, COUNT(*) AS n FROM s GROUP BY series_id),
+    w AS (SELECT s.series_id, s.ts AS window_start
+          FROM s JOIN m ON m.series_id = s.series_id
+          WHERE s.ts <= m.n - 23)
+    SELECT w.series_id, w.window_start, 'x' AS kind,
+           s.ts - w.window_start AS pos, ROUND(s.value, 6) AS value
+    FROM w JOIN s ON s.series_id = w.series_id
+                 AND s.ts BETWEEN w.window_start AND w.window_start + 19
+    UNION ALL
+    SELECT w.series_id, w.window_start, 'y' AS kind,
+           s.ts - w.window_start - 20 AS pos, ROUND(s.value, 6) AS value
+    FROM w JOIN s ON s.series_id = w.series_id
+                 AND s.ts BETWEEN w.window_start + 20 AND w.window_start + 22
+    """,
+)
+def q_forecast_prep(spark, sf_dir):
+    """P2 ``load_and_preprocess_data`` pipeline (reference
+    ``time_series_model.py:88-166``) on the events table: stride-4
+    downsample -> GLOBAL min-max normalize (train+test jointly, leaky by
+    design in the reference — reproduced) -> 20/3 supervised windows.
+    The global min/max is a 2-value aggregate broadcast into the
+    normalization (no per-series shuffle added)."""
+    from fdi_flow_spark.forecasting.predictor import prepare_supervised_data
+
+    wins, _ = prepare_supervised_data(
+        events_series(spark, sf_dir), 20, 3, stride=4, exploded=True
+    )
+    return wins.withColumn("value", F.round("value", 6))
+
+
+@register(
     "resample_linear",
     f"""
     WITH s AS ({SERIES_SQL}),
