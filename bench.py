@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     "anti_join_quiet_customers",
     "top_orders_per_customer",
     "orders_above_customer_avg",
+    "min_cost_supplier",
+    "set_ops_customer_cohorts",
+    "distinct_counts_by_status",
     # window/series operators (pure SQL)
     "moving_average_valid",
     "moving_average_padded",
@@ -42,6 +45,7 @@ BENCH_QUERIES = [
     "robust_scaler",
     "segment_windows",
     "supervised_windows",
+    "forecast_prep",
     "resample_linear",
     "resample_nearest",
     "asof_join_purchase",
