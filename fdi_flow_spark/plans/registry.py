@@ -1768,6 +1768,14 @@ def q_cosine_lsh(spark, sf_dir):
     return cosine_topk_lsh(emb.where(F.col("vec_id") % 25 == 0), emb, k=5)
 
 
+@register("cosine_topk_ivf")  # rows-only (approximate; recall tested in pytest)
+def q_cosine_ivf(spark, sf_dir):
+    from fdi_flow_spark.pipelines.similarity import cosine_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(emb.where(F.col("vec_id") % 25 == 0), emb, k=5)
+
+
 @register(
     "knn_classify",
     """

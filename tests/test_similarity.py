@@ -80,3 +80,25 @@ def test_cosine_topk_lsh_recall(spark, emb):
     # floor leaves margin so plane-count regressions fail but seed drift
     # cannot flake (the old 6x4 default measured 0.16 — well below)
     assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_cosine_topk_ivf_recall(spark, emb):
+    from fdi_flow_spark.pipelines.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk_bruteforce(q, emb, k=5).collect()
+    }
+    approx_df = cosine_topk_ivf(q, emb, k=5, nlist=32, nprobe=8)
+    approx = {(r.query_id, r.neighbor_id) for r in approx_df.collect()}
+    # probing 8/32 cells scans ~25% of the corpus; spherical clusters put
+    # true neighbors in the probed cells far more often than chance — the
+    # floor leaves slack for sampling drift without letting a broken
+    # assignment (random ~0.25 recall) pass
+    assert len(exact & approx) / len(exact) >= 0.5
+    # every returned cosine must be exact (rerank is exact scoring)
+    joined = {r.query_id: r.rank for r in approx_df.collect()}
+    assert all(1 <= rk <= 5 for rk in joined.values())
