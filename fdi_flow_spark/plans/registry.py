@@ -647,6 +647,12 @@ def q_robust(spark, sf_dir):
     return _rounded(robust_scale(events_series(spark, sf_dir)))
 
 
+@register("robust_scaler_approx")  # rows-only (sketch percentiles — the
+# opt-in 100 TB path; closeness to exact pinned in tests/test_scalers.py)
+def q_robust_approx(spark, sf_dir):
+    return _rounded(robust_scale(events_series(spark, sf_dir), exact=False))
+
+
 @register(
     "ewma_closed_form",
     f"""

@@ -51,3 +51,28 @@ def test_standard_invariants(spark):
     out = collect_series(standard_scale(make_long(spark, arrays)))["a"]
     assert abs(out.mean()) < 1e-9
     assert abs(np.std(out) - 1.0) < 1e-9
+
+
+def test_robust_approx_close_to_exact(spark):
+    """The percentile_approx path (``exact=False``) is the opt-in 100 TB
+    variant (SURVEY §4): a sketch aggregate instead of exact percentiles.
+    At this series length the sketch is rank-exact, so the only deviation
+    is interpolated-vs-sample-value percentiles — bound it."""
+    from fdi_flow_spark.sources.tables import events_series
+    from pyspark.sql import functions as F
+
+    s = events_series(spark, "/root/testdata/sf0.001")
+    ex = robust_scale(s).withColumnRenamed("value", "v_exact")
+    ap = robust_scale(s, exact=False).withColumnRenamed("value", "v_approx")
+    row = (
+        ex.join(ap, ["series_id", "ts"])
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.abs(F.col("v_exact") - F.col("v_approx"))).alias("max_abs"),
+            F.avg(F.abs(F.col("v_exact") - F.col("v_approx"))).alias("mean_abs"),
+        )
+        .first()
+    )
+    assert row["n"] == s.count()
+    assert row["max_abs"] <= 0.2
+    assert row["mean_abs"] <= 0.02
