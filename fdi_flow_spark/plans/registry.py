@@ -144,9 +144,11 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
     )
     li = load_table(spark, sf_dir, "lineitem")
+    # orders/customer are fact-sized at scale: no broadcast hint — AQE picks
+    # the join strategy (broadcast at bench SF, shuffle at 100 TB).
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+            orders.join(cust, F.col("o_custkey") == F.col("c_custkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -185,9 +187,11 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
+    # Broadcast hints only on true dimensions (supplier/nation/region);
+    # orders/customer grow with the fact data — AQE chooses their joins.
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(supp),
             (F.col("l_suppkey") == F.col("s_suppkey"))

@@ -125,6 +125,50 @@ def test_q5_small_dims_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def _broadcast_subtree_scans(plan: str) -> list[str]:
+    """Parquet locations scanned beneath any BroadcastExchange in a
+    'simple'-mode physical plan (subtree = following lines whose operator
+    indentation is deeper than the BroadcastExchange node's)."""
+
+    def indent(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in " :+-*(":
+            i += 1
+        return i
+
+    lines = plan.splitlines()
+    scans: list[str] = []
+    for n, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = indent(line)
+        for sub in lines[n + 1 :]:
+            if sub.strip() and indent(sub) <= d:
+                break
+            if "FileScan parquet" in sub or "Scan parquet" in sub:
+                scans.append(sub)
+    return scans
+
+
+def test_q3_q5_fact_tables_not_hint_broadcast(spark):
+    """orders/customer grow with the fact data — q3/q5 must not FORCE them
+    onto the build side of a BroadcastHashJoin (a hint-pinned broadcast is a
+    dead plan at 100 TB). With the auto-broadcast threshold disabled, only
+    explicit hints survive: dims (nation/region/supplier) may still
+    broadcast, orders/customer must not appear under any BroadcastExchange."""
+    from fdi_flow_spark.plans.registry import QUERIES
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for q in ("q3_top_orders", "q5_nation_volume"):
+            plan = _plan(QUERIES[q](spark, SF), "simple")
+            for scan in _broadcast_subtree_scans(plan):
+                assert "orders" not in scan and "customer" not in scan, (q, scan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_min_cost_supplier_broadcasts_dim(spark):
     """The q2-shaped correlated-min decorrelation joins lineitem back to a
     per-part MIN; the supplier dim must be broadcast so the only exchanges
