@@ -59,14 +59,17 @@ def _blocked_partial_topk(candidates: DataFrame, q_ids, q_mat, k: int, metric: s
 
     def fn(batches):
         q_ids_l, Q = bq.value  # (nq,), (nq, d) float64
-        qn = np.linalg.norm(Q, axis=1)
+        # Zero-norm guard: a zero vector's cosine is defined as 0 here (the
+        # clamp keeps the division finite) instead of NaN, which numpy would
+        # otherwise rank FIRST under argpartition — a latent correctness bug.
+        qn = np.maximum(np.linalg.norm(Q, axis=1), 1e-12)
         for pdf in batches:
             if not len(pdf):
                 continue
             C = np.array(pdf["_v"].tolist(), dtype=np.float64)  # (nc, d)
             nid = pdf["_nid"].to_numpy()
             if metric == "cosine":
-                cn = np.linalg.norm(C, axis=1)
+                cn = np.maximum(np.linalg.norm(C, axis=1), 1e-12)
                 S = (C @ Q.T) / np.outer(cn, qn)  # (nc, nq) similarity
                 order_scores = -S
             else:  # squared euclidean distance
@@ -79,10 +82,20 @@ def _blocked_partial_topk(candidates: DataFrame, q_ids, q_mat, k: int, metric: s
                 order_scores = S
             nc = len(nid)
             kk = min(k + 1, nc)  # +1 so a self-pair can be dropped later
-            part = np.argpartition(order_scores, kk - 1, axis=0)[:kk]  # (kk, nq)
             rows = {"query_id": [], "neighbor_id": [], "_score": []}
             for j, qid in enumerate(q_ids_l):
-                idx = part[:, j]
+                scores = order_scores[:, j]
+                # Boundary-tie-safe top-kk: argpartition alone resolves ties
+                # at the kk-th score arbitrarily and can drop the neighbor
+                # the (score, neighbor_id ASC) global rank would keep. Take
+                # every candidate tied with the kk-th score, then order
+                # exactly as the downstream window does.
+                if kk < nc:
+                    t = np.partition(scores, kk - 1)[kk - 1]
+                    cand = np.nonzero(scores <= t)[0]
+                else:
+                    cand = np.arange(nc)
+                idx = cand[np.lexsort((nid[cand], scores[cand]))[:kk]]
                 rows["query_id"].extend([qid] * len(idx))
                 rows["neighbor_id"].extend(nid[idx])
                 rows["_score"].extend(S[idx, j])
@@ -343,19 +356,30 @@ def cosine_near_dup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_collect_rows: int = 2_000_000,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (driver mandate §2.9):
     every ``(id_a, id_b)`` with ``id_a < id_b`` and cosine >= ``threshold``.
+    Zero vectors score cosine ~0 (clamped norms), never NaN.
 
     Execution: the corpus matrix is L2-normalized once on the driver and
     broadcast; candidate rows stream through a blocked BLAS matmul, emitting
     only above-threshold upper-triangle pairs — the shuffle carries matches,
-    never the O(n^2) pair space. Valid while one side fits in a broadcast
-    (~10M rows at dim 64); beyond that use ``cosine_near_dup_lsh``.
+    never the O(n^2) pair space. Valid while one side fits in a broadcast;
+    a pre-collect count enforces ``max_collect_rows`` and points at
+    ``cosine_near_dup_lsh``, the beyond-broadcast path, instead of letting
+    the driver OOM mid-collect.
     """
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
+    n_rows = emb.count()
+    if n_rows > max_collect_rows:
+        raise ValueError(
+            f"cosine_near_dup_pairs broadcasts the corpus ({n_rows} rows > "
+            f"max_collect_rows={max_collect_rows}); use cosine_near_dup_lsh "
+            "for beyond-broadcast corpora"
+        )
     rows = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     spark = emb.sparkSession
@@ -369,7 +393,7 @@ def cosine_near_dup_pairs(
     if len(ids) == 0:
         return spark.createDataFrame([], schema)
     M = np.array([r["_v"] for r in rows], dtype=np.float64)
-    Qn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Qn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     bq = spark.sparkContext.broadcast((ids, Qn))
 
     def fn(batches):
@@ -378,7 +402,7 @@ def cosine_near_dup_pairs(
             if not len(pdf):
                 continue
             C = np.array(pdf["_v"].tolist(), dtype=np.float64)
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
             cid = pdf["_nid"].to_numpy()
             S = Cn @ Q.T  # (nc, nq) cosine
             mask = (S >= threshold) & (cid[:, None] < q_ids[None, :])

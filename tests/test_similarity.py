@@ -102,3 +102,99 @@ def test_cosine_topk_ivf_recall(spark, emb):
     # every returned cosine must be exact (rerank is exact scoring)
     joined = {r.query_id: r.rank for r in approx_df.collect()}
     assert all(1 <= rk <= 5 for rk in joined.values())
+
+
+def _tie_fixture(spark):
+    """Adversarial corpus: exact-duplicate vectors (score ties straddling the
+    top-k boundary) plus a zero vector (norm clamp path). ids chosen so the
+    tie-break (score, neighbor_id ASC) is observable."""
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0], 0),   # dup of 0
+        (2, [1.0, 0.0, 0.0], 0),   # dup of 0
+        (3, [1.0, 0.0, 0.0], 1),   # dup of 0
+        (4, [1.0, 0.0, 0.0], 1),   # dup of 0 — 5-way tie > k
+        (5, [0.0, 1.0, 0.0], 1),
+        (6, [0.0, 0.0, 0.0], 2),   # zero-norm vector
+        (7, [0.6, 0.8, 0.0], 2),
+        (8, [-1.0, 0.0, 0.0], 2),
+    ]
+    return spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<double>, label long"
+    )
+
+
+def test_topk_tie_break_and_zero_norm_vs_duckdb(spark):
+    """cosine_topk_bruteforce on a corpus with duplicate and zero-norm
+    embeddings must match a DuckDB oracle that replays the documented
+    semantics: norms clamped to 1e-12 (zero vector => cosine ~0, not NaN),
+    ties ranked by (cosine DESC, neighbor_id ASC)."""
+    import duckdb
+
+    from fdi_flow_spark.pipelines.similarity import cosine_topk_bruteforce
+
+    emb = _tie_fixture(spark)
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in cosine_topk_bruteforce(emb, emb, k=3).collect()
+    )
+    pdf = emb.toPandas()
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            n AS (SELECT vec_id, v,
+                         GREATEST(SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x*x))), 1e-12) AS nrm
+                  FROM e),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     LIST_DOT_PRODUCT(q.v, c.v) / (q.nrm * c.nrm) AS cos
+              FROM n q, n c WHERE q.vec_id <> c.vec_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+                   ROUND(cos, 6) AS cosine
+            FROM ranked WHERE rank <= 3
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+def test_knn_tie_break_on_duplicates(spark):
+    """knn_classify_exact with duplicate train vectors: distance ties must
+    resolve by train id ASC, so the vote set (and thus the label) is the one
+    the documented semantics pin — ids 0,1,2 (label 0) beat 3,4 (label 1)."""
+    from fdi_flow_spark.pipelines.similarity import knn_classify_exact
+
+    emb = _tie_fixture(spark)
+    train = emb.where(F.col("vec_id") <= 5)
+    test = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], schema="vec_id long, embedding array<double>"
+    )
+    got = knn_classify_exact(train, test, k=3).collect()
+    assert len(got) == 1
+    assert got[0].pred_label == 0  # neighbors {0,1,2} by id tie-break
+
+
+def test_near_dup_zero_norm_no_nan(spark):
+    """A zero vector must produce no NaN pairs (clamped cosine ~0 stays
+    below any positive threshold)."""
+    emb = _tie_fixture(spark)
+    rows = cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    assert all(not np.isnan(r.cosine) for r in rows)
+    assert all(6 not in (r.id_a, r.id_b) for r in rows)
+
+
+def test_near_dup_collect_guard_raises(spark, emb):
+    """Over-threshold corpora must be refused with a pointer at the LSH
+    path instead of collecting to the driver."""
+    with pytest.raises(ValueError, match="cosine_near_dup_lsh"):
+        cosine_near_dup_pairs(emb, threshold=0.4, max_collect_rows=10)
