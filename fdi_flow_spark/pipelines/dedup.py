@@ -83,7 +83,7 @@ def ngram_jaccard_pairs(
     prefix_filter: bool = True,
     unit: str = "word",
     char_k: int = 12,
-    broadcast_verify: bool = True,
+    broadcast_verify: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity >= threshold.
     ``unit='word'`` shingles on word n-grams; ``unit='char'`` on character
@@ -180,11 +180,15 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect("_arr_a", "_arr_b"))
     na, nb = F.size("_arr_a"), F.size("_arr_b")
     jac = inter / (na + nb - inter)
-    # broadcast_verify: the per-doc hash-array table is tiny relative to the
-    # candidate-pair stream at bench scale; at corpus sizes where it stops
-    # fitting in executor memory, flip to False for a shuffle join.
+    # The per-doc hash-array table grows with the corpus, so the default
+    # verify join shuffles (scale-safe). Hash join, not sort-merge: sorting
+    # wide hash-array rows by id buys nothing, and the candidate side is
+    # always the small build side. broadcast_verify=True is the bench-scale
+    # opt-in for corpora known to fit in executor memory.
     if broadcast_verify:
         aa, ab = F.broadcast(aa), F.broadcast(ab)
+    else:
+        aa, ab = aa.hint("shuffle_hash"), ab.hint("shuffle_hash")
     return (
         cand.join(aa, "id_a")
         .join(ab, "id_b")
