@@ -1008,20 +1008,43 @@ def q_simulate(spark, sf_dir):
         np.zeros((2, 2)),
     )
     gen = DynamicSystemDataGenerator(model, ([-1, -1, -1], [1, 1, 1]), seed=42)
-    return gen.generate(
+    sim = gen.generate(
         spark, 8, "sine", {"frequency": 0.5}, t_final=2.0, dt=0.01
+    )
+    # Flattened to scalar columns (x1..x3, y1..y2, u1..u2): ARRAY<DOUBLE>
+    # outputs crash the driver's result canonicalizer, and scalars are what
+    # a downstream training pipeline consumes anyway.
+    return sim.select(
+        "sim_id",
+        "step",
+        F.round("t", 6).alias("t"),
+        *[F.round(F.col("states")[i], 6).alias(f"x{i + 1}") for i in range(3)],
+        *[F.round(F.col("outputs")[i], 6).alias(f"y{i + 1}") for i in range(2)],
+        *[F.round(F.col("inputs")[i], 6).alias(f"u{i + 1}") for i in range(2)],
     )
 
 
-@register("observer_replay_luenberger")  # rows-only: matrix recurrence
-def q_observer(spark, sf_dir):
+def _flatten_xhat(out: DataFrame) -> DataFrame:
+    """Project the replay's x_hat ARRAY<DOUBLE> to scalar (x1, x2) columns —
+    the driver's canonicalizer handles scalars only, and the *_events twins
+    already expose this shape."""
+    return out.select(
+        "series_id",
+        "step",
+        F.round(F.col("x_hat")[0], 6).alias("x1"),
+        F.round(F.col("x_hat")[1], 6).alias("x2"),
+    )
+
+
+@register("observer_replay_luenberger")  # rows-only: matrix recurrence over a
+def q_observer(spark, sf_dir):           # driver-built truth fixture
     """FIXTURES.md §6 system: simulate truth, replay a Luenberger observer
     over (series_id, step, u, y) rows distributed by series."""
     from fdi_flow_spark.observers import LuenbergerObserver, observer_replay
 
     df, A, B, C, dt = _observer_fixture(spark)
     factory = lambda: LuenbergerObserver(A, B, C, dt, desired_poles=[-3.0, -4.0])  # noqa: E731
-    return observer_replay(df, factory)
+    return _flatten_xhat(observer_replay(df, factory))
 
 
 def _observer_fixture(spark):
@@ -1344,7 +1367,7 @@ def q_observer_kalman(spark, sf_dir):
         Fm, dt * B, C, Q=0.01 * np.eye(2), R=np.array([[0.1]]),
         x0=np.zeros(2), P0=np.eye(2),
     )
-    return observer_replay(df, factory)
+    return _flatten_xhat(observer_replay(df, factory))
 
 
 def _sliding_oracle_sql() -> str:
@@ -1437,7 +1460,7 @@ def q_observer_sliding(spark, sf_dir):
     factory = lambda: SlidingModeObserver(  # noqa: E731
         A, B, C, desired_poles=[-3.0, -4.0], eta=1.0, eps=0.1
     )
-    return observer_replay(df, factory, dt=dt)
+    return _flatten_xhat(observer_replay(df, factory, dt=dt))
 
 
 @register("rf_classify_embeddings")  # rows-only: tree ensembles are seeded but
@@ -1969,11 +1992,14 @@ def q_language_id(spark, sf_dir):
 
 
 # ------------------------------------------------------------ registry order
-# The correctness driver checks the FIRST 50 registered queries, so the 50
-# oracle-backed queries (each with a DuckDB value-hash twin) must occupy the
-# window.  ``ewma_chunked``/``holt_chunked`` re-prove the exact oracles of
-# their sequential twins (same SQL object) and the rows-only entries carry
-# their evidence in pytest, so all of those sit after position 50.
+# The correctness driver checks the FIRST 50 registered queries. 49 slots go
+# to oracle-backed queries (DuckDB value-hash twins); one slot rotates a
+# rows-only query through the driver harness for fresh evidence — currently
+# ``observer_replay_luenberger`` (flattened x_hat output). Oracle-backed
+# queries outside the window (_WINDOW_EXCLUDED_ORACLES) are NOT re-proved by
+# their in-window twins — they are distinct implementations — but each one
+# is hash-checked against its own oracle every pytest run via
+# ``tests/test_oracle_queries.py``'s parametrization over ORACLES.
 _WINDOW_PRIORITY = [
     # TPC-H-ish relational core
     "q1_pricing_summary", "q3_top_orders", "q5_nation_volume",
@@ -1984,15 +2010,15 @@ _WINDOW_PRIORITY = [
     "min_cost_supplier", "distinct_counts_by_status",
     # filters / scalers / segmenters / recurrences
     "moving_average_valid", "moving_average_padded", "median_filter_edge",
-    "median_filter_zeros", "standard_scaler", "minmax_scaler",
+    "standard_scaler", "minmax_scaler",
     "robust_scaler", "ewma_closed_form", "failure_encoder",
     "segment_windows", "supervised_windows", "forecast_prep",
     "resample_linear", "resample_nearest", "asof_join_purchase",
     "holt_smoothing", "kalman1d_filter",
-    # model / observer event streams
+    # model / observer event streams (+ the rotating rows-only slot)
     "observer_luenberger_events", "simulate_discrete_events",
     "simulate_euler_events", "observer_kalman_events",
-    "observer_sliding_events",
+    "observer_sliding_events", "observer_replay_luenberger",
     # SURVEY §2.9 LLM-pipeline operators
     "dedup_exact", "ngram_jaccard_pairs", "minhash_dedup_pairs",
     "minhash_signatures", "simhash_fingerprints", "document_fingerprint",
@@ -2001,10 +2027,31 @@ _WINDOW_PRIORITY = [
 ]
 
 
+# Oracle-backed queries intentionally outside the 50-entry window; their
+# value-hash evidence lives in pytest (test_oracle_queries), re-run every
+# suite. Grown ONLY deliberately — the invariant check below fails loudly if
+# a new oracle query silently lands outside the window.
+_WINDOW_EXCLUDED_ORACLES = {
+    "ewma_chunked",       # chunk-parallel scan twin of ewma_closed_form
+    "holt_chunked",       # 2x2 affine-scan twin of holt_smoothing
+    "median_filter_zeros",  # zero-pad variant sharing median_filter_edge's kernel
+}
+
+
 def _reorder_registry() -> None:
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]
     if missing:  # fail loudly at import: a rename must update the window list
         raise RuntimeError(f"registry window references unknown queries: {missing}")
+    if len(_WINDOW_PRIORITY) != 50:
+        raise RuntimeError(
+            f"driver window must hold exactly 50 queries, got {len(_WINDOW_PRIORITY)}"
+        )
+    escaped = set(ORACLES) - set(_WINDOW_PRIORITY) - _WINDOW_EXCLUDED_ORACLES
+    if escaped:  # a new oracle-backed query must be placed explicitly
+        raise RuntimeError(
+            f"oracle-backed queries outside the checked window without a "
+            f"documented exclusion: {sorted(escaped)}"
+        )
     ordered = {k: QUERIES[k] for k in _WINDOW_PRIORITY}
     ordered.update({k: v for k, v in QUERIES.items() if k not in ordered})
     QUERIES.clear()
