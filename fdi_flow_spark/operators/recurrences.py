@@ -97,14 +97,13 @@ def exponential_smoothing_chunked(
     if not 0 < alpha < 1:
         raise ValueError("Alpha must be between 0 and 1")
     assert_long(df)
-    from pyspark.sql import Window, functions as F
+    from pyspark.sql import functions as F
 
-    ordered = Window.partitionBy("series_id").orderBy("ts")
-    base = (
-        df.withColumn("_i", F.row_number().over(ordered) - F.lit(1))
-        .withColumn("_chunk", (F.col("_i") / chunk_size).cast("long"))
-        .withColumn("_pos", F.col("_i") % chunk_size)
-    )
+    # dense 0-based ts (long contract) -> chunk/pos by arithmetic; no
+    # row_number window, so no per-series sort Exchange before the scan
+    base = df.withColumn(
+        "_chunk", (F.col("ts") / chunk_size).cast("long")
+    ).withColumn("_pos", F.col("ts") % chunk_size)
 
     local_schema = StructType(
         [
@@ -194,36 +193,50 @@ def double_exponential_smoothing_chunked(
     Chunk 0 runs the exact reference init (level=x0, trend=x1-x0 — the
     one-sample look-ahead stays inside the first chunk since chunk_size >= 2).
     Matches the sequential kernel to ~1e-12 relative.
+
+    Plan shape: exactly two Arrow scans of the grouped data — one emitting a
+    1-row-per-chunk state summary, one emitting the output rows with the
+    carry folded into the scan's initial state — plus the tiny per-series
+    carry chain. ``_chunk``/``_pos`` derive arithmetically from the long
+    contract's dense 0-based ``ts`` (no row_number window, no sort Exchange).
     """
     if not 0 < alpha < 1 or not 0 < beta < 1:
         raise ValueError("Alpha and beta must be between 0 and 1")
     if chunk_size < 2:
         raise ValueError("chunk_size must be >= 2 (Holt init reads x[1])")
     assert_long(df)
-    from pyspark.sql import Window, functions as F
+    from pyspark.sql import functions as F
 
     a, b = alpha, beta
     A = np.array([[1 - a, 1 - a], [-a * b, 1 - a * b]])
     c = np.array([a, a * b])
 
-    ordered = Window.partitionBy("series_id").orderBy("ts")
-    whole = Window.partitionBy("series_id")
-    base = (
-        df.withColumn("_i", F.row_number().over(ordered) - F.lit(1))
-        .withColumn("_n", F.count("*").over(whole))
-        .withColumn("_chunk", (F.col("_i") / chunk_size).cast("long"))
-        .withColumn("_pos", F.col("_i") % chunk_size)
-    )
+    base = df.withColumn(
+        "_chunk", (F.col("ts") / chunk_size).cast("long")
+    ).withColumn("_pos", F.col("ts") % chunk_size)
 
-    local_schema = StructType(
-        [
-            StructField("series_id", StringType()),
-            StructField("_chunk", LongType()),
-            StructField("ts", LongType()),
-            StructField("_pos", LongType()),
-            StructField("_out", DoubleType()),
-        ]
-    )
+    def scan(x: np.ndarray, chunk: int, carry: np.ndarray):
+        """Replay one chunk from ``carry`` state; returns (out, final state).
+        Chunk 0 ignores the (zero) carry and runs the reference init."""
+        out = np.empty(len(x))
+        if chunk == 0:
+            if len(x) < 2:  # whole series shorter than 2: returned as-is
+                out[:] = x
+                return out, np.zeros(2)
+            level, trend = x[0], x[1] - x[0]
+            out[0] = level + trend
+            for i in range(1, len(x)):
+                prev = level
+                level = a * x[i] + (1 - a) * (level + trend)
+                trend = b * (level - prev) + (1 - b) * trend
+                out[i] = level + trend
+            return out, np.array([level, trend])
+        s = carry.astype(np.float64).copy()
+        for i, xi in enumerate(x):
+            s = A @ s + xi * c
+            out[i] = s[0] + s[1]
+        return out, s
+
     sum_schema = StructType(
         [
             StructField("series_id", StringType()),
@@ -234,40 +247,13 @@ def double_exponential_smoothing_chunked(
         ]
     )
 
-    def local_fn(pdf: pd.DataFrame):
+    def sum_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_pos")
         x = pdf["value"].to_numpy(dtype=np.float64)
         chunk = int(pdf["_chunk"].iloc[0])
-        n_total = int(pdf["_n"].iloc[0])
-        out = np.empty(len(x))
-        if chunk == 0:
-            if n_total < 2:
-                out[:] = x  # reference: series shorter than 2 returned as-is
-                s = np.zeros(2)
-            else:
-                level, trend = x[0], x[1] - x[0]
-                out[0] = level + trend
-                for i in range(1, len(x)):
-                    prev = level
-                    level = a * x[i] + (1 - a) * (level + trend)
-                    trend = b * (level - prev) + (1 - b) * trend
-                    out[i] = level + trend
-                s = np.array([level, trend])
-        else:
-            s = np.zeros(2)
-            for i, xi in enumerate(x):
-                s = A @ s + xi * c
-                out[i] = s[0] + s[1]
-        head = pd.DataFrame(
-            {
-                "series_id": pdf["series_id"].to_numpy(),
-                "_chunk": pdf["_chunk"].to_numpy(),
-                "ts": pdf["ts"].to_numpy(),
-                "_pos": pdf["_pos"].to_numpy(),
-                "_out": out,
-            }
-        )
-        summary = pd.DataFrame(
+        # zero-carry state: the carry chain composes A^len @ carry + v
+        _, s = scan(x, chunk, np.zeros(2))
+        return pd.DataFrame(
             {
                 "series_id": [pdf["series_id"].iloc[0]],
                 "_chunk": [chunk],
@@ -276,19 +262,8 @@ def double_exponential_smoothing_chunked(
                 "_v1": [s[1]],
             }
         )
-        return head, summary
 
-    # one applyInPandas emits rows; summaries are re-derived from a second
-    # applyInPandas over the same (cheap) grouping to keep schemas simple
-    def rows_fn(pdf):
-        return local_fn(pdf)[0]
-
-    def sum_fn(pdf):
-        return local_fn(pdf)[1]
-
-    grouped = base.groupBy("series_id", "_chunk")
-    local = grouped.applyInPandas(rows_fn, local_schema)
-    summaries = grouped.applyInPandas(sum_fn, sum_schema)
+    summaries = base.groupBy("series_id", "_chunk").applyInPandas(sum_fn, sum_schema)
 
     carry_schema = StructType(
         [
@@ -327,15 +302,11 @@ def double_exponential_smoothing_chunked(
         ]
     )
 
-    def finalize_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def final_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_pos")
+        x = pdf["value"].to_numpy(dtype=np.float64)
         carry = np.array([pdf["_c0"].iloc[0], pdf["_c1"].iloc[0]])
-        out = pdf["_out"].to_numpy(dtype=np.float64).copy()
-        if int(pdf["_chunk"].iloc[0]) > 0 and (carry != 0).any():
-            w = carry
-            for i in range(len(out)):
-                w = A @ w  # w = A^(pos+1) @ carry, built incrementally
-                out[i] += w[0] + w[1]
+        out, _ = scan(x, int(pdf["_chunk"].iloc[0]), carry)
         return pd.DataFrame(
             {
                 "series_id": pdf["series_id"].to_numpy(),
@@ -344,8 +315,8 @@ def double_exponential_smoothing_chunked(
             }
         )
 
-    joined = local.join(F.broadcast(carries), ["series_id", "_chunk"])
-    return joined.groupBy("series_id", "_chunk").applyInPandas(finalize_fn, fin_schema)
+    joined = base.join(F.broadcast(carries), ["series_id", "_chunk"])
+    return joined.groupBy("series_id", "_chunk").applyInPandas(final_fn, fin_schema)
 
 
 # ----------------------------------------------------------------- Holt (F2)
