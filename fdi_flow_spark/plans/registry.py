@@ -1527,6 +1527,94 @@ def q_svm_classify(spark, sf_dir):
     )
 
 
+def _emb_split(spark, sf_dir):
+    """Shared embeddings-table protocol for the detector queries: first 8
+    dims as features, train on even vec_ids, predict odd ones."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        F.col("vec_id").alias("_row_id"),
+        *[F.col("embedding")[i].cast("double").alias(f"f{i}") for i in range(8)],
+        F.col("label").cast("double").alias("label"),
+    )
+    train = feats.where(F.col("_row_id") % 2 == 0)
+    test = feats.where(F.col("_row_id") % 2 == 1).drop("label")
+    return train, test
+
+
+def _detector_query(det, spark, sf_dir):
+    train, test = _emb_split(spark, sf_dir)
+    det = det.fit(train, "label")
+    return det.transform(test).select(
+        F.col("_row_id").alias("vec_id"), F.col("prediction").alias("pred_label")
+    )
+
+
+@register("xgb_classify_embeddings")  # rows-only: boosted ensembles are seeded
+def q_xgb_classify(spark, sf_dir):    # but not SQL-expressible
+    """XGB fault detector (reference D5, xgb_detectors.py:17-374) as a
+    Pipeline query; in-sandbox it exercises the documented GBT fallback."""
+    from fdi_flow_spark.ml import XGBFaultDetector
+
+    det = XGBFaultDetector(n_estimators=5, max_depth=3, random_state=42)
+    return _detector_query(det, spark, sf_dir)
+
+
+@register("lgbm_classify_embeddings")  # rows-only
+def q_lgbm_classify(spark, sf_dir):
+    """LightGBM fault detector (reference D6, lgbm_detectors.py:15-365) as a
+    Pipeline query; num_leaves maps to maxDepth on the GBT backend."""
+    from fdi_flow_spark.ml import LGBMFaultDetector
+
+    det = LGBMFaultDetector(num_leaves=8, n_estimators=5, random_state=42)
+    return _detector_query(det, spark, sf_dir)
+
+
+@register("catboost_classify_embeddings")  # rows-only
+def q_catboost_classify(spark, sf_dir):
+    """CatBoost fault detector (reference D7, catboost_detector.py:15-298) as
+    a Pipeline query; iterations/depth/lr map onto the GBT backend."""
+    from fdi_flow_spark.ml import CatBoostFaultDetector
+
+    det = CatBoostFaultDetector(iterations=5, depth=3, random_state=42)
+    return _detector_query(det, spark, sf_dir)
+
+
+@register("simulate_nonlinear_events")  # rows-only: user-supplied f/g kernels
+def q_simulate_nonlinear(spark, sf_dir):
+    """Nonlinear discrete state-space simulation (M3/M4 surface: arbitrary
+    user f/g callables riding the closure) replayed over the events series
+    as the input signal — the distributed twin of the reference's
+    NonlinearDiscreteStateSpaceModel (nonlinear_models.py:5-126)."""
+    import numpy as np
+
+    from fdi_flow_spark.models import NonlinearDiscreteStateSpaceModel, simulate_replay
+
+    def f(x, u, k):
+        return np.array(
+            [
+                0.9 * x[0] + 0.5 * np.tanh(x[1]) + 0.1 * u[0],
+                0.8 * x[1] + 0.5 * np.tanh(x[0]) - 0.2 * u[0],
+            ]
+        )
+
+    def g(x, u, k):
+        return np.array([np.tanh(x[0]) + 0.1 * u[0]])
+
+    model = NonlinearDiscreteStateSpaceModel(f, g)
+    s = events_series(spark, sf_dir).where(F.col("ts") < 150)
+    df = s.select(
+        "series_id", F.col("ts").alias("step"), F.array(F.col("value")).alias("u")
+    )
+    out = simulate_replay(df, lambda u: model.simulate(u, x0=np.zeros(2)))
+    return out.select(
+        "series_id",
+        "step",
+        F.round(F.col("x")[0], 6).alias("x1"),
+        F.round(F.col("x")[1], 6).alias("x2"),
+        F.round(F.col("y")[0], 6).alias("y"),
+    )
+
+
 @register("multimodal_image_resize")  # rows-only (stubbed codec, SURVEY §2.9)
 def q_image_resize(spark, sf_dir):
     """Nearest-neighbor image resize to an 4x4 grid — the model-input
