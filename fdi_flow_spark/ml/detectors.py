@@ -13,7 +13,7 @@ Backend mapping (documented deviations where MLlib lacks an exact analog):
 | sklearn KNeighborsClassifier   | exact relational KNN (crossJoin+rank+vote; LSH route at scale) |
 | sklearn RandomForestClassifier | MLlib RandomForestClassifier |
 | sklearn GradientBoosting       | MLlib GBTClassifier (+OneVsRest for multiclass) |
-| sklearn SVC (rbf)              | MLlib LinearSVC + OneVsRest — linear only; rbf unsupported |
+| sklearn SVC (rbf)              | MLlib LinearSVC + OneVsRest; rbf via random Fourier features |
 | XGBClassifier                  | xgboost.spark if installed, else GBT+OVR |
 | LGBMClassifier                 | GBT+OVR (31-leaf analog via maxDepth~5) |
 | CatBoostClassifier             | GBT+OVR (iterations->maxIter, depth->maxDepth, lr->stepSize) |
@@ -37,7 +37,7 @@ from __future__ import annotations
 import random as _random
 
 import numpy as np
-from pyspark.ml import Pipeline
+from pyspark.ml import Pipeline, Transformer
 from pyspark.ml.classification import (
     GBTClassifier,
     LinearSVC,
@@ -390,12 +390,53 @@ class GradientBoostingFaultDetector(_AssembledPipelineDetector):
         raise RuntimeError("no feature importances available")
 
 
+class _RandomFourierFeatures(Transformer):
+    """Rahimi & Recht (2007) random-feature map: z(x) = sqrt(2/D) *
+    cos(W x + b) with W ~ N(0, 2*gamma*I), b ~ U[0, 2pi), so
+    E[z(x).z(y)] = exp(-gamma*||x-y||^2) — the RBF kernel. A linear model on
+    z approximates the kernel machine while staying a pure column-expression
+    stage (JVM codegen, no UDF, no shuffle)."""
+
+    def __init__(self, input_col: str, W: np.ndarray, b: np.ndarray, output_col: str):
+        super().__init__()
+        self._input_col = input_col
+        self._W = np.asarray(W, dtype=float)
+        self._b = np.asarray(b, dtype=float)
+        self._output_col = output_col
+
+    def _transform(self, dataset):
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        arr = vector_to_array(F.col(self._input_col))
+        D = len(self._b)
+        scale = float(np.sqrt(2.0 / D))
+        feats = []
+        for j in range(D):
+            dot = F.lit(float(self._b[j]))
+            for i, w in enumerate(self._W[j]):
+                dot = dot + arr[i] * float(w)
+            feats.append(F.cos(dot) * scale)
+        return dataset.withColumn(self._output_col, array_to_vector(F.array(*feats)))
+
+
 class SVMFaultDetector(_AssembledPipelineDetector):
-    """Reference D3 (``sklearn_detectors.py:521-815``): SVC. MLlib has no
-    kernel SVM — only ``kernel='linear'`` is supported (LinearSVC + OVR);
-    rbf/poly raise. ``scale_features`` adds an MLlib StandardScaler stage.
-    The reference ``score()`` double-scaling bug (``:796-800``) is not
-    reproduced. ``predict_proba`` raises like the reference does when
+    """Reference D3 (``sklearn_detectors.py:521-815``): SVC, default
+    ``kernel='rbf'`` (``:546``). MLlib has no kernel SVM, so:
+
+    - ``kernel='linear'``: LinearSVC (+OneVsRest for multiclass), exact.
+    - ``kernel='rbf'``: random-Fourier-feature approximation — a seeded
+      ``_RandomFourierFeatures`` map (``n_components`` cosine features,
+      default 100) followed by LinearSVC. This approximates the RBF kernel
+      machine (error ~ O(1/sqrt(n_components))); it is a documented
+      approximation, not exact SVC, but serves the reference's *default*
+      kernel instead of rejecting it. ``gamma='scale'`` replays sklearn's
+      1/(n_features * X.var()) from one training-set aggregate.
+    - other kernels (poly/sigmoid) raise.
+
+    ``scale_features`` adds an MLlib StandardScaler stage (before the RFF
+    map, matching the reference's scale-then-SVC order). The reference
+    ``score()`` double-scaling bug (``:796-800``) is not reproduced.
+    ``predict_proba`` raises like the reference does when
     ``probability=False`` (LinearSVC has no probability output)."""
 
     def __init__(
@@ -406,6 +447,7 @@ class SVMFaultDetector(_AssembledPipelineDetector):
         probability=False,
         scale_features=True,
         max_iter=100,
+        n_components=100,
         param_search_space=None,
         n_iter=10,
         search_method="random",
@@ -413,19 +455,70 @@ class SVMFaultDetector(_AssembledPipelineDetector):
         random_state=None,
     ):
         super().__init__(param_search_space, n_iter, search_method, cv, random_state)
-        if kernel != "linear":
+        if kernel not in ("linear", "rbf"):
             raise NotImplementedError(
-                f"kernel={kernel!r}: MLlib provides no kernel SVM; "
-                "only 'linear' (LinearSVC + OneVsRest) is supported"
+                f"kernel={kernel!r}: MLlib provides no kernel SVM; supported "
+                "here: 'linear' (exact LinearSVC) and 'rbf' (random Fourier "
+                "feature approximation)"
             )
         self.C = C
         self.kernel = kernel
+        self.gamma = gamma
         self.probability = probability
         self.scale_features = scale_features
         self.max_iter = max_iter
+        self.n_components = n_components
+        self._gamma_value: float | None = None
 
     def _default_params(self):
         return {"C": self.C, "kernel": self.kernel, "max_iter": self.max_iter}
+
+    def fit(self, X, y=None, test_size: float = 0.2, optimize: bool = False):
+        if self.kernel == "rbf":
+            if isinstance(self.gamma, (int, float)):
+                self._gamma_value = float(self.gamma)
+            else:  # sklearn 'scale': 1 / (n_features * Var(flattened X))
+                df = self._to_train_df(X, y)
+                d = len(self._feature_cols)
+                agg = df.select(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(F.col(c)).alias(f"s{i}") for i, c in enumerate(self._feature_cols)],
+                    *[
+                        F.sum(F.col(c) * F.col(c)).alias(f"q{i}")
+                        for i, c in enumerate(self._feature_cols)
+                    ],
+                ).first()
+                n_vals = float(agg["n"]) * d
+                s = sum(float(agg[f"s{i}"]) for i in range(d))
+                q = sum(float(agg[f"q{i}"]) for i in range(d))
+                var = q / n_vals - (s / n_vals) ** 2
+                self._gamma_value = 1.0 / (d * var) if var > 1e-24 else 1.0
+        return super().fit(X, y, test_size=test_size, optimize=optimize)
+
+    def _build_pipeline(self, params, n_classes):
+        if self.kernel != "rbf":
+            return super()._build_pipeline(params, n_classes)
+        stages = [
+            VectorAssembler(inputCols=self._feature_cols, outputCol="_features_raw")
+        ]
+        feat_col = "_features_raw"
+        if self.scale_features:
+            stages.append(
+                MLStandardScaler(
+                    inputCol=feat_col, outputCol="_features", withMean=True, withStd=True
+                )
+            )
+            feat_col = "_features"
+        rng = np.random.default_rng(self.random_state if self.random_state is not None else 0)
+        d = len(self._feature_cols)
+        D = int(self.n_components)
+        W = rng.standard_normal((D, d)) * np.sqrt(2.0 * self._gamma_value)
+        b = rng.uniform(0.0, 2.0 * np.pi, size=D)
+        stages.append(_RandomFourierFeatures(feat_col, W, b, "_rff_features"))
+        clf = self._classifier(params, n_classes)
+        clf.setFeaturesCol("_rff_features")
+        stages.append(clf)
+        return Pipeline(stages=stages)
 
     def _classifier(self, params, n_classes):
         svc = LinearSVC(

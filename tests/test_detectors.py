@@ -69,9 +69,19 @@ def test_svm_linear(spark, data):
         det.predict_proba(Xte)
 
 
-def test_svm_rejects_rbf():
+def test_svm_rbf_random_fourier(spark, data):
+    """kernel='rbf' (the reference's default) runs via the seeded random-
+    Fourier-feature map and must classify the blobs about as well as the
+    linear kernel does (same 0.85 floor)."""
+    Xtr, ytr, Xte, yte = data
+    det = SVMFaultDetector(kernel="rbf", max_iter=50, random_state=42).fit(Xtr, ytr)
+    assert det.score(Xte, yte) > 0.85
+    assert det._gamma_value is not None and det._gamma_value > 0
+
+
+def test_svm_rejects_unsupported_kernels():
     with pytest.raises(NotImplementedError):
-        SVMFaultDetector(kernel="rbf")
+        SVMFaultDetector(kernel="poly")
 
 
 def test_lgbm_and_catboost_aliases(spark, data):
