@@ -44,7 +44,10 @@ def prepare_supervised_data(
 
     Returns (windows_df ``(series_id, window_start, x, y)``, (min, max)).
     Stats are computed over the WHOLE input (train+test jointly) unless
-    given — reference parity (``time_series_model.py:121-122``).
+    given — same protocol as the reference (``time_series_model.py:121-122``).
+    Note the reference normalizes float32 arrays while this path computes
+    stats and values in float64; normalized values can differ from the
+    reference at ~1e-7 relative (documented deviation, not bit parity).
     """
     if stride > 1:
         series = series.where(F.col("ts") % stride == 0).withColumn(

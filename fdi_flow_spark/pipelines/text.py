@@ -168,12 +168,18 @@ def document_fingerprint(
                     continue
                 codes = np.array([ord(c) for c in text], dtype=np.int64)
                 n_grams = len(codes) - (k - 1)
-                if n_grams < window:
-                    continue
+                if n_grams < 1:
+                    continue  # no k-gram at all: nothing to fingerprint
                 acc = np.zeros(n_grams, dtype=np.int64)
                 for j in range(k):
                     acc = (acc * base + codes[j : j + n_grams]) % mod
-                mins = np.lib.stride_tricks.sliding_window_view(acc, window).min(axis=1)
+                if n_grams < window:
+                    # short doc: the whole doc is one window (standard
+                    # winnowing edge rule) — every doc with >=1 k-gram
+                    # yields >=1 fingerprint instead of silently dropping
+                    mins = np.array([acc.min()], dtype=np.int64)
+                else:
+                    mins = np.lib.stride_tricks.sliding_window_view(acc, window).min(axis=1)
                 for fp in np.unique(mins):
                     ids_out.append(did)
                     fps_out.append(int(fp))

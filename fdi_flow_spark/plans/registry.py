@@ -1805,7 +1805,7 @@ def q_simhash(spark, sf_dir):
              COUNT(*) OVER (PARTITION BY doc_id) AS ng
       FROM grams)
     SELECT DISTINCT doc_id, m AS fingerprint
-    FROM mins WHERE p <= ng - 15
+    FROM mins WHERE p <= ng - 15 OR p = 1
     """,
 )
 def q_doc_fingerprint(spark, sf_dir):

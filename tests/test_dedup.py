@@ -125,3 +125,29 @@ def test_prefix_filter_lossless_char_unit(spark, docs_df):
     )
     assert pruned == full
     assert len(full) > 0
+
+
+def test_winnowing_short_docs_not_dropped(spark):
+    """Docs with at least one k-gram but fewer than `window` grams must emit
+    the min over all their grams (one fingerprint), not silently vanish;
+    identical short docs share that fingerprint. Matches the oracle SQL's
+    `p <= ng - (window-1) OR p = 1` rule."""
+    from fdi_flow_spark.pipelines.text import document_fingerprint
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short doc"),          # 9 chars -> 2 grams of k=8, < window
+            (2, "short doc"),          # duplicate of 1
+            (3, "tiny"),               # < k chars: zero grams, no fingerprint
+            (4, "x" * 40),             # long enough for real windows
+        ],
+        schema="doc_id long, text string",
+    )
+    fp = document_fingerprint(docs).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc.get(1) and by_doc[1] == by_doc[2]
+    assert len(by_doc[1]) == 1
+    assert 3 not in by_doc
+    assert by_doc.get(4)
