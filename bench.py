@@ -2,17 +2,21 @@
 """Benchmark runner: executes the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+"queries": {name: sec, ...}, "spread": {name: [min, max]}, "sf": ...}.
 
 Each query is executed with a noop write (full pipeline execution, no
-driver-side collect cost). The registry import is local so the driver can run
-this file standalone from the repo root.
+driver-side collect cost) $SPARK_GRAFT_BENCH_N times (default 3) in
+round-robin passes; per-query numbers are MEDIANS — single cold runs at this
+scale are codegen/JIT-dominated and swing ±40% run to run, which round 2
+demonstrated by "regressing" untouched queries. The registry import is local
+so the driver can run this file standalone from the repo root.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -63,6 +67,7 @@ BENCH_QUERIES = [
     "simulate_euler_events",
     "observer_luenberger_events",
     "observer_kalman_events",
+    "observer_sliding_events",
     # extension ops
     "dedup_exact",
     "ngram_jaccard_pairs",
@@ -105,13 +110,21 @@ def main() -> None:
     wide.groupBy((wide.id % 97).alias("k")).count().count()
     wide.mapInPandas(lambda it: it, schema="id long").count()
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
+    runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    # round-robin passes (not back-to-back repeats) so every query gets one
+    # cold run and the later passes measure the steady state
+    for _ in range(n_runs):
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs[name].append(time.perf_counter() - start)
 
+    timings = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
+    spread = {
+        name: [round(min(ts), 3), round(max(ts), 3)] for name, ts in runs.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -120,6 +133,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "n_runs": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
