@@ -11,10 +11,15 @@ Semantics mirror the reference (``/root/reference/fdi_flow/models/``):
 - ``NonlinearStateSpaceModel`` / ``NonlinearDiscreteStateSpaceModel``
   (``nonlinear_models.py``): user callables f/g shipped in the UDF closure.
 
-Deviation (documented): the reference's non-Euler path uses scipy
-``solve_ivp`` (adaptive RK45, rtol=1e-3); scipy is absent here, so any
-``method != 'euler'`` runs a fixed-step classic RK4 on the same output grid —
-its local error is orders below the reference's default tolerance.
+Non-Euler path: the reference calls scipy ``solve_ivp`` (adaptive RK45,
+rtol=1e-3, atol=1e-6, dense output at ``t_eval``; ``linear_models.py:72``,
+``nonlinear_models.py:52``). scipy is absent here, so ``_rk45_path`` below is
+a from-scratch adaptive Dormand-Prince RK5(4) with the same defaults and
+PI-free step control, filling the output grid from cubic-Hermite dense
+output inside each accepted step. ``method='rk4'`` keeps the fixed-grid
+classic RK4 as a cheap deterministic alternative; any other non-euler name
+(``'RK45'``, ``'Radau'``, ...) runs the adaptive integrator (no separate
+stiff solver — documented deviation).
 
 Each model is a plain picklable object whose ``simulate`` returns the
 reference's dict; ``simulate_rows`` yields the Spark row layout
@@ -24,6 +29,98 @@ reference's dict; ``simulate_rows`` yields the Spark row layout
 from __future__ import annotations
 
 import numpy as np
+
+
+# Dormand-Prince RK5(4) tableau (public: Dormand & Prince 1980; same pair
+# scipy's RK45 uses). _DP_B is the 5th-order solution weights; _DP_E is the
+# embedded 4th-minus-5th error estimator including the FSAL stage.
+_DP_C = np.array([1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+_DP_A = [
+    np.array([1 / 5]),
+    np.array([3 / 40, 9 / 40]),
+    np.array([44 / 45, -56 / 15, 32 / 9]),
+    np.array([19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729]),
+    np.array([9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656]),
+    np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84]),
+]
+_DP_B = np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
+_DP_E = np.array(
+    [71 / 57600, 0.0, -71 / 16695, 71 / 1920, -17253 / 339200, 22 / 525, -1 / 40]
+)
+
+
+def _initial_step(rhs, t0, x0, f0, t_span, rtol, atol):
+    """Hairer/Wanner starting-step heuristic (the one scipy implements)."""
+    scale = atol + rtol * np.abs(x0)
+    d0 = np.sqrt(np.mean((x0 / scale) ** 2))
+    d1 = np.sqrt(np.mean((f0 / scale) ** 2))
+    h0 = 1e-6 if (d0 < 1e-5 or d1 < 1e-5) else 0.01 * d0 / d1
+    f1 = rhs(t0 + h0, x0 + h0 * f0)
+    d2 = np.sqrt(np.mean(((f1 - f0) / scale) ** 2)) / h0
+    if max(d1, d2) <= 1e-15:
+        h1 = max(1e-6, h0 * 1e-3)
+    else:
+        h1 = (0.01 / max(d1, d2)) ** 0.2
+    return min(100 * h0, h1, t_span)
+
+
+def _rk45_path(rhs, x0: np.ndarray, time: np.ndarray, rtol=1e-3, atol=1e-6) -> np.ndarray:
+    """Adaptive Dormand-Prince RK5(4) over ``[time[0], time[-1]]``, sampled at
+    ``time`` (uniform ascending grid) via cubic-Hermite dense output.
+
+    Step acceptance: RMS error norm against ``atol + rtol*max(|y0|,|y1|)``
+    per component; safety 0.9, growth clamp [0.2, 10], FSAL reuse — the same
+    controller scipy's RK45 runs. Dense output is the Hermite cubic on
+    ``(y0, f0, y1, f1)`` (O(h^4), one order below scipy's quartic
+    interpolant; both are inside the controlled step error at these
+    tolerances).
+    """
+    x = np.asarray(x0, dtype=float)
+    n = len(time)
+    out = np.zeros((n, len(x)))
+    if n == 0:
+        return out
+    out[0] = x
+    if n == 1:
+        return out
+    t, t_end = float(time[0]), float(time[-1])
+    f = rhs(t, x)
+    h = _initial_step(rhs, t, x, f, t_end - t, rtol, atol)
+    K = np.empty((7, len(x)))
+    gi = 1  # next output-grid index to fill
+    max_steps = 100 * n + 10_000  # runaway guard far above any sane path
+    for _ in range(max_steps):
+        if gi >= n:
+            return out
+        h = min(h, t_end - t)
+        K[0] = f
+        for s in range(5):
+            K[s + 1] = rhs(t + _DP_C[s] * h, x + h * (_DP_A[s] @ K[: s + 1]))
+        x_new = x + h * (_DP_A[5] @ K[:6])
+        t_new = t + h
+        K[6] = rhs(t_new, x_new)  # FSAL: also f at the new point
+        scale = atol + rtol * np.maximum(np.abs(x), np.abs(x_new))
+        err = np.sqrt(np.mean((h * (_DP_E @ K) / scale) ** 2))
+        if err <= 1.0:
+            # fill grid points inside (t, t_new] from the Hermite cubic
+            while gi < n and time[gi] <= t_new + 1e-12 * max(abs(t_new), 1.0):
+                th = (time[gi] - t) / h
+                h00 = (1 + 2 * th) * (1 - th) ** 2
+                h10 = th * (1 - th) ** 2
+                h01 = th * th * (3 - 2 * th)
+                h11 = th * th * (th - 1)
+                out[gi] = h00 * x + h10 * h * K[0] + h01 * x_new + h11 * h * K[6]
+                gi += 1
+            t, x, f = t_new, x_new, K[6]
+            if t >= t_end - 1e-12 * max(abs(t_end), 1.0):
+                while gi < n:  # numerical tail: clamp to the final state
+                    out[gi] = x
+                    gi += 1
+                return out
+            h *= min(10.0, max(0.2, 0.9 * err ** -0.2)) if err > 0 else 10.0
+        else:
+            h *= max(0.2, 0.9 * err ** -0.2)
+    raise RuntimeError("RK45 failed to converge: step count exceeded")
 
 
 def _rk4_path(rhs, x0: np.ndarray, time: np.ndarray) -> np.ndarray:
@@ -56,7 +153,7 @@ class LinearContinuousStateSpaceModel:
         self.m = self.B.shape[1]
         self.p = self.C.shape[0]
 
-    def simulate(self, u, x0, t_final, dt, method="euler"):
+    def simulate(self, u, x0, t_final, dt, method="euler", rtol=1e-3, atol=1e-6):
         u = np.atleast_2d(np.array(u, dtype=float))
         x0 = np.array(x0, dtype=float)
         n_steps = int(t_final / dt)
@@ -78,7 +175,10 @@ class LinearContinuousStateSpaceModel:
                 inputs[i] = ui
         else:
             rhs = lambda t, x: self.A @ x + self.B @ u_at(t)  # noqa: E731
-            states = _rk4_path(rhs, x0, time)
+            if method == "rk4":
+                states = _rk4_path(rhs, x0, time)
+            else:  # 'RK45', 'Radau', ... -> adaptive DP5(4), solve_ivp parity
+                states = _rk45_path(rhs, x0, time, rtol=rtol, atol=atol)
             inputs = np.array([u_at(t) for t in time])
             outputs = np.array([self.C @ xi + self.D @ ui for xi, ui in zip(states, inputs)])
         return {"time": time, "states": states, "outputs": outputs, "inputs": inputs}
@@ -122,7 +222,7 @@ class NonlinearStateSpaceModel:
         self.f = f
         self.g = g
 
-    def simulate(self, u, x0, t_final, dt, method="RK45"):
+    def simulate(self, u, x0, t_final, dt, method="RK45", rtol=1e-3, atol=1e-6):
         u = np.atleast_2d(np.array(u, dtype=float))
         x0 = np.array(x0, dtype=float)
         n_steps = int(t_final / dt)
@@ -132,7 +232,10 @@ class NonlinearStateSpaceModel:
             return u[min(int(t / dt), len(u) - 1)]
 
         rhs = lambda t, x: np.asarray(self.f(x, u_at(t), t), dtype=float)  # noqa: E731
-        states = _rk4_path(rhs, x0, time)
+        if method == "rk4":
+            states = _rk4_path(rhs, x0, time)
+        else:
+            states = _rk45_path(rhs, x0, time, rtol=rtol, atol=atol)
         inputs = np.array([u_at(t) for t in time])
         outputs = np.array([np.asarray(self.g(x, u_at(t), t)) for x, t in zip(states, time)])
         return {"time": time, "states": states, "outputs": outputs, "inputs": inputs}

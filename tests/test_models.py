@@ -30,19 +30,70 @@ def test_euler_scalar_closed_form():
     np.testing.assert_allclose(res["outputs"][:, 0], expected, rtol=1e-10)
 
 
-def test_rk4_matches_matrix_exponential():
-    m = LinearContinuousStateSpaceModel(A, B, C, D)
-    tf, dt = 2.0, 0.01
-    n_steps = int(tf / dt)
-    u = np.zeros((n_steps, 2))
-    x0 = np.array([1.0, -0.5, 0.25])
-    res = m.simulate(u, x0, tf, dt, method="RK45")
-    An = np.array(A)
+def _exact_states(An, x0, times):
     # exact solution x(t) = expm(A t) x0 via eigendecomposition
     w, V = np.linalg.eig(An)
-    for i, t in enumerate(res["time"]):
-        exact = np.real(V @ np.diag(np.exp(w * t)) @ np.linalg.inv(V) @ x0)
-        np.testing.assert_allclose(res["states"][i], exact, atol=1e-7)
+    Vi = np.linalg.inv(V)
+    return np.array([np.real(V @ np.diag(np.exp(w * t)) @ Vi @ x0) for t in times])
+
+
+def test_rk4_fixed_grid_matches_matrix_exponential():
+    m = LinearContinuousStateSpaceModel(A, B, C, D)
+    tf, dt = 2.0, 0.01
+    u = np.zeros((int(tf / dt), 2))
+    x0 = np.array([1.0, -0.5, 0.25])
+    res = m.simulate(u, x0, tf, dt, method="rk4")
+    np.testing.assert_allclose(
+        res["states"], _exact_states(np.array(A), x0, res["time"]), atol=1e-7
+    )
+
+
+def test_rk45_default_tolerance_matches_matrix_exponential():
+    m = LinearContinuousStateSpaceModel(A, B, C, D)
+    tf, dt = 2.0, 0.01
+    u = np.zeros((int(tf / dt), 2))
+    x0 = np.array([1.0, -0.5, 0.25])
+    res = m.simulate(u, x0, tf, dt, method="RK45")  # rtol=1e-3/atol=1e-6 defaults
+    np.testing.assert_allclose(
+        res["states"], _exact_states(np.array(A), x0, res["time"]), atol=5e-4
+    )
+
+
+def test_rk45_tight_tolerance_tracks_exact():
+    m = LinearContinuousStateSpaceModel(A, B, C, D)
+    tf, dt = 2.0, 0.01
+    u = np.zeros((int(tf / dt), 2))
+    x0 = np.array([1.0, -0.5, 0.25])
+    res = m.simulate(u, x0, tf, dt, method="RK45", rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(
+        res["states"], _exact_states(np.array(A), x0, res["time"]), atol=1e-8
+    )
+
+
+def test_rk45_is_adaptive_fewer_rhs_evals_than_fixed_grid():
+    # Smooth autonomous decay on a dense output grid: the adaptive integrator
+    # must take far fewer rhs evaluations than fixed-grid RK4 (4 per step).
+    from fdi_flow_spark.models.systems import _rk45_path
+
+    calls = {"n": 0}
+
+    def rhs(t, x):
+        calls["n"] += 1
+        return -0.8 * x
+
+    time = np.linspace(0, 5.0, 2001)
+    out = _rk45_path(rhs, np.array([3.0]), time)
+    np.testing.assert_allclose(out[:, 0], 3.0 * np.exp(-0.8 * time), atol=5e-3)
+    assert calls["n"] < 0.25 * (4 * 2000), f"not adaptive: {calls['n']} rhs evals"
+
+
+def test_rk45_degenerate_grids():
+    from fdi_flow_spark.models.systems import _rk45_path
+
+    rhs = lambda t, x: -x  # noqa: E731
+    assert _rk45_path(rhs, np.array([1.0]), np.array([])).shape == (0, 1)
+    one = _rk45_path(rhs, np.array([1.0]), np.array([0.0]))
+    np.testing.assert_allclose(one, [[1.0]])
 
 
 def test_discrete_closed_form():
