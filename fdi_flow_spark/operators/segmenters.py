@@ -250,6 +250,137 @@ def cubic_spline_eval(x, y, x_new):
     )
 
 
+def _solve_penta_ldl(d0, d1, d2, b):
+    """Solve ``M x = b`` for symmetric positive-definite pentadiagonal ``M``
+    given as bands (``d0`` main, ``d1`` first off, ``d2`` second off) via an
+    O(n) LDL^T factorization."""
+    import numpy as np
+
+    m = len(d0)
+    D = np.empty(m)
+    l1 = np.zeros(m)  # L[i, i-1]
+    l2 = np.zeros(m)  # L[i, i-2]
+    z = np.empty(m)
+    for i in range(m):
+        if i >= 2:
+            l2[i] = d2[i - 2] / D[i - 2]
+        if i >= 1:
+            carry = l2[i] * D[i - 2] * l1[i - 1] if i >= 2 else 0.0
+            l1[i] = (d1[i - 1] - carry) / D[i - 1]
+        D[i] = (
+            d0[i]
+            - (l1[i] ** 2 * D[i - 1] if i >= 1 else 0.0)
+            - (l2[i] ** 2 * D[i - 2] if i >= 2 else 0.0)
+        )
+        z[i] = (
+            b[i]
+            - (l1[i] * z[i - 1] if i >= 1 else 0.0)
+            - (l2[i] * z[i - 2] if i >= 2 else 0.0)
+        )
+    w = z / D
+    x = np.empty(m)
+    for i in range(m - 1, -1, -1):
+        x[i] = w[i]
+        if i + 1 < m:
+            x[i] -= l1[i + 1] * x[i + 1]
+        if i + 2 < m:
+            x[i] -= l2[i + 2] * x[i + 2]
+    return x
+
+
+def smoothing_spline_eval(x, y, s, x_new):
+    """Natural cubic smoothing spline (Reinsch 1967; Green & Silverman 1994,
+    ch. 2-3), scipy-free.
+
+    Honors FITPACK's ``splrep(s=s)`` contract at the reference call site
+    (``/root/reference/fdi_flow/preprocessing/segmenters.py:224``): pick the
+    roughness weight ``alpha`` so the residual sum of squares equals ``s``
+    (the constraint is active whenever interpolation is rougher than a
+    straight line), then evaluate at ``x_new``. When even the smoothest
+    natural spline — the least-squares line — already satisfies
+    ``RSS <= s``, the line is returned, matching FITPACK's fall-through.
+    Differences from FITPACK are documented in ``spline_upsample``.
+
+    Core identity (Green & Silverman eq. 2.14): with second-difference
+    matrix Q (n x n-2) and tridiagonal R, the minimizer of
+    ``||y-f||^2 + alpha * integral(f'')^2`` solves
+    ``(R + alpha Q^T Q) gamma = Q^T y``, ``f = y - alpha Q gamma``, and
+    ``gamma`` are the interior second derivatives of the natural spline.
+    Each alpha-probe is one O(n) pentadiagonal solve; alpha is found by
+    bisection on the monotone map ``alpha -> RSS(alpha)``.
+    """
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    x_new = np.asarray(x_new, dtype=np.float64)
+    n = len(x)
+    if s <= 0 or n < 3:
+        return cubic_spline_eval(x, y, x_new)
+
+    # least-squares line = the alpha -> infinity limit of the natural spline
+    slope, intercept = np.polyfit(x, y, 1)
+    rss_line = float(np.sum((y - (slope * x + intercept)) ** 2))
+    if rss_line <= s:
+        return slope * x_new + intercept
+
+    h = np.diff(x)
+    inv = 1.0 / h
+    # Q^T y: second divided differences at interior knots
+    b = (y[2:] - y[1:-1]) * inv[1:] - (y[1:-1] - y[:-2]) * inv[:-1]
+    # R bands (tridiagonal)
+    r0 = (h[:-1] + h[1:]) / 3.0
+    r1 = h[1:-1] / 6.0
+    # Q^T Q bands (pentadiagonal)
+    mid = -(inv[:-1] + inv[1:])  # Q[j+1, j]
+    q0 = inv[:-1] ** 2 + mid**2 + inv[1:] ** 2
+    q1 = mid[:-1] * inv[1:-1] + inv[1:-1] * mid[1:]
+    q2 = inv[1:-2] * inv[2:-1]
+
+    def probe(alpha):
+        gamma = _solve_penta_ldl(
+            r0 + alpha * q0,
+            (r1 + alpha * q1) if len(r1) else r1,
+            alpha * q2 if len(q2) else q2,
+            b,
+        )
+        r = np.zeros(n)
+        r[: n - 2] += gamma * inv[: n - 2]
+        r[1 : n - 1] += gamma * mid
+        r[2:n] += gamma * inv[1 : n - 1]
+        rss = alpha * alpha * float(np.sum(r * r))
+        return gamma, r, rss
+
+    lo, hi = 0.0, 1.0
+    while probe(hi)[2] < s:
+        lo = hi
+        hi *= 10.0
+        if hi > 1e18:  # numerically line-like; rss_line check above bounds this
+            break
+    for _ in range(60):
+        alpha = 0.5 * (lo + hi)
+        _, _, rss = probe(alpha)
+        if rss > s:
+            hi = alpha
+        else:
+            lo = alpha
+    alpha = 0.5 * (lo + hi)
+    gamma, r, _ = probe(alpha)
+    f = y - alpha * r
+    M = np.zeros(n)  # natural ends: f''(x_0) = f''(x_{n-1}) = 0
+    M[1:-1] = gamma
+    idx = np.clip(np.searchsorted(x, x_new, side="right") - 1, 0, n - 2)
+    xl, xr = x[idx], x[idx + 1]
+    hl = xr - xl
+    t_r = (x_new - xl) / hl
+    t_l = 1.0 - t_r
+    return (
+        t_l * f[idx]
+        + t_r * f[idx + 1]
+        + ((t_l**3 - t_l) * M[idx] + (t_r**3 - t_r) * M[idx + 1]) * hl**2 / 6.0
+    )
+
+
 _RESAMPLE_SCHEMA = StructType(
     [
         StructField("series_id", StringType()),
@@ -287,23 +418,45 @@ def spline_upsample(
     ``smoothing == 0``: interpolating spline — degree 1 is exact linear
     interpolation; degree 2/3 use the cubic interpolation kernel above
     (scipy-free; matches ``splrep(s=0)`` up to end-condition choice).
-    ``smoothing > 0`` needs scipy's FITPACK and raises if scipy is absent.
+    ``smoothing > 0``: Reinsch natural cubic smoothing spline
+    (``smoothing_spline_eval``) satisfying FITPACK's active residual
+    constraint ``sum((y-f)^2) == s``. Documented deviations from FITPACK:
+    the spline is the natural smoother on all input points (FITPACK places
+    few adaptive knots, so values differ within the shared ``s`` budget),
+    and the cubic smoother is used for every degree (FITPACK would build a
+    degree-k smoothing spline).
     """
     if spline_degree not in (1, 2, 3):
         raise ValueError("Spline degree must be 1, 2 or 3")
     if target_size <= 0:
         raise ValueError("Target size must be positive")
     if smoothing > 0:
-        try:
-            import scipy  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "smoothing>0 requires scipy (FITPACK smoothing splines), "
-                "which is not installed in this environment"
-            ) from e
+        return _resample_smoothing(df, target_size, smoothing)
     if spline_degree == 1:
         return resample(df, target_size, method="linear")
     return _resample_cubic(df, target_size)
+
+
+def _resample_smoothing(df: DataFrame, target_size: int, s: float) -> DataFrame:
+    """Per-series smoothing-spline resample via ``applyInPandas`` — one
+    shuffle on series_id, O(n * log-bisection) NumPy per group."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("ts")
+        y = pdf["value"].to_numpy(dtype=np.float64)
+        x_orig, x_new = _natural_interp_grid(len(y), target_size)
+        out = smoothing_spline_eval(x_orig, y, s, x_new)
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].iloc[0],
+                "ts": np.arange(target_size, dtype=np.int64),
+                "value": out,
+            }
+        )
+
+    return df.groupBy(SERIES_ID).applyInPandas(fn, schema=_RESAMPLE_SCHEMA)
 
 
 def failure_encode(df: DataFrame, failure_threshold: float = 10.0) -> DataFrame:

@@ -989,6 +989,18 @@ def q_spline(spark, sf_dir):
     return _rounded(spline_upsample(events_series(spark, sf_dir), 151, spline_degree=3))
 
 
+@register("spline_smooth_resample")  # rows-only: Reinsch bisection isn't SQL
+def q_spline_smooth(spark, sf_dir):
+    """G3 ``smoothing>0`` surface (reference ``segmenters.py:224``,
+    ``splrep(s=smoothing)``): Reinsch natural-cubic smoothing spline per
+    series, RSS pinned to ``s`` — see ``smoothing_spline_eval``."""
+    from fdi_flow_spark.operators import spline_upsample
+
+    return _rounded(
+        spline_upsample(events_series(spark, sf_dir), 120, spline_degree=3, smoothing=2.0)
+    )
+
+
 # ================================================= simulation & observers
 
 @register("simulate_linear_batch")  # rows-only: sequential ODE integration

@@ -128,3 +128,98 @@ def test_failure_encode(spark, arr, thr):
     df = make_long(spark, {"s": arr})
     row = failure_encode(df, thr).collect()[0]
     assert row.fail_code == ref_failure_encode(arr, thr)
+
+
+# ---------------- smoothing spline (Reinsch, FITPACK s>0 contract) ----------
+
+
+def test_smoothing_spline_rss_matches_s():
+    # The defining property: residual sum of squares at the knots equals s.
+    from fdi_flow_spark.operators.segmenters import smoothing_spline_eval
+
+    rng = np.random.default_rng(7)
+    x = np.linspace(0, 1, 200)
+    y = np.sin(2 * np.pi * x) + rng.normal(0, 0.3, 200)
+    for s in (0.5, 2.0, 8.0):
+        f = smoothing_spline_eval(x, y, s, x)
+        rss = float(np.sum((y - f) ** 2))
+        assert abs(rss - s) < 1e-6 * max(s, 1.0), (s, rss)
+
+
+def test_smoothing_spline_large_s_is_least_squares_line():
+    from fdi_flow_spark.operators.segmenters import smoothing_spline_eval
+
+    rng = np.random.default_rng(11)
+    x = np.linspace(0, 2, 50)
+    y = 3.0 * x - 1.0 + rng.normal(0, 0.1, 50)
+    slope, intercept = np.polyfit(x, y, 1)
+    x_new = np.linspace(0, 2, 17)
+    out = smoothing_spline_eval(x, y, 1e6, x_new)
+    np.testing.assert_allclose(out, slope * x_new + intercept, rtol=1e-10, atol=1e-10)
+
+
+def test_smoothing_spline_tiny_s_approaches_interpolation():
+    from fdi_flow_spark.operators.segmenters import smoothing_spline_eval
+
+    rng = np.random.default_rng(13)
+    x = np.linspace(0, 1, 40)
+    y = rng.normal(0, 1, 40)
+    f = smoothing_spline_eval(x, y, 1e-10, x)
+    np.testing.assert_allclose(f, y, atol=2e-5)
+
+
+def test_smoothing_spline_denoises_toward_truth():
+    from fdi_flow_spark.operators.segmenters import smoothing_spline_eval
+
+    rng = np.random.default_rng(17)
+    x = np.linspace(0, 1, 400)
+    truth = np.sin(2 * np.pi * x)
+    noise = rng.normal(0, 0.25, 400)
+    y = truth + noise
+    # s at the noise energy level: the classic choice s ~ n * sigma^2
+    f = smoothing_spline_eval(x, y, 400 * 0.25**2, x)
+    assert np.mean((f - truth) ** 2) < 0.2 * np.mean((y - truth) ** 2)
+
+
+def test_smoothing_spline_s_zero_is_interpolating_spline():
+    from fdi_flow_spark.operators.segmenters import smoothing_spline_eval
+
+    x = np.linspace(0, 1, 9)
+    y = np.random.default_rng(5).normal(0, 1, 9)
+    x_new = np.linspace(0, 1, 31)
+    np.testing.assert_allclose(
+        smoothing_spline_eval(x, y, 0.0, x_new), cubic_spline_eval(x, y, x_new), rtol=1e-12
+    )
+
+
+def test_smoothing_spline_small_n():
+    from fdi_flow_spark.operators.segmenters import smoothing_spline_eval
+
+    # n=3: pentadiagonal system degenerates to 1x1; must still honor RSS==s
+    x = np.array([0.0, 0.5, 1.0])
+    y = np.array([0.0, 1.0, 0.0])
+    f = smoothing_spline_eval(x, y, 0.1, x)
+    assert abs(float(np.sum((y - f) ** 2)) - 0.1) < 1e-8
+    # n=2 falls back to linear interpolation
+    np.testing.assert_allclose(
+        smoothing_spline_eval([0.0, 1.0], [1.0, 3.0], 5.0, [0.5]), [2.0]
+    )
+
+
+def test_spline_upsample_smoothing_spark(spark):
+    rng = np.random.default_rng(23)
+    arrs = {f"s{i}": np.sin(np.linspace(0, 6, 120)) + rng.normal(0, 0.2, 120) for i in range(3)}
+    df = make_long(spark, arrs)
+    out = spline_upsample(df, 200, spline_degree=3, smoothing=1.5).collect()
+    assert len(out) == 3 * 200
+    by_series = {}
+    for r in out:
+        by_series.setdefault(r.series_id, []).append((r.ts, r.value))
+    from fdi_flow_spark.operators.segmenters import smoothing_spline_eval
+
+    for sid, rows in by_series.items():
+        rows.sort()
+        got = np.array([v for _, v in rows])
+        x = np.linspace(0, 1, 120)
+        expect = smoothing_spline_eval(x, arrs[sid], 1.5, np.linspace(0, 1, 200))
+        np.testing.assert_allclose(got, expect, rtol=1e-9, atol=1e-9)
