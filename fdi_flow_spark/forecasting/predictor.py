@@ -20,12 +20,17 @@ Keras, which is optional here: the model layer raises ``NotImplementedError``
 when TF is missing. Architectures (when TF present) match the reference:
 ``lstm`` = LSTM(100)+Dropout(.2)+Dense(H); ``convlstm`` =
 Conv1D(64,3,relu)+MaxPool(2)+LSTM(100)+Dropout(.2)+Dense(H); adam+mse.
-Distributed inference applies the trained weights with a Pandas UDF.
+
+Inference does NOT need TF: ``forecasting.inference`` reimplements the
+LSTM/Conv1D/MaxPool/Dense forward math in NumPy against the Keras weight
+layouts, so a model trained elsewhere runs distributed Arrow-batched
+inference here from its ``get_weights()`` list (``use_numpy_model``).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from fdi_flow_spark.operators.segmenters import supervised_windows
@@ -176,25 +181,47 @@ class TimeSeriesPredictor:
             raise RuntimeError("model not trained")
         return self.model.evaluate(X_test, y_test, verbose=self.verbose)
 
+    def use_numpy_model(self, model) -> None:
+        """Install a ``NumpyForecastModel`` (e.g. built from Keras
+        ``get_weights()`` trained elsewhere) as the inference engine — the
+        TF-free path for ``predict``/``predict_distributed``."""
+        from fdi_flow_spark.forecasting.inference import NumpyForecastModel
+
+        if not isinstance(model, NumpyForecastModel):
+            raise TypeError("use_numpy_model expects a NumpyForecastModel")
+        self.model = model
+
     def predict(self, X):
         if self.model is None:
             raise RuntimeError("model not trained")
+        from fdi_flow_spark.forecasting.inference import NumpyForecastModel
+
+        if isinstance(self.model, NumpyForecastModel):
+            return self.model.predict(X)
         return self.model.predict(X, verbose=self.verbose)
 
     def predict_distributed(self, windows_df: DataFrame) -> DataFrame:
         """Distributed inference: apply trained weights over packed window
-        rows with an Arrow-batched Pandas UDF (predict_batch pattern)."""
+        rows with an Arrow-batched Pandas UDF (predict_batch pattern).
+        Works with either a Keras model (TF path) or a NumpyForecastModel
+        (TF-free path, ``forecasting.inference``)."""
         if self.model is None:
             raise RuntimeError("model not trained")
+        from fdi_flow_spark.forecasting.inference import (
+            NumpyForecastModel,
+            predict_distributed,
+        )
+
+        if isinstance(self.model, NumpyForecastModel):
+            return predict_distributed(windows_df, self.model)
         weights = self.model.get_weights()
         cfg = self.model.to_json()
         T = self.time_steps
 
-        import pandas as pd
         from pyspark.sql.types import ArrayType, DoubleType
 
         @F.pandas_udf(ArrayType(DoubleType()))
-        def infer(xs: "pd.Series") -> "pd.Series":
+        def infer(xs: pd.Series) -> pd.Series:
             from tensorflow.keras.models import model_from_json
 
             local = model_from_json(cfg)

@@ -822,6 +822,29 @@ def q_forecast_prep(spark, sf_dir):
     return wins.withColumn("value", F.round("value", 6))
 
 
+@register("forecast_predict_lstm")  # rows-only: NumPy-LSTM forward pass
+def q_forecast_predict(spark, sf_dir):
+    """P3/P4 inference surface (reference ``time_series_model.py:237-275``,
+    ``model.predict``): deterministic-weight NumPy LSTM twin
+    (``forecasting.inference``) applied distributed over prepared windows;
+    ``y_pred`` flattened to scalar horizon columns for the driver."""
+    from fdi_flow_spark.forecasting.inference import (
+        NumpyForecastModel,
+        predict_distributed,
+    )
+    from fdi_flow_spark.forecasting.predictor import prepare_supervised_data
+
+    wins, _ = prepare_supervised_data(events_series(spark, sf_dir), 20, 2, stride=4)
+    model = NumpyForecastModel.init_random("lstm", 20, output_steps=2, seed=42)
+    out = predict_distributed(wins, model)
+    return out.select(
+        "series_id",
+        "window_start",
+        F.round(F.col("y_pred")[0], 6).alias("yhat1"),
+        F.round(F.col("y_pred")[1], 6).alias("yhat2"),
+    )
+
+
 @register(
     "resample_linear",
     f"""

@@ -78,3 +78,107 @@ def test_build_model_gated_without_tf():
         pass
     with pytest.raises(NotImplementedError):
         pred.build_model()
+
+
+# --------------- NumPy inference twin (forecasting.inference) ---------------
+
+
+def _naive_lstm(x, kernel, recurrent, bias):
+    # independent per-sample, per-step scalar-loop formulation
+    u = recurrent.shape[0]
+    outs = []
+    for xi in x:
+        h = np.zeros(u)
+        c = np.zeros(u)
+        for t in range(xi.shape[0]):
+            z = xi[t] @ kernel + h @ recurrent + bias
+            sig = lambda v: 1.0 / (1.0 + np.exp(-v))  # noqa: E731
+            i, f, g, o = (
+                sig(z[:u]),
+                sig(z[u : 2 * u]),
+                np.tanh(z[2 * u : 3 * u]),
+                sig(z[3 * u :]),
+            )
+            c = f * c + i * g
+            h = o * np.tanh(c)
+        outs.append(h)
+    return np.array(outs)
+
+
+def test_lstm_forward_matches_naive_loop():
+    from fdi_flow_spark.forecasting.inference import lstm_forward
+
+    rng = np.random.default_rng(3)
+    n, T, C, u = 5, 7, 2, 4
+    x = rng.normal(0, 1, (n, T, C))
+    k = rng.normal(0, 0.5, (C, 4 * u))
+    r = rng.normal(0, 0.5, (u, 4 * u))
+    b = rng.normal(0, 0.1, 4 * u)
+    np.testing.assert_allclose(lstm_forward(x, k, r, b), _naive_lstm(x, k, r, b), rtol=1e-12)
+
+
+def test_conv1d_and_maxpool_match_naive():
+    from fdi_flow_spark.forecasting.inference import conv1d_forward, maxpool1d
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(0, 1, (3, 10, 2))
+    W = rng.normal(0, 1, (3, 2, 5))
+    b = rng.normal(0, 1, 5)
+    got = conv1d_forward(x, W, b)
+    assert got.shape == (3, 8, 5)
+    for s in range(3):
+        for t in range(8):
+            expect = b + sum(x[s, t + i] @ W[i] for i in range(3))
+            np.testing.assert_allclose(got[s, t], expect, rtol=1e-12)
+    p = maxpool1d(got, 2)
+    assert p.shape == (3, 4, 5)
+    np.testing.assert_allclose(p[1, 0], np.maximum(got[1, 0], got[1, 1]), rtol=1e-12)
+
+
+def test_numpy_model_shapes_and_determinism():
+    from fdi_flow_spark.forecasting.inference import NumpyForecastModel
+
+    X = np.random.default_rng(6).normal(0, 1, (11, 50))
+    for mt in ("lstm", "convlstm"):
+        m = NumpyForecastModel.init_random(mt, 50, output_steps=3, seed=9)
+        out = m.predict(X)
+        assert out.shape == (11, 3)
+        np.testing.assert_array_equal(out, NumpyForecastModel.init_random(mt, 50, 3, 9).predict(X))
+    with pytest.raises(ValueError):
+        NumpyForecastModel("lstm", [np.zeros(2)] * 3)
+    with pytest.raises(ValueError):
+        NumpyForecastModel("transformer", [])
+
+
+@pytest.mark.skipif(
+    not pytest.importorskip("importlib").util.find_spec("tensorflow"),
+    reason="tensorflow absent",
+)
+def test_numpy_model_matches_keras():
+    import tensorflow  # noqa: F401
+
+    p = TimeSeriesPredictor(time_steps=20, output_step=2, model_type="convlstm")
+    model = p.build_model()
+    from fdi_flow_spark.forecasting.inference import NumpyForecastModel
+
+    m = NumpyForecastModel.from_keras(model, "convlstm")
+    X = np.random.default_rng(8).normal(0, 1, (6, 20)).astype(np.float32)
+    np.testing.assert_allclose(
+        m.predict(X), model.predict(X.reshape(6, 20, 1), verbose=0), atol=1e-5
+    )
+
+
+def test_predict_distributed_numpy_matches_local(spark):
+    from fdi_flow_spark.forecasting.inference import NumpyForecastModel
+
+    rng = np.random.default_rng(12)
+    arrs = {f"s{i}": rng.normal(0, 1, 80) for i in range(2)}
+    wins, _ = prepare_supervised_data(make_long(spark, arrs), time_steps=16, output_steps=2)
+    m = NumpyForecastModel.init_random("lstm", 16, output_steps=2, seed=1)
+    p = TimeSeriesPredictor(time_steps=16, output_step=2, model_type="lstm")
+    p.use_numpy_model(m)
+    rows = p.predict_distributed(wins).orderBy("series_id", "window_start").collect()
+    X = np.array([r.x for r in rows])
+    local = m.predict(X)
+    got = np.array([r.y_pred for r in rows])
+    np.testing.assert_allclose(got, local, rtol=1e-9, atol=1e-12)
