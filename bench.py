@@ -50,8 +50,10 @@ BENCH_QUERIES = [
     "segment_windows",
     "supervised_windows",
     "forecast_prep",
+    "forecast_predict_lstm",
     "resample_linear",
     "resample_nearest",
+    "spline_smooth_resample",
     "asof_join_purchase",
     "failure_encoder",
     "events_stats_salted",
@@ -70,6 +72,7 @@ BENCH_QUERIES = [
     "observer_sliding_events",
     # extension ops
     "dedup_exact",
+    "dedup_components",
     "ngram_jaccard_pairs",
     "minhash_dedup_pairs",
     "simhash_fingerprints",

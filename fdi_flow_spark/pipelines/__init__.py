@@ -1,4 +1,5 @@
 from fdi_flow_spark.pipelines.dedup import (
+    dedup_components,
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -17,6 +18,7 @@ from fdi_flow_spark.pipelines.text import (
 )
 
 __all__ = [
+    "dedup_components",
     "exact_dedup",
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",

@@ -325,3 +325,66 @@ def simhash_fingerprints(
         )
     )
     return fp.select(F.col("id").alias(id_col), "simhash")
+
+
+def dedup_components(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: the clustering step that
+    turns pairwise matches (MinHash/Jaccard/cosine) into dedup groups.
+    Returns ``(doc_id, component_id)`` with ``component_id`` = the smallest
+    doc id in the component; with ``docs`` given, docs in no pair map to
+    themselves (singletons), so the output covers the whole corpus.
+
+    Iterative min-label propagation, Spark-shaped: each round is one
+    hash-shuffle on the node key (edges join labels -> per-node min ->
+    merge), and the loop exits on a converged round (changed-count
+    aggregate == 0) or ``max_iter``. Near-dup components are small and
+    dense (bounded diameter), so rounds ~ 2-4 in practice; pathological
+    chain graphs need diameter rounds — the large-star/small-star
+    alternation (Kiveris et al., MapReduce connected components) is the
+    drop-in upgrade if that regime ever matters. ``localCheckpoint`` cuts
+    lineage per round so the plan does not grow with iterations.
+    """
+    ca, cb = pair_cols
+    edges = (
+        pairs.select(F.col(ca).alias("src"), F.col(cb).alias("dst"))
+        .unionByName(pairs.select(F.col(cb).alias("src"), F.col(ca).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        merged = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                "label",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("new_label"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = merged.where(F.col("new_label") != F.col("label")).count()
+        labels = merged.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    out = labels.select(F.col("node").alias(id_col), F.col("label").alias("component_id"))
+    if docs is None:
+        return out
+    d = docs.select(F.col(id_col))
+    return d.join(out, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("component_id", F.col(id_col)).alias("component_id"),
+    )

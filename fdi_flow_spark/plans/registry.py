@@ -1765,6 +1765,40 @@ def q_minhash(spark, sf_dir):
     )
 
 
+def _register_dedup_components():
+    # Oracle: recursive transitive closure over the exact minhash-pairs SQL
+    # (wrapped as a subquery), component = LEAST(self, MIN(reachable)).
+    mh = ORACLES["minhash_dedup_pairs"]
+    oracle = f"""
+    WITH RECURSIVE
+    base AS (SELECT id_a, id_b FROM ({mh}) mh),
+    edges AS (SELECT id_a AS a, id_b AS b FROM base UNION SELECT id_b, id_a FROM base),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a)
+    SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS component_id
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """
+
+    @register("dedup_components", oracle)
+    def q_dedup_components(spark, sf_dir):
+        """Near-dup clustering: MinHash-LSH pairs -> connected components ->
+        per-doc canonical (min) id, singletons included. The pairs stage never
+        touches the O(n^2) space; the component loop is one node-key shuffle
+        per round with per-round lineage cuts (``dedup_components``)."""
+        from fdi_flow_spark.pipelines.dedup import dedup_components
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = minhash_dedup_pairs(docs, n=2, num_hashes=32, bands=8, threshold=0.2)
+        return dedup_components(pairs, docs=docs)
+
+
+_register_dedup_components()
+
+
 @register(
     "minhash_signatures",
     f"""
@@ -2132,7 +2166,7 @@ _WINDOW_PRIORITY = [
     "top_orders_per_customer", "set_ops_customer_cohorts",
     "min_cost_supplier", "distinct_counts_by_status",
     # filters / scalers / segmenters / recurrences
-    "moving_average_valid", "moving_average_padded", "median_filter_edge",
+    "moving_average_valid", "median_filter_edge",
     "standard_scaler", "minmax_scaler",
     "robust_scaler", "ewma_closed_form", "failure_encoder",
     "segment_windows", "supervised_windows", "forecast_prep",
@@ -2143,7 +2177,7 @@ _WINDOW_PRIORITY = [
     "simulate_euler_events", "observer_kalman_events",
     "observer_sliding_events", "observer_replay_luenberger",
     # SURVEY §2.9 LLM-pipeline operators
-    "dedup_exact", "ngram_jaccard_pairs", "minhash_dedup_pairs",
+    "dedup_exact", "dedup_components", "ngram_jaccard_pairs", "minhash_dedup_pairs",
     "minhash_signatures", "simhash_fingerprints", "document_fingerprint",
     "knn_accuracy", "cosine_topk", "knn_classify", "embedding_near_dup",
     "video_frame_sample", "token_counts", "text_quality", "language_id",
@@ -2158,6 +2192,8 @@ _WINDOW_EXCLUDED_ORACLES = {
     "ewma_chunked",       # chunk-parallel scan twin of ewma_closed_form
     "holt_chunked",       # 2x2 affine-scan twin of holt_smoothing
     "median_filter_zeros",  # zero-pad variant sharing median_filter_edge's kernel
+    "moving_average_padded",  # edge-pad variant sharing moving_average_valid's
+                              # kernel — swapped out for dedup_components (r3)
 }
 
 

@@ -151,3 +151,54 @@ def test_winnowing_short_docs_not_dropped(spark):
     assert len(by_doc[1]) == 1
     assert 3 not in by_doc
     assert by_doc.get(4)
+
+
+# ---------------- connected components (near-dup clustering) ----------------
+
+
+def _union_find_components(pairs, all_ids):
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: min(j for j in all_ids if find(j) == find(i)) for i in all_ids}
+
+
+def test_dedup_components_hand_graph(spark):
+    from fdi_flow_spark.pipelines.dedup import dedup_components
+
+    pairs = [(2, 1), (2, 3), (5, 4), (9, 8), (8, 7)]
+    docs_ids = list(range(1, 11))
+    pdf = spark.createDataFrame(pairs, "id_a int, id_b int")
+    docs = spark.createDataFrame([(i,) for i in docs_ids], "doc_id int")
+    got = {
+        r.doc_id: r.component_id
+        for r in dedup_components(pdf, docs=docs, max_iter=10).collect()
+    }
+    assert got == _union_find_components(pairs, docs_ids)
+
+
+def test_dedup_components_long_chain_converges(spark):
+    from fdi_flow_spark.pipelines.dedup import dedup_components
+
+    # a 12-node path needs ~diameter rounds of min propagation
+    pairs = [(i, i + 1) for i in range(1, 12)]
+    pdf = spark.createDataFrame(pairs, "id_a int, id_b int")
+    got = {r.doc_id: r.component_id for r in dedup_components(pdf, max_iter=15).collect()}
+    assert set(got.values()) == {1} and len(got) == 12
+
+
+def test_dedup_components_no_docs_omits_singletons(spark):
+    from fdi_flow_spark.pipelines.dedup import dedup_components
+
+    pdf = spark.createDataFrame([(4, 2)], "id_a int, id_b int")
+    got = {r.doc_id: r.component_id for r in dedup_components(pdf).collect()}
+    assert got == {2: 2, 4: 2}
