@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     "multimodal_audio_bands",
     "video_frame_sample",
     "token_counts",
+    "corpus_hash_split",
+    "quota_sample",
+    "pii_redact",
     "text_quality",
     "language_id",
 ]

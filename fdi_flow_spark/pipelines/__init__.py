@@ -1,3 +1,4 @@
+from fdi_flow_spark.pipelines.curation import hash_split, pii_redact, quota_sample
 from fdi_flow_spark.pipelines.dedup import (
     dedup_components,
     exact_dedup,
@@ -19,6 +20,9 @@ from fdi_flow_spark.pipelines.text import (
 
 __all__ = [
     "dedup_components",
+    "hash_split",
+    "pii_redact",
+    "quota_sample",
     "exact_dedup",
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",

@@ -1,0 +1,113 @@
+"""Corpus-curation operators for training-data pipelines: deterministic
+splits, per-source quota sampling, PII redaction.
+
+No reference twin — these belong to the driver-mandated LLM-pipeline
+extension surface (SURVEY §2.9), alongside dedup/similarity/text. Design
+rules at 100 TB:
+
+- Splits and sampling must be DETERMINISTIC functions of the data (hash
+  buckets), never ``rand()``: reruns, retries, and late-arriving partitions
+  then land every row in the same split, and the oracle can replay the
+  bucketing exactly.
+- ``hash_split`` is a pure projection — zero shuffle at any scale.
+- ``quota_sample`` is one hash-partitioned window per group key; the hash
+  order makes the kept set stable under input reordering.
+- ``pii_redact`` is JVM-side regexp only (no Python in the row path), with
+  RE2-compatible patterns so the DuckDB oracle runs the same expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# RE2-safe AND java.util.regex-safe (no lookaround, no backrefs) so Spark
+# and the DuckDB oracle evaluate identical semantics.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{7,15}\b",
+}
+
+
+def _hash_bucket(col, seed: int, buckets: int):
+    """md5-bridge bucket in [0, buckets): first 8 hex chars -> int32-safe
+    value, stable across Spark and DuckDB (same construction as the dedup
+    shingle hash)."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(str(seed) + ":"), col.cast("string"))), 1, 8), 16, 10)
+    return h.cast("bigint") % buckets
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: hash the id into 10,000
+    buckets, carve them by cumulative weight. Adds a ``split`` column.
+
+    Pure projection — no shuffle, no state; the same row always lands in
+    the same split on any cluster, any partitioning, any rerun.
+    """
+    weights = weights or {"train": 0.8, "test": 0.2}
+    total = sum(weights.values())
+    bucket = _hash_bucket(F.col(id_col), seed, 10_000)
+    expr = None
+    acc = 0.0
+    items = sorted(weights.items())  # deterministic carve order
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = bucket < int(round(acc * 10_000))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    n_per_group: int = 100,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most ``n_per_group`` rows per group, chosen by deterministic
+    hash order (uniform within the group, stable under input reordering) —
+    the data-mixing primitive that caps any one source's share.
+
+    One shuffle on ``group_col``; skewed groups are bounded by the window's
+    per-partition top-k (rank <= n) which AQE handles like any other
+    hot-key window — for pathological single-source corpora, pre-salt the
+    group key.
+    """
+    from pyspark.sql import Window
+
+    order = _hash_bucket(F.col(id_col), seed, 1_000_000_007)
+    w = Window.partitionBy(group_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    replacement: str = "[REDACTED]",
+) -> DataFrame:
+    """Redact PII-shaped spans (emails, IPv4, international phone numbers by
+    default); adds ``clean_text`` and per-pattern ``n_<name>`` counts plus a
+    ``n_redacted`` total. All JVM regexp — whole-stage codegen, zero Python.
+    """
+    patterns = patterns or PII_PATTERNS
+    out = df
+    clean = F.col(text_col)
+    total = F.lit(0).cast("bigint")
+    for name, pat in sorted(patterns.items()):
+        cnt = F.size(F.regexp_extract_all(text_col, F.lit(pat), 0)).cast("bigint")
+        out = out.withColumn(f"n_{name}", cnt)
+        clean = F.regexp_replace(clean, pat, replacement)
+        total = total + cnt
+    return out.withColumn("clean_text", clean).withColumn("n_redacted", total)

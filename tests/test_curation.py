@@ -1,0 +1,105 @@
+"""Corpus-curation operators (pipelines/curation.py): deterministic splits,
+quota sampling, PII redaction."""
+
+import numpy as np
+import pytest
+
+from fdi_flow_spark.pipelines.curation import hash_split, pii_redact, quota_sample
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"doc text {i}", f"src{i % 4}") for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_hash_split_fractions_and_determinism(spark, docs):
+    out1 = hash_split(docs, weights={"train": 0.8, "test": 0.2}, seed=42)
+    counts = {r["split"]: r["count"] for r in out1.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "test"}
+    # binomial(400, .2): 3.5 sigma window
+    assert 52 <= counts["test"] <= 108, counts
+    # same seed -> identical assignment even under different partitioning
+    out2 = hash_split(docs.repartition(13), weights={"train": 0.8, "test": 0.2}, seed=42)
+    a = {r.doc_id: r.split for r in out1.collect()}
+    b = {r.doc_id: r.split for r in out2.collect()}
+    assert a == b
+    # different seed -> different assignment somewhere
+    c = {r.doc_id: r.split for r in hash_split(docs, seed=7).collect()}
+    assert a != c
+
+
+def test_hash_split_three_way(spark, docs):
+    out = hash_split(docs, weights={"train": 0.8, "val": 0.1, "test": 0.1}, seed=1)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 400
+
+
+def test_quota_sample_caps_and_is_stable(spark, docs):
+    out = quota_sample(docs, group_col="source", n_per_group=30, seed=42)
+    counts = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert all(v == 30 for v in counts.values()), counts
+    kept1 = sorted(r.doc_id for r in out.collect())
+    kept2 = sorted(
+        r.doc_id
+        for r in quota_sample(docs.repartition(17), "source", 30, seed=42).collect()
+    )
+    assert kept1 == kept2
+    # quota above group size keeps everything
+    assert quota_sample(docs, "source", 1000).count() == 400
+
+
+def test_pii_redact_crafted(spark):
+    rows = [
+        (1, "contact me at alice.smith+x@example.co.uk or bob@test.io today"),
+        (2, "server at 10.0.0.1 and 192.168.255.3, call +491701234567 now"),
+        (3, "clean text with no pii at all"),
+        (4, "edge: a@b.cc plus +12345678 and 1.2.3.4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (2, 0, 0)
+    assert (got[2].n_email, got[2].n_ipv4, got[2].n_phone) == (0, 2, 1)
+    assert (got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (0, 0, 0)
+    assert got[3].clean_text == "clean text with no pii at all"
+    assert (got[4].n_email, got[4].n_ipv4, got[4].n_phone) == (1, 1, 1)
+    assert got[1].clean_text == "contact me at [REDACTED] or [REDACTED] today"
+    assert got[2].clean_text == "server at [REDACTED] and [REDACTED], call [REDACTED] now"
+    assert got[4].n_redacted == 3
+    assert "[REDACTED]" in got[4].clean_text and "@" not in got[4].clean_text
+
+
+def test_pii_redact_matches_duckdb_semantics(spark):
+    # the oracle runs the same patterns through RE2 — crafted strings must
+    # agree between engines, not just on the synthetic corpus
+    import duckdb
+
+    rows = [
+        (1, "mail x@y.zz then 8.8.8.8 and +4915112345678."),
+        (2, "not-an-ip 999.999.999.999 still matches the shape on purpose"),
+        (3, "a@b@c.dd double-at"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pii_redact(df).select("doc_id", "n_email", "n_ipv4", "n_phone", "clean_text")
+    spark_rows = sorted(tuple(r) for r in out.collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    orows = sorted(
+        tuple(r)
+        for r in con.execute(
+            r"""
+        SELECT doc_id,
+            LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')),
+            LEN(REGEXP_EXTRACT_ALL(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')),
+            LEN(REGEXP_EXTRACT_ALL(text, '\+\d{7,15}\b')),
+            REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[REDACTED]', 'g'),
+                '\+\d{7,15}\b', '[REDACTED]', 'g')
+        FROM t
+        """
+        ).fetchall()
+    )
+    assert spark_rows == orows
