@@ -178,3 +178,35 @@ def test_min_cost_supplier_broadcasts_dim(spark):
     plan = _plan(QUERIES["min_cost_supplier"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quota_sample_partial_topk_before_exchange(spark):
+    # The 100TB-critical property: the per-group rank<=n limit must run
+    # map-side (WindowGroupLimit below the Exchange), so at most n rows per
+    # group per input partition are ever shuffled.
+    from fdi_flow_spark.pipelines.curation import quota_sample
+    from fdi_flow_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(quota_sample(docs, "source", 5))
+    import re
+
+    wgl = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) WindowGroupLimit", plan)]
+    exch = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) Exchange", plan)]
+    assert wgl and exch, plan
+    # formatted-plan ids are execution order: a WindowGroupLimit with a
+    # smaller id than the Exchange runs before (below) it
+    assert min(wgl) < min(exch), plan
+
+
+def test_curation_projection_ops_have_no_shuffle(spark):
+    from fdi_flow_spark.pipelines.curation import hash_split, pii_redact
+    from fdi_flow_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    split_plan = _plan(hash_split(docs).select("doc_id", "split"))
+    assert "Exchange" not in split_plan
+    # column pruning: only doc_id reaches the scan
+    assert "ReadSchema: struct<doc_id:bigint>" in split_plan
+    pii_plan = _plan(pii_redact(docs).select("doc_id", "n_redacted"))
+    assert "Exchange" not in pii_plan
