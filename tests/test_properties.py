@@ -116,3 +116,75 @@ def test_failure_encode_threshold_semantics(xs, thr):
         assert code in nz  # mode is one of the nonzero values
     else:
         assert code == 0.0
+
+
+# ---------------- smoothing spline + RK45 (pure NumPy kernels) --------------
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, allow_infinity=False),
+        min_size=4,
+        max_size=60,
+    ),
+    st.floats(min_value=1e-3, max_value=50.0),
+)
+@settings(max_examples=60, deadline=None)
+def test_smoothing_spline_rss_never_exceeds_s(ys, s):
+    from fdi_flow_spark.operators.segmenters import smoothing_spline_eval
+
+    y = np.asarray(ys, dtype=np.float64)
+    x = np.linspace(0.0, 1.0, len(y))
+    f = smoothing_spline_eval(x, y, s, x)
+    rss = float(np.sum((y - f) ** 2))
+    # contract: RSS == s when the constraint binds, RSS < s when even the
+    # LSQ line is smoother than requested; never (meaningfully) above s
+    assert rss <= s * (1 + 1e-6) + 1e-9, (rss, s)
+    assert np.all(np.isfinite(f))
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, allow_infinity=False),
+        min_size=4,
+        max_size=40,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_smoothing_spline_huge_s_is_line(ys):
+    from fdi_flow_spark.operators.segmenters import smoothing_spline_eval
+
+    y = np.asarray(ys, dtype=np.float64)
+    x = np.linspace(0.0, 1.0, len(y))
+    slope, intercept = np.polyfit(x, y, 1)
+    out = smoothing_spline_eval(x, y, 1e9, x)
+    np.testing.assert_allclose(out, slope * x + intercept, rtol=1e-6, atol=1e-6)
+
+
+@given(
+    st.floats(min_value=-3.0, max_value=-0.05),
+    st.floats(min_value=-5.0, max_value=5.0),
+    st.floats(min_value=0.5, max_value=8.0),
+)
+@settings(max_examples=40, deadline=None)
+def test_rk45_exponential_decay_inside_tolerance(lam, x0, tf):
+    from fdi_flow_spark.models.systems import _rk45_path
+
+    time = np.linspace(0.0, tf, 101)
+    out = _rk45_path(lambda t, x: lam * x, np.array([x0]), time)
+    exact = x0 * np.exp(lam * time)
+    # default rtol=1e-3/atol=1e-6; allow accumulation over the horizon
+    tol = 5e-3 * np.max(np.abs(exact)) + 5e-5
+    assert np.max(np.abs(out[:, 0] - exact)) < tol
+
+
+@given(st.floats(min_value=0.2, max_value=6.0), st.floats(min_value=-2.0, max_value=2.0))
+@settings(max_examples=30, deadline=None)
+def test_rk45_harmonic_oscillator_energy(w, x0):
+    from fdi_flow_spark.models.systems import _rk45_path
+
+    A = np.array([[0.0, 1.0], [-w * w, 0.0]])
+    time = np.linspace(0.0, 4.0, 161)
+    out = _rk45_path(lambda t, x: A @ x, np.array([x0, 0.0]), time, rtol=1e-8, atol=1e-10)
+    exact = x0 * np.cos(w * time)
+    np.testing.assert_allclose(out[:, 0], exact, atol=5e-5 * max(1.0, abs(x0)))
