@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "corpus_hash_split",
     "quota_sample",
     "pii_redact",
+    "token_pack",
     "text_quality",
     "language_id",
 ]

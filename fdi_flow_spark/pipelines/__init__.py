@@ -1,4 +1,4 @@
-from fdi_flow_spark.pipelines.curation import hash_split, pii_redact, quota_sample
+from fdi_flow_spark.pipelines.curation import hash_split, pii_redact, quota_sample, token_pack
 from fdi_flow_spark.pipelines.dedup import (
     dedup_components,
     exact_dedup,

@@ -111,3 +111,49 @@ def pii_redact(
         clean = F.regexp_replace(clean, pat, replacement)
         total = total + cnt
     return out.withColumn("clean_text", clean).withColumn("n_redacted", total)
+
+
+def token_pack(
+    df: DataFrame,
+    seq_len: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Concatenate-then-chunk packing: docs are laid end-to-end in
+    deterministic hash order within each shard, and the token stream is cut
+    into ``seq_len``-sized packs — the standard pretraining packing scheme
+    (documents may straddle pack boundaries). Emits
+    ``(doc_id, shard, n_tokens, pack_id, pack_offset)`` where ``pack_id`` is
+    the pack holding the doc's first token and ``pack_offset`` its offset
+    inside that pack.
+
+    Scale shape: one window cumsum per SHARD (never a global ordering — the
+    per-shard layout is what real pipelines materialize anyway, and shards
+    keep the sort bounded); the hash order makes layout reproducible across
+    reruns and partitionings.
+    """
+    from pyspark.sql import Window
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0))
+    order = _hash_bucket(F.col(id_col), seed, 1_000_000_007)
+    w = Window.partitionBy(shard_col).orderBy(order.asc(), F.col(id_col).asc())
+    offset = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    ).cast("bigint")
+    return (
+        df.withColumn("n_tokens", toks.cast("bigint"))
+        .withColumn("_start", offset)
+        .select(
+            F.col(id_col),
+            F.col(shard_col).alias("shard"),
+            "n_tokens",
+            # `div` is integer division on longs — no double rounding at
+            # petabyte token offsets
+            F.expr(f"_start div {int(seq_len)}").alias("pack_id"),
+            (F.col("_start") % seq_len).alias("pack_offset"),
+        )
+    )

@@ -2230,6 +2230,34 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
+@register(
+    "token_pack",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
+                             x -> LENGTH(x) > 0))::BIGINT AS n_tokens,
+             {_SPLIT_BUCKET_SQL} % 1000000007 AS ord
+      FROM documents),
+    c AS (
+      SELECT doc_id, source AS shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM t)
+    SELECT doc_id, shard, n_tokens,
+           start // 400 AS pack_id, start % 400 AS pack_offset
+    FROM c
+    """,
+)
+def q_token_pack(spark, sf_dir):
+    """Concatenate-then-chunk packing into 400-token packs, per-source
+    shards, deterministic hash layout (``curation.token_pack``)."""
+    from fdi_flow_spark.pipelines.curation import token_pack
+
+    return token_pack(load_table(spark, sf_dir, "documents"), seq_len=400)
+
+
 # ------------------------------------------------------------ registry order
 # The correctness driver checks the FIRST 50 registered queries. 49 slots go
 # to oracle-backed queries (DuckDB value-hash twins); one slot rotates a
@@ -2282,6 +2310,8 @@ _WINDOW_EXCLUDED_ORACLES = {
                           # knn_classify_exact call (identical split/params)
     "minhash_signatures",  # same minhash_signatures() stage the in-window
                            # minhash_dedup_pairs oracle recomputes internally
+    "token_pack",         # window is full at 50; hash-checked every pytest
+                          # run via test_oracle_queries — rotate in next round
 }
 
 

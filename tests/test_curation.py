@@ -103,3 +103,34 @@ def test_pii_redact_matches_duckdb_semantics(spark):
         ).fetchall()
     )
     assert spark_rows == orows
+
+
+def test_token_pack_invariants(spark):
+    from fdi_flow_spark.pipelines.curation import token_pack
+
+    rows = [(i, " ".join(["w"] * (5 + i % 17)), f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = token_pack(df, seq_len=32).collect()
+    assert len(out) == 60
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r.pack_id, r.pack_offset))
+        # reconstruct the concatenated stream: starts are a cumsum of sizes
+        start = 0
+        for r in rs:
+            assert r.pack_id * 32 + r.pack_offset == start, (shard, r)
+            assert 0 <= r.pack_offset < 32
+            start += r.n_tokens
+    # determinism under repartition
+    again = token_pack(df.repartition(7), seq_len=32).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_token_pack_rejects_bad_seq_len(spark):
+    from fdi_flow_spark.pipelines.curation import token_pack
+
+    df = spark.createDataFrame([(1, "a b", "s")], "doc_id long, text string, source string")
+    with pytest.raises(ValueError):
+        token_pack(df, seq_len=0)
