@@ -355,6 +355,10 @@ def dedup_components(
         pairs.select(F.col(ca).alias("src"), F.col(cb).alias("dst"))
         .unionByName(pairs.select(F.col(cb).alias("src"), F.col(ca).alias("dst")))
         .distinct()
+        # materialize once: every round joins edges, and without the cut each
+        # round would recompute the entire upstream pair pipeline (MinHash,
+        # banding, ...) from scratch
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
