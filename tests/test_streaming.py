@@ -270,3 +270,51 @@ def test_streaming_segment_windows_matches_batch_closed_windows(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         spark.catalog.dropTempView("win_sink")
+
+
+def test_streaming_curation_ops_equal_batch(spark):
+    """Stateless curation ops (hash_split, pii_redact, token counting) run
+    unchanged as Structured Streaming projections — same rows as batch."""
+    import shutil
+    import tempfile
+
+    from fdi_flow_spark.pipelines.curation import hash_split, pii_redact
+
+    rows = [
+        (i, f"doc {i} mail a{i}@x.io" if i % 3 == 0 else f"plain doc {i}", f"s{i%2}")
+        for i in range(40)
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    d = tempfile.mkdtemp(prefix="fdi_curation_stream_")
+    try:
+        batch.where("doc_id < 20").coalesce(1).write.mode("append").parquet(d)
+        batch.where("doc_id >= 20").coalesce(1).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.schema("doc_id long, text string, source string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        out = pii_redact(hash_split(stream)).select(
+            "doc_id", "split", "n_email", "n_redacted", "clean_text"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("curation_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            tuple(r) for r in spark.table("curation_sink").collect()
+        )
+        expect = sorted(
+            tuple(r)
+            for r in pii_redact(hash_split(batch))
+            .select("doc_id", "split", "n_email", "n_redacted", "clean_text")
+            .collect()
+        )
+        assert got == expect
+        spark.catalog.dropTempView("curation_sink")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
