@@ -17,9 +17,11 @@ rtol=1e-3, atol=1e-6, dense output at ``t_eval``; ``linear_models.py:72``,
 a from-scratch adaptive Dormand-Prince RK5(4) with the same defaults and
 PI-free step control, filling the output grid from cubic-Hermite dense
 output inside each accepted step. ``method='rk4'`` keeps the fixed-grid
-classic RK4 as a cheap deterministic alternative; any other non-euler name
-(``'RK45'``, ``'Radau'``, ...) runs the adaptive integrator (no separate
-stiff solver — documented deviation).
+classic RK4 as a cheap deterministic alternative. Stiff-solver names
+(``'Radau'``/``'BDF'``/``'LSODA'``) on the LINEAR model return the exact
+ZOH-discretized solution via matrix exponential (Van Loan block form) —
+stiff-safe at machine precision; on the nonlinear models they fall back to
+the adaptive RK45 (documented deviation — no implicit iterator).
 
 Each model is a plain picklable object whose ``simulate`` returns the
 reference's dict; ``simulate_rows`` yields the Spark row layout
@@ -123,6 +125,85 @@ def _rk45_path(rhs, x0: np.ndarray, time: np.ndarray, rtol=1e-3, atol=1e-6) -> n
     raise RuntimeError("RK45 failed to converge: step count exceeded")
 
 
+def _expm(M: np.ndarray) -> np.ndarray:
+    """Matrix exponential via Pade(13) scaling-and-squaring (Higham 2005,
+    the algorithm scipy.linalg.expm implements), NumPy-only. System matrices
+    here are tiny (n <= ~10), so cost is irrelevant; correctness is not."""
+    M = np.asarray(M, dtype=float)
+    b = (
+        64764752532480000.0, 32382376266240000.0, 7771770303897600.0,
+        1187353796428800.0, 129060195264000.0, 10559470521600.0,
+        670442572800.0, 33522128640.0, 1323241920.0, 40840800.0,
+        960960.0, 16380.0, 182.0, 1.0,
+    )
+    nrm = np.linalg.norm(M, 1)
+    s = max(0, int(np.ceil(np.log2(nrm / 5.371920351148152))) if nrm > 0 else 0)
+    A = M / (2.0**s)
+    I = np.eye(A.shape[0])
+    A2 = A @ A
+    A4 = A2 @ A2
+    A6 = A4 @ A2
+    U = A @ (
+        A6 @ (b[13] * A6 + b[11] * A4 + b[9] * A2)
+        + b[7] * A6 + b[5] * A4 + b[3] * A2 + b[1] * I
+    )
+    V = (
+        A6 @ (b[12] * A6 + b[10] * A4 + b[8] * A2)
+        + b[6] * A6 + b[4] * A4 + b[2] * A2 + b[0] * I
+    )
+    E = np.linalg.solve(V - U, V + U)
+    for _ in range(s):
+        E = E @ E
+    return E
+
+
+def _zoh_step(A: np.ndarray, tau: float):
+    """(E, S) with E = expm(A*tau) and S = integral_0^tau expm(A s) ds, via
+    the Van Loan block trick expm([[A, I], [0, 0]] * tau) = [[E, S], [0, I]]."""
+    n = A.shape[0]
+    blk = np.zeros((2 * n, 2 * n))
+    blk[:n, :n] = A * tau
+    blk[:n, n:] = np.eye(n) * tau
+    big = _expm(blk)
+    return big[:n, :n], big[:n, n:]
+
+
+def _exact_linear_path(A, B, x0, time, u, dt) -> np.ndarray:
+    """EXACT solution of dx = Ax + Bu with the reference's zero-order-hold
+    input (u constant on [k*dt, (k+1)*dt)), sampled on ``time``. Per grid
+    interval the integral splits at ZOH switch points; each segment applies
+    the closed form x <- E x + S B u. Stiff-safe at machine precision —
+    strictly tighter than any tolerance-bounded ODE solver on this model
+    class.
+    """
+    out = np.zeros((len(time), len(x0)))
+    x = np.asarray(x0, dtype=float)
+    if len(time):
+        out[0] = x
+    cache: dict[float, tuple] = {}
+
+    def step(tau):
+        key = round(tau, 15)
+        if key not in cache:
+            cache[key] = _zoh_step(A, tau)
+        return cache[key]
+
+    for i in range(1, len(time)):
+        t0, t1 = float(time[i - 1]), float(time[i])
+        # segment boundaries: ZOH switches strictly inside (t0, t1)
+        k0 = int(np.floor(t0 / dt + 1e-12)) + 1
+        cuts = [t0] + [k * dt for k in range(k0, int(np.ceil(t1 / dt - 1e-12))) if t0 < k * dt < t1] + [t1]
+        for a, bnd in zip(cuts[:-1], cuts[1:]):
+            tau = bnd - a
+            if tau <= 0:
+                continue
+            E, S = step(tau)
+            uk = u[min(int(a / dt + 1e-12), len(u) - 1)]
+            x = E @ x + S @ (B @ uk)
+        out[i] = x
+    return out
+
+
 def _rk4_path(rhs, x0: np.ndarray, time: np.ndarray) -> np.ndarray:
     """Classic RK4 along an explicit time grid (replaces scipy solve_ivp)."""
     out = np.zeros((len(time), len(x0)))
@@ -177,7 +258,14 @@ class LinearContinuousStateSpaceModel:
             rhs = lambda t, x: self.A @ x + self.B @ u_at(t)  # noqa: E731
             if method == "rk4":
                 states = _rk4_path(rhs, x0, time)
-            else:  # 'RK45', 'Radau', ... -> adaptive DP5(4), solve_ivp parity
+            elif method in ("Radau", "BDF", "LSODA", "exact", "zoh"):
+                # stiff-solver names: the model is linear, so instead of an
+                # implicit iterator we return the EXACT ZOH-discretized
+                # solution (matrix exponential) — stiff-safe at machine
+                # precision, strictly tighter than scipy's tolerance-bounded
+                # Radau on this model class
+                states = _exact_linear_path(self.A, self.B, x0, time, u, dt)
+            else:  # 'RK45', ... -> adaptive DP5(4), solve_ivp parity
                 states = _rk45_path(rhs, x0, time, rtol=rtol, atol=atol)
             inputs = np.array([u_at(t) for t in time])
             outputs = np.array([self.C @ xi + self.D @ ui for xi, ui in zip(states, inputs)])

@@ -191,3 +191,63 @@ def test_simulate_discrete_replay_matches_local(spark):
     np.testing.assert_allclose(
         np.array([r.y for r in got]), exp["outputs"], rtol=0, atol=0
     )
+
+
+def test_expm_matches_eigendecomposition():
+    from fdi_flow_spark.models.systems import _expm
+
+    rng = np.random.default_rng(21)
+    for _ in range(5):
+        M = rng.normal(0, 1, (4, 4))
+        w, V = np.linalg.eig(M)
+        expected = np.real(V @ np.diag(np.exp(w)) @ np.linalg.inv(V))
+        np.testing.assert_allclose(_expm(M), expected, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(_expm(np.zeros((3, 3))), np.eye(3), atol=1e-14)
+
+
+def test_radau_linear_exact_constant_input():
+    # constant input: independent closed form x(t) = e^{At}x0 + A^{-1}(e^{At}-I)Bu
+    # via eigendecomposition — checks E, S, and multi-interval accumulation
+    m = LinearContinuousStateSpaceModel(A, B, C, D)
+    tf, dt = 2.0, 0.01
+    n_steps = int(tf / dt)
+    u0 = np.array([0.7, -1.3])
+    u = np.tile(u0, (n_steps, 1))
+    x0 = np.array([1.0, -0.5, 0.25])
+    res = m.simulate(u, x0, tf, dt, method="Radau")
+    An = np.array(A, dtype=float)
+    Bn = np.array(B, dtype=float)
+    w, V = np.linalg.eig(An)
+    Vi = np.linalg.inv(V)
+    Ai = np.linalg.inv(An)
+    for i, t in enumerate(res["time"]):
+        E = np.real(V @ np.diag(np.exp(w * t)) @ Vi)
+        exact = E @ x0 + Ai @ (E - np.eye(3)) @ Bn @ u0
+        np.testing.assert_allclose(res["states"][i], exact, atol=1e-10)
+
+
+def test_radau_switching_input_tracks_rk45():
+    # switching ZOH input: the exact path handles the jumps analytically;
+    # RK45's stages straddle them, so agreement is at RK45's realistic
+    # discontinuity-crossing accuracy (~1e-5), not its smooth-problem one
+    m = LinearContinuousStateSpaceModel(A, B, C, D)
+    tf, dt = 2.0, 0.01
+    n_steps = int(tf / dt)
+    rng = np.random.default_rng(3)
+    u = rng.normal(0, 1, (n_steps, 2))
+    x0 = np.array([1.0, -0.5, 0.25])
+    exact = m.simulate(u, x0, tf, dt, method="Radau")
+    tight = m.simulate(u, x0, tf, dt, method="RK45", rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(exact["states"], tight["states"], atol=5e-5)
+
+
+def test_radau_stiff_system_machine_precision():
+    # lambda = -1e5 with coarse output grid: explicit methods need ~1e5 rhs
+    # evals; the ZOH-exact path is closed-form per step
+    lam = -1e5
+    m = LinearContinuousStateSpaceModel([[lam]], [[0.0]], [[1.0]], [[0.0]])
+    tf, dt = 1.0, 0.01
+    u = np.zeros((int(tf / dt), 1))
+    res = m.simulate(u, [1.0], tf, dt, method="Radau")
+    expected = np.exp(lam * res["time"])
+    np.testing.assert_allclose(res["states"][:, 0], expected, atol=1e-12)
