@@ -15,8 +15,10 @@ Layout:
     observers/   Luenberger / Kalman / sliding-mode batch replay
     ml/          fault-detector Pipelines (MLlib) + hyperparameter search
     forecasting/ supervised windowing + distributed prep (trainer gated)
-    pipelines/   LLM-data-pipeline ops: dedup, similarity, text, multimodal
+    pipelines/   LLM-data-pipeline ops: dedup, similarity, text, multimodal,
+                 corpus curation (split/quota/PII/packing)
     streaming/   Structured Streaming variants (stateful observers, windows)
+    compat       drop-in reference class API (ExponentialSmoothing(...).apply)
 """
 
 __version__ = "0.1.0"
