@@ -1,5 +1,6 @@
 from fdi_flow_spark.observers.linalg import ackermann_gain, place_observer_gain
 from fdi_flow_spark.observers.observers import (
+    KalmanFilter,
     KalmanFilterMatrix,
     LuenbergerObserver,
     SlidingModeObserver,
@@ -8,6 +9,7 @@ from fdi_flow_spark.observers.observers import (
 
 __all__ = [
     "LuenbergerObserver",
+    "KalmanFilter",
     "KalmanFilterMatrix",
     "SlidingModeObserver",
     "observer_replay",

@@ -187,3 +187,10 @@ def observer_replay(df: DataFrame, observer_factory, dt: float | None = None) ->
         )
 
     return df.groupBy("series_id").applyInPandas(fn, schema=REPLAY_SCHEMA)
+
+
+# Drop-in alias: the reference names its matrix observer ``KalmanFilter``
+# (``state_observers/kalman.py:3``); ours carries the Matrix suffix to avoid
+# clashing with the 1-D preprocessing filter of the same name, but reference
+# user code importing ``KalmanFilter`` from the observers module must work.
+KalmanFilter = KalmanFilterMatrix
