@@ -1,0 +1,7 @@
+"""Reference import-path shim: lets fdi_flow user code switch to the Spark
+engine by renaming only the root package (fdi_flow -> fdi_flow_spark).
+Implementations live in the module named in the import below."""
+
+from fdi_flow_spark.observers.observers import LuenbergerObserver
+
+__all__ = ["LuenbergerObserver"]

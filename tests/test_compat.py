@@ -128,3 +128,27 @@ def test_spark_dataframe_passthrough(spark, mat):
     assert isinstance(out, DataFrame)
     vals = np.array([r.value for r in out.orderBy("ts").collect()])
     np.testing.assert_allclose(vals, ref_ewma(mat[0], 0.3), rtol=1e-12)
+
+
+def test_reference_import_paths_resolve():
+    # a fdi_flow user switches by renaming only the root package
+    from fdi_flow_spark.detectors.sklearn_detectors import KNNFaultDetector  # noqa: F401
+    from fdi_flow_spark.forecasting.time_series_model import (  # noqa: F401
+        TimeSeriesPredictor,
+    )
+    from fdi_flow_spark.models.data_generators import (  # noqa: F401
+        DynamicSystemDataGenerator,
+    )
+    from fdi_flow_spark.models.linear_models import (
+        LinearContinuousStateSpaceModel,
+    )
+    from fdi_flow_spark.preprocessing.filters import ExponentialSmoothing
+    from fdi_flow_spark.state_observers.kalman import KalmanFilter
+
+    from fdi_flow_spark import compat
+    from fdi_flow_spark.models import systems
+    from fdi_flow_spark.observers.observers import KalmanFilterMatrix
+
+    assert ExponentialSmoothing is compat.ExponentialSmoothing
+    assert LinearContinuousStateSpaceModel is systems.LinearContinuousStateSpaceModel
+    assert KalmanFilter is KalmanFilterMatrix
