@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "quota_sample",
     "pii_redact",
     "token_pack",
+    "curation_pipeline",
     "text_quality",
     "language_id",
 ]
