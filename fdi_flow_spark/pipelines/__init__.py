@@ -9,6 +9,8 @@ from fdi_flow_spark.pipelines.dedup import (
 from fdi_flow_spark.pipelines.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
+    ivf_build_index,
+    ivf_query_index,
     knn_classify_exact,
 )
 from fdi_flow_spark.pipelines.text import (

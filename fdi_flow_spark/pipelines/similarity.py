@@ -527,3 +527,107 @@ def knn_classify_exact(
         .where(F.col("_vr") == 1)
         .select(F.col("query_id").alias("vec_id"), F.col("_tl").alias("pred_label"))
     )
+
+
+def ivf_build_index(
+    candidates: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 32,
+    seed: int = 42,
+) -> None:
+    """Materialize an IVF index: ``{path}/centroids`` (nlist tiny rows) and
+    ``{path}/postings`` written ``partitionBy(_cell)`` — the persisted form
+    of ``cosine_topk_ivf``'s in-flight index. At 100 TB the postings write
+    is the one full pass over the corpus; every later probe reads only the
+    probed cells' directories (partition pruning), and the quantizer is
+    retrained only on drift."""
+    from pyspark.sql.types import LongType
+
+    C = _train_spherical_centroids(candidates, vec_col, nlist, seed)
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+
+    @F.pandas_udf(LongType())
+    def assign_cell(vecs: pd.Series) -> pd.Series:
+        Cn = bc.value
+        M = np.array(vecs.tolist(), dtype=np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ Cn.T, axis=1).astype(np.int64))
+
+    spark.createDataFrame(
+        [(int(j), [float(x) for x in C[j]]) for j in range(len(C))],
+        schema="_cell long, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+        )
+        .withColumn("_cell", assign_cell(F.col("_cv")))
+        .withColumn("_cn", _norm(F.col("_cv")))
+        .write.mode("overwrite")
+        .partitionBy("_cell")
+        .parquet(f"{path}/postings")
+    )
+
+
+def ivf_query_index(
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 8,
+) -> DataFrame:
+    """Probe a persisted IVF index: per query the ``nprobe`` nearest cells
+    are chosen against the (tiny) centroid table, and the postings scan is
+    filtered to the union of probed cells — a partition-pruned read, so I/O
+    scales with ``nprobe/nlist`` of the index, not its size. Same output
+    schema as ``cosine_topk_bruteforce``."""
+    spark = queries.sparkSession
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    C = np.zeros((len(crows), len(crows[0]["centroid"])))
+    for r in crows:
+        C[int(r["_cell"])] = r["centroid"]
+
+    qrows = queries.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], schema="query_id long, rank long, neighbor_id long, cosine double"
+        )
+    Q = np.array([r["_v"] for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(-(Qn @ C.T), axis=1)[:, : min(nprobe, len(C))]
+    probe_rows = [
+        (int(r[0]), [int(c) for c in cells], [float(x) for x in vec])
+        for r, cells, vec in zip(qrows, order, Q)
+    ]
+    probes = (
+        spark.createDataFrame(
+            probe_rows, schema="query_id long, _cells array<int>, _qv array<double>"
+        )
+        .select("query_id", F.explode("_cells").alias("_cell"), "_qv")
+        .withColumn("_qn", _norm(F.col("_qv")))
+    )
+    probed_cells = sorted({int(c) for _, cells, _ in probe_rows for c in cells})
+    postings = spark.read.parquet(f"{path}/postings").where(
+        F.col("_cell").isin(probed_cells)  # partition filter -> pruned read
+    )
+    cos = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    scored = (
+        postings.join(F.broadcast(probes), "_cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            F.round(F.col("_cos"), 6).alias("cosine"),
+        )
+    )
