@@ -108,7 +108,12 @@ def ngram_jaccard_pairs(
     # Join/shuffle on 8-byte shingle hashes instead of strings (xxhash64
     # collisions are ~1e-11 at realistic shingle cardinalities — the exact
     # intersection count is then computed over hashed arrays).
-    shingles = shingles.select("id", F.xxhash64("shingle").alias("shingle"))
+    # Materialize ONCE: six downstream consumers (sizes, arrays, dfreq,
+    # prefix rank, both verify sides) otherwise each re-run the corpus scan
+    # + explode + hash — the un-cut plan held 16 parquet scans of the corpus.
+    shingles = shingles.select("id", F.xxhash64("shingle").alias("shingle")).localCheckpoint(
+        eager=True
+    )
     sizes = shingles.groupBy("id").agg(F.count("*").alias("ns"))
     arrays = shingles.groupBy("id").agg(F.sort_array(F.collect_list("shingle")).alias("arr"))
 
