@@ -261,7 +261,12 @@ def minhash_dedup_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes, seed)
+    # materialize signatures once: the banding self-join consumes them on
+    # both sides, which otherwise re-runs the shingle explode + min-hash
+    # aggregate (two extra corpus passes)
+    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes, seed).localCheckpoint(
+        eager=True
+    )
     banded = sig.select(
         "id",
         "signature",
