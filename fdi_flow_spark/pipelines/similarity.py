@@ -167,6 +167,18 @@ def lsh_bucket(vec_col, planes) -> "F.Column":
     return out.cast("long")
 
 
+def _lsh_buckets_all_tables(vec_col, dim, n_planes, n_tables, seed) -> "F.Column":
+    """Array of bucket ids, one per table — all tables in ONE projection so
+    the (table, bucket) rows come from a single ``posexplode`` over a single
+    corpus scan (a per-table union re-reads the corpus ``n_tables`` times)."""
+    return F.array(
+        *[
+            lsh_bucket(vec_col, _hyperplanes(dim, n_planes, seed + t))
+            for t in range(n_tables)
+        ]
+    )
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     candidates: DataFrame,
@@ -200,21 +212,22 @@ def cosine_topk_lsh(
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
     ).withColumn("_cn", _norm(F.col("_cv")))
-    qb, cb = [], []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        qb.append(
-            q.select("query_id", "_qv", "_qn", F.lit(t).alias("table"), lsh_bucket(F.col("_qv"), planes).alias("bucket"))
-        )
-        cb.append(
-            c.select("neighbor_id", "_cv", "_cn", F.lit(t).alias("table"), lsh_bucket(F.col("_cv"), planes).alias("bucket"))
-        )
-    qall = qb[0]
-    for x in qb[1:]:
-        qall = qall.unionByName(x)
-    call = cb[0]
-    for x in cb[1:]:
-        call = call.unionByName(x)
+    qall = q.select(
+        "query_id",
+        "_qv",
+        "_qn",
+        F.posexplode(_lsh_buckets_all_tables(F.col("_qv"), dim, n_planes, n_tables, seed)).alias(
+            "table", "bucket"
+        ),
+    )
+    call = c.select(
+        "neighbor_id",
+        "_cv",
+        "_cn",
+        F.posexplode(_lsh_buckets_all_tables(F.col("_cv"), dim, n_planes, n_tables, seed)).alias(
+            "table", "bucket"
+        ),
+    )
     cand = (
         call.join(F.broadcast(qall), ["table", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -441,17 +454,14 @@ def cosine_near_dup_lsh(
     base = emb.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("_v")
     ).withColumn("_n", _norm(F.col("_v")))
-    parts = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        parts.append(
-            base.select(
-                "id", "_v", "_n", F.lit(t).alias("table"), lsh_bucket(F.col("_v"), planes).alias("bucket")
-            )
-        )
-    allb = parts[0]
-    for x in parts[1:]:
-        allb = allb.unionByName(x)
+    allb = base.select(
+        "id",
+        "_v",
+        "_n",
+        F.posexplode(_lsh_buckets_all_tables(F.col("_v"), dim, n_planes, n_tables, seed)).alias(
+            "table", "bucket"
+        ),
+    )
     a, b = allb.alias("a"), allb.alias("b")
     cand = (
         a.join(
