@@ -1074,20 +1074,12 @@ def _flatten_xhat(out: DataFrame) -> DataFrame:
     )
 
 
-@register("observer_replay_luenberger")  # rows-only: matrix recurrence over a
-def q_observer(spark, sf_dir):           # driver-built truth fixture
-    """FIXTURES.md §6 system: simulate truth, replay a Luenberger observer
-    over (series_id, step, u, y) rows distributed by series."""
-    from fdi_flow_spark.observers import LuenbergerObserver, observer_replay
-
-    df, A, B, C, dt = _observer_fixture(spark)
-    factory = lambda: LuenbergerObserver(A, B, C, dt, desired_poles=[-3.0, -4.0])  # noqa: E731
-    return _flatten_xhat(observer_replay(df, factory))
-
-
-def _observer_fixture(spark):
-    """Shared truth-signal fixture for the three observer replays
-    (FIXTURES.md §6 system)."""
+def _observer_fixture_rows():
+    """Driver-side truth signal for the observer replays (FIXTURES.md §6
+    system): Euler-simulate the plant once, return the (series_id, step,
+    [u], [y]) rows plus the system matrices. Shared by the Spark fixture
+    df AND the DuckDB oracle builder so both engines replay the observer
+    over bit-identical input literals."""
     import numpy as np
 
     from fdi_flow_spark.models import LinearContinuousStateSpaceModel
@@ -1103,6 +1095,71 @@ def _observer_fixture(spark):
         ("sys1", i, [float(u[i, 0])], [float(truth["outputs"][i, 0])])
         for i in range(n_steps)
     ]
+    return rows, A, B, C, dt
+
+
+def _luenberger_replay_oracle_sql() -> str:
+    """Recursive-CTE oracle for the fixture-driven Luenberger replay: the
+    fixture's (u, y) are driver-computed literals (inlined as a VALUES
+    table, full ``repr`` precision), and the CTE replays
+    ``LuenbergerObserver.update``'s exact float-op order —
+    ``dx = (A@x̂ + B@u) − L@(C@x̂ − y)``, ``x̂ += dx·dt`` — from the zero
+    initial estimate, like the events-driven twin above."""
+    rows, A, B, C, dt = _observer_fixture_rows()
+    from fdi_flow_spark.observers.linalg import place_observer_gain
+
+    L = place_observer_gain(A, C, [-3.0, -4.0])
+    a00, a01, a10, a11 = (repr(float(v)) for v in A.ravel())
+    b0, b1 = repr(-1.0), repr(1.0)
+    c00, c01 = (repr(float(v)) for v in C.ravel())
+    l0, l1 = (repr(float(v)) for v in L.ravel())
+    values = ",\n      ".join(
+        f"({step}, CAST({u[0]!r} AS DOUBLE), CAST({y[0]!r} AS DOUBLE))"
+        for (_sid, step, u, y) in rows
+    )
+    step1 = (
+        f"rec.x1 + (({a00}*rec.x1 + {a01}*rec.x2) + {b0}*s.u - "
+        f"{l0}*(({c00}*rec.x1 + {c01}*rec.x2) - s.y)) * {dt}"
+    )
+    step2 = (
+        f"rec.x2 + (({a10}*rec.x1 + {a11}*rec.x2) + {b1}*s.u - "
+        f"{l1}*(({c00}*rec.x1 + {c01}*rec.x2) - s.y)) * {dt}"
+    )
+    # anchor = one update from the zero initial estimate (A@0 = C@0 = 0)
+    a1 = f"(0.0 + (0.0 + {b0}*u - {l0}*(0.0 - y)) * {dt})"
+    a2 = f"(0.0 + (0.0 + {b1}*u - {l1}*(0.0 - y)) * {dt})"
+    return f"""
+    WITH RECURSIVE s(step, u, y) AS (VALUES
+      {values}),
+    rec AS (
+      SELECT CAST('sys1' AS VARCHAR) AS series_id, CAST(step AS BIGINT) AS step,
+             CAST({a1} AS DOUBLE) AS x1, CAST({a2} AS DOUBLE) AS x2
+      FROM s WHERE step = 0
+      UNION ALL
+      SELECT rec.series_id, CAST(s.step AS BIGINT) AS step,
+             {step1} AS x1, {step2} AS x2
+      FROM rec JOIN s ON s.step = rec.step + 1)
+    SELECT series_id, step, ROUND(x1, 6) AS x1, ROUND(x2, 6) AS x2 FROM rec
+    """
+
+
+@register("observer_replay_luenberger", _luenberger_replay_oracle_sql())
+def q_observer(spark, sf_dir):
+    """FIXTURES.md §6 system: simulate truth, replay a Luenberger observer
+    over (series_id, step, u, y) rows distributed by series. Value-hash
+    checked since r4 — the fixture inputs are literals both engines share,
+    so the recursive CTE verifies the distributed replay itself."""
+    from fdi_flow_spark.observers import LuenbergerObserver, observer_replay
+
+    df, A, B, C, dt = _observer_fixture(spark)
+    factory = lambda: LuenbergerObserver(A, B, C, dt, desired_poles=[-3.0, -4.0])  # noqa: E731
+    return _flatten_xhat(observer_replay(df, factory))
+
+
+def _observer_fixture(spark):
+    """Shared truth-signal fixture for the three observer replays
+    (FIXTURES.md §6 system)."""
+    rows, A, B, C, dt = _observer_fixture_rows()
     df = spark.createDataFrame(
         rows, schema="series_id string, step long, u array<double>, y array<double>"
     )
@@ -2307,30 +2364,30 @@ def q_curation_pipeline(spark, sf_dir):
 
 
 # ------------------------------------------------------------ registry order
-# The correctness driver checks the FIRST 50 registered queries. 49 slots go
-# to oracle-backed queries (DuckDB value-hash twins); one slot rotates a
-# rows-only query through the driver harness for fresh evidence — currently
-# ``observer_replay_luenberger`` (flattened x_hat output). Oracle-backed
-# queries outside the window (_WINDOW_EXCLUDED_ORACLES) are NOT re-proved by
-# their in-window twins — they are distinct implementations — but each one
-# is hash-checked against its own oracle every pytest run via
-# ``tests/test_oracle_queries.py``'s parametrization over ORACLES.
+# The correctness driver checks the FIRST 50 registered queries. Since r4
+# all 50 slots are oracle-backed (the former rows-only rotation slot,
+# ``observer_replay_luenberger``, gained a recursive-CTE oracle over the
+# fixture literals). Oracle-backed queries outside the window
+# (_WINDOW_EXCLUDED_ORACLES) are NOT re-proved by their in-window twins —
+# they are distinct implementations — but each one is hash-checked against
+# its own oracle every pytest run via ``tests/test_oracle_queries.py``'s
+# parametrization over ORACLES.
 _WINDOW_PRIORITY = [
     # TPC-H-ish relational core
     "q1_pricing_summary", "q3_top_orders", "q5_nation_volume",
     "q6_revenue_change", "sales_rollup", "events_stats_salted",
     "semi_join_urgent_customers", "anti_join_quiet_customers",
-    "cube_order_stats", "orders_above_customer_avg",
+    "orders_above_customer_avg",
     "top_orders_per_customer", "set_ops_customer_cohorts",
     "min_cost_supplier", "distinct_counts_by_status",
     # filters / scalers / segmenters / recurrences
     "moving_average_valid", "median_filter_edge",
-    "standard_scaler", "minmax_scaler",
+    "standard_scaler",
     "robust_scaler", "ewma_closed_form", "failure_encoder",
     "segment_windows", "supervised_windows", "forecast_prep",
     "resample_linear", "asof_join_purchase",
     "holt_smoothing", "kalman1d_filter",
-    # model / observer event streams (+ the rotating rows-only slot)
+    # model / observer event streams (incl. the fixture replay, oracle-backed r4)
     "observer_luenberger_events", "simulate_discrete_events",
     "simulate_euler_events", "observer_kalman_events",
     "observer_sliding_events", "observer_replay_luenberger",
@@ -2340,6 +2397,7 @@ _WINDOW_PRIORITY = [
     "cosine_topk", "knn_classify", "embedding_near_dup",
     "video_frame_sample", "token_counts", "text_quality", "language_id",
     "corpus_hash_split", "quota_sample", "pii_redact",
+    "token_pack", "curation_pipeline",
 ]
 
 
@@ -2358,9 +2416,11 @@ _WINDOW_EXCLUDED_ORACLES = {
                           # knn_classify_exact call (identical split/params)
     "minhash_signatures",  # same minhash_signatures() stage the in-window
                            # minhash_dedup_pairs oracle recomputes internally
-    "token_pack",         # window is full at 50; hash-checked every pytest
-                          # run via test_oracle_queries — rotate in next round
-    "curation_pipeline",  # same reason — window full; pytest oracle-checked
+    "minmax_scaler",      # same global-agg+project scaler kernel as in-window
+                          # standard_scaler/robust_scaler — swapped out for
+                          # token_pack (r4)
+    "cube_order_stats",   # same Expand grouping-sets kernel as in-window
+                          # sales_rollup — swapped out for curation_pipeline (r4)
 }
 
 
