@@ -37,6 +37,7 @@ from __future__ import annotations
 import random as _random
 
 import numpy as np
+import pandas as pd
 from pyspark.ml import Pipeline, Transformer
 from pyspark.ml.classification import (
     GBTClassifier,
@@ -394,8 +395,12 @@ class _RandomFourierFeatures(Transformer):
     """Rahimi & Recht (2007) random-feature map: z(x) = sqrt(2/D) *
     cos(W x + b) with W ~ N(0, 2*gamma*I), b ~ U[0, 2pi), so
     E[z(x).z(y)] = exp(-gamma*||x-y||^2) — the RBF kernel. A linear model on
-    z approximates the kernel machine while staying a pure column-expression
-    stage (JVM codegen, no UDF, no shuffle)."""
+    z approximates the kernel machine.
+
+    The map runs as ONE Arrow-batched pandas_udf GEMM per batch (seeded W/b
+    ride the closure): expanding it as d*D nested column expressions blows
+    up Catalyst analysis and generated-method size at realistic widths
+    (d=50, D=100 -> ~5000 Add nodes) long before executor compute would."""
 
     def __init__(self, input_col: str, W: np.ndarray, b: np.ndarray, output_col: str):
         super().__init__()
@@ -407,16 +412,19 @@ class _RandomFourierFeatures(Transformer):
     def _transform(self, dataset):
         from pyspark.ml.functions import array_to_vector, vector_to_array
 
-        arr = vector_to_array(F.col(self._input_col))
-        D = len(self._b)
-        scale = float(np.sqrt(2.0 / D))
-        feats = []
-        for j in range(D):
-            dot = F.lit(float(self._b[j]))
-            for i, w in enumerate(self._W[j]):
-                dot = dot + arr[i] * float(w)
-            feats.append(F.cos(dot) * scale)
-        return dataset.withColumn(self._output_col, array_to_vector(F.array(*feats)))
+        W, b = self._W, self._b
+        scale = float(np.sqrt(2.0 / len(b)))
+
+        @F.pandas_udf("array<double>")
+        def rff(col: pd.Series) -> pd.Series:
+            X = np.vstack(col.to_numpy())  # (batch, d) — one flat GEMM
+            Z = np.cos(X @ W.T + b) * scale
+            return pd.Series(list(Z))
+
+        return dataset.withColumn(
+            self._output_col,
+            array_to_vector(rff(vector_to_array(F.col(self._input_col)))),
+        )
 
 
 class SVMFaultDetector(_AssembledPipelineDetector):
@@ -429,8 +437,13 @@ class SVMFaultDetector(_AssembledPipelineDetector):
       default 100) followed by LinearSVC. This approximates the RBF kernel
       machine (error ~ O(1/sqrt(n_components))); it is a documented
       approximation, not exact SVC, but serves the reference's *default*
-      kernel instead of rejecting it. ``gamma='scale'`` replays sklearn's
-      1/(n_features * X.var()) from one training-set aggregate.
+      kernel instead of rejecting it — and since r4 ``'rbf'`` IS the
+      default here too. ``gamma='scale'`` replays sklearn's
+      1/(n_features * X.var()) **in sklearn's order of operations**: the
+      reference scales first, then SVC derives gamma from the scaled X —
+      post-StandardScaler the flattened variance is 1, so with
+      ``scale_features=True`` gamma = 1/n_features; the training-set
+      variance aggregate is only needed for raw (unscaled) input.
     - other kernels (poly/sigmoid) raise.
 
     ``scale_features`` adds an MLlib StandardScaler stage (before the RFF
@@ -442,7 +455,7 @@ class SVMFaultDetector(_AssembledPipelineDetector):
     def __init__(
         self,
         C=1.0,
-        kernel="linear",
+        kernel="rbf",  # reference default (sklearn_detectors.py:525)
         gamma="scale",
         probability=False,
         scale_features=True,
@@ -477,7 +490,16 @@ class SVMFaultDetector(_AssembledPipelineDetector):
         if self.kernel == "rbf":
             if isinstance(self.gamma, (int, float)):
                 self._gamma_value = float(self.gamma)
-            else:  # sklearn 'scale': 1 / (n_features * Var(flattened X))
+            elif self.scale_features:
+                # sklearn order of operations: scale X first, THEN derive
+                # gamma='scale' from the scaled matrix — whose flattened
+                # variance is 1 (each standardized column has mean 0, var 1),
+                # so gamma = 1/(n_features * 1). Computing the variance on the
+                # raw X here would widen/narrow the kernel whenever raw
+                # feature variance != 1. (_to_train_df sets _feature_cols.)
+                self._to_train_df(X, y)
+                self._gamma_value = 1.0 / len(self._feature_cols)
+            else:  # raw input: 1 / (n_features * Var(flattened X))
                 df = self._to_train_df(X, y)
                 d = len(self._feature_cols)
                 agg = df.select(
@@ -654,10 +676,19 @@ class KNNFaultDetector(BaseFaultDetector):
                 raise ValueError("search_method must be either 'random' or 'optuna'")
         self._train_df = df.cache()
         self._train_df.count()
+        self.classes_ = [
+            float(r[0])
+            for r in self._train_df.select("label").distinct().orderBy("label").collect()
+        ]
         self.is_fitted = True
         return self
 
-    def _predict_df(self, test_df: DataFrame, params: dict, train_df: DataFrame) -> DataFrame:
+    def _vote_df(self, test_df: DataFrame, params: dict, train_df: DataFrame) -> DataFrame:
+        """Per-(test row, class) vote mass: count of the k nearest train rows
+        in that class (uniform) or their inverse-distance weight sum
+        (weights='distance'). Shared by ``predict`` (argmax) and
+        ``predict_proba`` (normalized shares, reference
+        ``sklearn_detectors.py:206-219``)."""
         from pyspark.sql import Window
 
         k = int(params.get("n_neighbors", 5))
@@ -687,7 +718,12 @@ class KNNFaultDetector(BaseFaultDetector):
             vote = F.sum(1.0 / F.sqrt(F.greatest(F.col("_d"), F.lit(1e-24))))
         else:
             vote = F.count("*").cast("double")
-        votes = knn.groupBy("_row_id", "_tl").agg(vote.alias("_vote"))
+        return knn.groupBy("_row_id", "_tl").agg(vote.alias("_vote"))
+
+    def _predict_df(self, test_df: DataFrame, params: dict, train_df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        votes = self._vote_df(test_df, params, train_df)
         vw = Window.partitionBy("_row_id").orderBy(F.col("_vote").desc(), F.col("_tl").asc())
         return (
             votes.withColumn("_vr", F.row_number().over(vw))
@@ -729,6 +765,34 @@ class KNNFaultDetector(BaseFaultDetector):
         return float(np.mean(yhat == np.asarray(y).ravel().astype(float)))
 
     def predict_proba(self, X):
-        raise NotImplementedError(
-            "distributed KNN exposes votes, not calibrated probabilities"
+        """Normalized vote shares per class (reference KNN
+        ``predict_proba``, ``sklearn_detectors.py:206-219``): fraction of
+        the k nearest neighbors in each class (uniform) or their
+        inverse-distance weight shares (``weights='distance'``) — exactly
+        sklearn's semantics for this estimator, not a calibration.
+
+        numpy/pandas input returns an ``(n, n_classes)`` array with classes
+        in sorted order (``self.classes_``); Spark DataFrame input returns
+        ``(_row_id, probability ARRAY<DOUBLE>)`` in the same class order.
+        ``argmax`` ties break toward the lowest class, matching
+        ``predict``'s (vote DESC, label ASC) ordering."""
+        if not self.is_fitted:
+            raise RuntimeError("Model must be fitted before prediction")
+        from pyspark.sql import Window
+
+        te = self._to_pred_df(X)
+        params = self.best_params_ or self._default_params()
+        votes = self._vote_df(te, params, self._train_df)
+        share = F.col("_vote") / F.sum("_vote").over(Window.partitionBy("_row_id"))
+        shares = votes.select("_row_id", "_tl", share.alias("_p"))
+        m = shares.groupBy("_row_id").agg(
+            F.map_from_entries(F.collect_list(F.struct("_tl", "_p"))).alias("_m")
         )
+        arr = F.array(
+            *[F.coalesce(F.col("_m")[float(c)], F.lit(0.0)) for c in self.classes_]
+        )
+        out = m.select("_row_id", arr.alias("probability"))
+        if isinstance(X, DataFrame):
+            return out
+        rows = out.orderBy("_row_id").collect()
+        return np.array([r.probability for r in rows])

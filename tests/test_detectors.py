@@ -44,6 +44,25 @@ def test_knn_distance_weights(spark, data):
     assert det.score(Xte, yte) > 0.9
 
 
+@pytest.mark.parametrize("weights", ["uniform", "distance"])
+def test_knn_predict_proba_vote_shares(spark, data, weights):
+    """Reference KNN exposes predict_proba (sklearn_detectors.py:206-219):
+    here it is the normalized vote shares already computed for predict —
+    rows sum to 1, classes in sorted order, argmax equals predict (ties
+    break toward the lower class in both)."""
+    Xtr, ytr, Xte, yte = data
+    det = KNNFaultDetector(n_neighbors=5, weights=weights).fit(Xtr, ytr)
+    proba = det.predict_proba(Xte)
+    assert proba.shape == (len(Xte), 3)
+    assert det.classes_ == [0.0, 1.0, 2.0]
+    np.testing.assert_allclose(proba.sum(axis=1), 1.0, rtol=1e-9)
+    assert (proba >= 0).all()
+    pred = det.predict(Xte)
+    np.testing.assert_array_equal(np.array(det.classes_)[proba.argmax(axis=1)], pred)
+    if weights == "uniform":  # shares are multiples of 1/k
+        np.testing.assert_allclose(proba * 5, np.round(proba * 5), atol=1e-9)
+
+
 def test_random_forest_detector(spark, data):
     Xtr, ytr, Xte, yte = data
     det = RandomForestFaultDetector(n_estimators=20, random_state=42).fit(Xtr, ytr)
@@ -63,10 +82,24 @@ def test_gbt_multiclass_ovr(spark, data):
 
 def test_svm_linear(spark, data):
     Xtr, ytr, Xte, yte = data
-    det = SVMFaultDetector(C=1.0, max_iter=50).fit(Xtr, ytr)
+    det = SVMFaultDetector(C=1.0, kernel="linear", max_iter=50).fit(Xtr, ytr)
     assert det.score(Xte, yte) > 0.85
     with pytest.raises(RuntimeError):
         det.predict_proba(Xte)
+
+
+def test_svm_default_kernel_is_rbf(spark, data):
+    """A reference user calling SVMFaultDetector() gets kernel='rbf'
+    (sklearn_detectors.py:525) — served by the RFF path — and with
+    scale_features=True, gamma='scale' follows sklearn's order of
+    operations: derived from the SCALED matrix (variance 1), so
+    gamma = 1/n_features."""
+    Xtr, ytr, Xte, yte = data
+    det = SVMFaultDetector(max_iter=50, random_state=42)
+    assert det.kernel == "rbf"
+    det.fit(Xtr, ytr)
+    assert det._gamma_value == pytest.approx(1.0 / Xtr.shape[1])
+    assert det.score(Xte, yte) > 0.85
 
 
 def test_svm_rbf_random_fourier(spark, data):
