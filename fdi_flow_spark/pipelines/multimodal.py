@@ -3,17 +3,18 @@ with typed metadata, processed by Arrow-batched ``mapInPandas`` kernels
 (driver mandate, SURVEY.md §2.9).
 
 The Spark-side plumbing — schema, partitioning, UDF signatures, batch
-shapes — is real and tested. The codec step itself is STUBBED: this
-container has no image/audio libraries, so ``decode_image`` tries PIL and
-otherwise falls back to a clearly-marked deterministic fake decoder
-(seeded from the payload digest) that produces correctly-shaped arrays.
-Swap ``_decode_image_bytes`` for a real codec on a cluster with PIL/ffmpeg
-and nothing else changes.
+shapes — is real and tested, and so is the codec step: images are decoded
+as 24/32-bit uncompressed BMP (pure-NumPy parser in ``codecs.py``; PIL is
+tried first for non-BMP formats when installed) and audio as RIFF/WAVE
+16-bit PCM (raw headerless PCM accepted as a fallback). Video remains a
+metadata-driven frame *plan* (``frame_sample``) — actual MP4/AVC frame
+extraction needs ffmpeg-class dependencies this environment doesn't have,
+and would hang off the emitted ``(media_id, frame_idx)`` rows via the same
+``mapInPandas`` shape.
 """
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -71,12 +72,18 @@ def make_media_table(spark, rows) -> DataFrame:
     return spark.createDataFrame(data, schema=MEDIA_SCHEMA)
 
 
-def media_from_documents(docs: DataFrame) -> DataFrame:
+def media_from_documents(docs: DataFrame, encode_payloads: bool = True) -> DataFrame:
     """Deterministically derive a media table from the ``documents`` table so
     the multimodal kernels are runnable (and driver-checkable) on the shared
-    testdata: payload = UTF-8 text bytes, kind cycles image/audio/video by
-    ``doc_id % 3``, and metadata is a pure function of ``doc_id``. This is a
-    fixture generator — on a real lake the media table is read directly."""
+    testdata: kind cycles image/audio/video by ``doc_id % 3``, metadata is a
+    pure function of ``doc_id``, and (with ``encode_payloads=True``) image /
+    audio payloads are real BMP / WAV container bytes whose pixels / samples
+    derive deterministically from the document text. This is a fixture
+    generator — on a real lake the media table is read directly.
+
+    ``encode_payloads=False`` keeps the pure-JVM projection (payload = UTF-8
+    text bytes) for metadata-only consumers like ``frame_sample``, avoiding
+    an Arrow encode stage whose output would be dropped."""
     from fdi_flow_spark.core.partitioning import ensure_min_parallelism
 
     docs = ensure_min_parallelism(docs, "doc_id")
@@ -91,32 +98,61 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         (F.col("doc_id") % 50 + 1).cast("int").alias("n_frames"),
         kind.alias("format"),
     )
-    return docs.select(
+    media = docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         meta.alias("meta"),
     )
+    if not encode_payloads:
+        return media
+
+    from fdi_flow_spark.pipelines.codecs import encode_bmp, encode_wav
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for kind_, payload, meta_ in zip(pdf["kind"], pdf["payload"], pdf["meta"]):
+                seed = np.frombuffer(bytes(payload or b"\x00"), dtype=np.uint8)
+                if kind_ == "image":
+                    w, h = int(meta_["width"]), int(meta_["height"])
+                    pixels = np.resize(seed, h * w * 3).reshape(h, w, 3)
+                    payloads.append(encode_bmp(pixels))
+                elif kind_ == "audio":
+                    n = max(16, min(len(seed), 2048))
+                    pcm = (np.resize(seed, n).astype(np.int16) - 128) * 256
+                    payloads.append(encode_wav(pcm, int(meta_["sample_rate"] or 8000)))
+                else:  # video payloads stay opaque (frame plan is metadata-only)
+                    payloads.append(bytes(payload or b""))
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf
+
+    return media.mapInPandas(fn, MEDIA_SCHEMA)
 
 
-def _payload_rng(payload: bytes) -> np.random.Generator:
-    digest = hashlib.sha256(payload or b"").digest()
-    return np.random.default_rng(int.from_bytes(digest[:8], "big"))
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an (h, w, 3) uint8 RGB array.
 
+    BMP payloads (``BM`` magic) go through the pure-NumPy parser in
+    ``codecs.py``; anything else is handed to PIL when installed. Unknown
+    formats raise — no silent fake pixels."""
+    from fdi_flow_spark.pipelines.codecs import decode_bmp
 
-def _decode_image_bytes(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decode: PIL if available, else a deterministic fake (seeded from
-    the payload digest) with the correct (h, w, 3) uint8 shape."""
+    buf = bytes(payload or b"")
+    if buf[:2] == b"BM":
+        return decode_bmp(buf)
     try:
         import io
 
         from PIL import Image  # type: ignore
-
-        img = Image.open(io.BytesIO(payload)).convert("RGB")
-        return np.asarray(img, dtype=np.uint8)
-    except ImportError:
-        rng = _payload_rng(payload)
-        return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    except ImportError as e:
+        raise ValueError(
+            "image payload is not BMP and PIL is not installed; supported "
+            "formats without PIL: 24/32-bit uncompressed BMP"
+        ) from e
+    img = Image.open(io.BytesIO(buf)).convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
 
 
 IMAGE_FEATURES_SCHEMA = StructType(
@@ -131,17 +167,16 @@ IMAGE_FEATURES_SCHEMA = StructType(
 
 
 def image_features(media: DataFrame) -> DataFrame:
-    """Decode each image payload (stubbed codec) and emit per-channel mean /
-    std features. One Arrow batch in, one out — no per-row Python calls from
-    the JVM, and the binary column never leaves the executor."""
+    """Decode each image payload (real BMP/PIL codec) and emit per-channel
+    mean / std features. One Arrow batch in, one out — no per-row Python
+    calls from the JVM, and the binary column never leaves the executor.
+    Width/height come from the decoded container, not the metadata hints."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "mean_rgb": [], "std_rgb": [], "width": [], "height": []}
-            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                w = int(meta["width"] or 16)
-                h = int(meta["height"] or 16)
-                arr = _decode_image_bytes(bytes(payload or b""), w, h)
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_image(payload)
                 out["media_id"].append(mid)
                 out["mean_rgb"].append(arr.reshape(-1, 3).mean(axis=0).astype(float).tolist())
                 out["std_rgb"].append(arr.reshape(-1, 3).std(axis=0).astype(float).tolist())
@@ -162,16 +197,14 @@ RESIZE_SCHEMA = StructType(
 
 def image_resize(media: DataFrame, target_w: int = 8, target_h: int = 8) -> DataFrame:
     """Nearest-neighbor resize of decoded images to (target_h, target_w),
-    emitted as a flattened double array (model-input plumbing). The resize
-    math is real NumPy; only the byte->pixel decode is stubbed."""
+    emitted as a flattened double array (model-input plumbing). Both the
+    byte->pixel decode (BMP/PIL) and the resize math are real NumPy."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, pix = [], []
-            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                w = int(meta["width"] or 16)
-                h = int(meta["height"] or 16)
-                arr = _decode_image_bytes(bytes(payload or b""), w, h)
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_image(payload)
                 ys = (np.arange(target_h) * arr.shape[0] // target_h).clip(0, arr.shape[0] - 1)
                 xs = (np.arange(target_w) * arr.shape[1] // target_w).clip(0, arr.shape[1] - 1)
                 small = arr[np.ix_(ys, xs)].astype(float) / 255.0
@@ -195,10 +228,25 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def decode_audio(payload: bytes) -> np.ndarray:
+    """Decode an audio payload to a mono float sample array.
+
+    RIFF/WAVE payloads go through the pure-NumPy WAV parser in ``codecs.py``
+    (multichannel is averaged down to mono); headerless byte streams are
+    interpreted as raw little-endian int16 PCM."""
+    from fdi_flow_spark.pipelines.codecs import decode_wav
+
+    raw = bytes(payload or b"")
+    if raw[:4] == b"RIFF":
+        pcm, _rate = decode_wav(raw)
+        return pcm.astype(float).mean(axis=1)
+    return np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2").astype(float)
+
+
 def audio_features(media: DataFrame, n_bands: int = 8) -> DataFrame:
-    """Audio feature plumbing: interpret payload bytes as int16 PCM (real
-    parsing — synthetic payloads round-trip exactly), then emit per-band
-    FFT magnitude means. No external codec needed for raw PCM."""
+    """Decode each audio payload (WAV container or raw int16 PCM) and emit
+    per-band FFT magnitude means — a real spectral feature over real
+    samples, Arrow-batched like the image kernels."""
     schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -211,8 +259,7 @@ def audio_features(media: DataFrame, n_bands: int = 8) -> DataFrame:
         for pdf in batches:
             ids, ns, bands = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(payload or b"")
-                pcm = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2").astype(float)
+                pcm = decode_audio(payload)
                 ids.append(mid)
                 ns.append(len(pcm))
                 if len(pcm) == 0:

@@ -1710,7 +1710,7 @@ def q_simulate_nonlinear(spark, sf_dir):
     )
 
 
-@register("multimodal_image_resize")  # rows-only (stubbed codec, SURVEY §2.9)
+@register("multimodal_image_resize")  # rows-only (real BMP decode, SURVEY §2.9)
 def q_image_resize(spark, sf_dir):
     """Nearest-neighbor image resize to an 4x4 grid — the model-input
     plumbing path; emits a checksum per image rather than 48 floats."""
@@ -2079,11 +2079,13 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
 
 # ------------------------------------------------------------- multimodal
 
-def _media(spark, sf_dir):
-    return media_from_documents(load_table(spark, sf_dir, "documents"))
+def _media(spark, sf_dir, encode_payloads=True):
+    return media_from_documents(
+        load_table(spark, sf_dir, "documents"), encode_payloads=encode_payloads
+    )
 
 
-@register("multimodal_image_features")  # rows-only (stubbed codec, SURVEY §2.9)
+@register("multimodal_image_features")  # rows-only (real BMP decode, SURVEY §2.9)
 def q_image_features(spark, sf_dir):
     return image_features(_media(spark, sf_dir)).select(
         "media_id",
@@ -2114,8 +2116,9 @@ def q_audio_bands(spark, sf_dir):
     """,
 )
 def q_frame_sample(spark, sf_dir):
-    """Metadata-driven frame sampling plan — pure SQL (sequence + explode)."""
-    return frame_sample(_media(spark, sf_dir), every_n=10).select(
+    """Metadata-driven frame sampling plan — pure SQL (sequence + explode).
+    Skips the payload-encode Arrow stage: frame planning reads metadata only."""
+    return frame_sample(_media(spark, sf_dir, encode_payloads=False), every_n=10).select(
         "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
     )
 

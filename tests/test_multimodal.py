@@ -1,43 +1,114 @@
 import numpy as np
 import pytest
 
+from fdi_flow_spark.pipelines.codecs import (
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+)
 from fdi_flow_spark.pipelines.multimodal import (
     audio_features,
+    decode_audio,
+    decode_image,
     frame_sample,
     image_features,
     image_resize,
     make_media_table,
 )
 
+# --------------------------------------------------------------- codecs
+
+
+def test_bmp_roundtrip_exact():
+    rng = np.random.default_rng(7)
+    # odd width exercises the 4-byte row padding
+    for h, w in [(10, 12), (5, 7), (1, 1), (3, 2)]:
+        pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(pixels)), pixels)
+
+
+def test_bmp_decode_top_down_and_32bit():
+    # hand-build a 1x2 top-down 32-bit BMP: negative height, BGRA pixels
+    import struct
+
+    px = [(10, 20, 30, 0), (40, 50, 60, 0)]  # B,G,R,A
+    data = b"".join(struct.pack("<4B", *p) for p in px)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, -1, 1, 32, 0, len(data), 0, 0, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    arr = decode_bmp(head + info + data)
+    assert arr.shape == (1, 2, 3)
+    assert arr[0, 0].tolist() == [30, 20, 10]  # RGB
+    assert arr[0, 1].tolist() == [60, 50, 40]
+
+
+def test_bmp_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_bmp(b"not a bitmap at all")
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n")  # non-BMP without PIL installed
+
+
+def test_wav_roundtrip_exact():
+    pcm = (np.sin(np.linspace(0, 20, 333)) * 12000).astype("<i2")
+    out, rate = decode_wav(encode_wav(pcm, 16000))
+    assert rate == 16000
+    assert out.shape == (333, 1)
+    assert np.array_equal(out[:, 0], pcm)
+
+
+def test_wav_stereo_and_chunk_skipping():
+    pcm = np.stack([np.arange(64, dtype="<i2"), -np.arange(64, dtype="<i2")], axis=1)
+    buf = encode_wav(pcm, 8000)
+    # splice an unknown (odd-sized, word-aligned) chunk between fmt and data
+    import struct
+
+    fmt_end = 12 + 8 + 16
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    spliced = buf[:fmt_end] + junk + buf[fmt_end:]
+    out, rate = decode_wav(spliced)
+    assert out.shape == (64, 2)
+    assert np.array_equal(out, pcm)
+    # decode_audio averages stereo down to mono
+    mono = decode_audio(buf)
+    assert np.allclose(mono, pcm.astype(float).mean(axis=1))
+
+
+# --------------------------------------------------------------- Spark kernels
+
 
 @pytest.fixture()
 def media(spark):
     rng = np.random.default_rng(4)
     rows = []
-    # images: payload bytes are opaque (codec stubbed)
+    # images: real 24-bit BMP payloads
     for i in range(3):
+        pixels = rng.integers(0, 256, size=(10, 12, 3), dtype=np.uint8)
         rows.append(
-            (i, "image", rng.bytes(64), {"width": 12, "height": 10, "format": "png"})
+            (i, "image", encode_bmp(pixels), {"width": 12, "height": 10, "format": "bmp"})
         )
-    # audio: real int16 PCM payloads
-    for i in range(3, 5):
-        pcm = (np.sin(np.linspace(0, 40, 256)) * 1000).astype("<i2")
-        rows.append(
-            (i, "audio", pcm.tobytes(), {"sample_rate": 8000, "format": "pcm16"})
-        )
+    # audio 3: WAV container; audio 4: raw headerless int16 PCM
+    pcm = (np.sin(np.linspace(0, 40, 256)) * 1000).astype("<i2")
+    rows.append((3, "audio", encode_wav(pcm, 8000), {"sample_rate": 8000, "format": "wav"}))
+    rows.append((4, "audio", pcm.tobytes(), {"sample_rate": 8000, "format": "pcm16"}))
     # video: metadata-only frame plan
     rows.append((5, "video", b"", {"n_frames": 95, "format": "mp4"}))
     return make_media_table(spark, rows)
 
 
-def test_image_features_shapes_and_determinism(spark, media):
+def test_image_features_golden(spark, media):
+    """Spark features equal NumPy mean/std of the very pixels we encoded."""
+    rng = np.random.default_rng(4)
+    expected = {
+        i: rng.integers(0, 256, size=(10, 12, 3), dtype=np.uint8) for i in range(3)
+    }
     out = image_features(media).toPandas().sort_values("media_id")
     assert list(out["media_id"]) == [0, 1, 2]
-    assert all(len(m) == 3 for m in out["mean_rgb"])
     assert (out["width"] == 12).all() and (out["height"] == 10).all()
-    out2 = image_features(media).toPandas().sort_values("media_id")
-    for a, b in zip(out["mean_rgb"], out2["mean_rgb"]):
-        assert np.array_equal(np.asarray(a), np.asarray(b))  # stub decode deterministic
+    for _, row in out.iterrows():
+        px = expected[row["media_id"]].reshape(-1, 3).astype(float)
+        assert np.allclose(row["mean_rgb"], px.mean(axis=0))
+        assert np.allclose(row["std_rgb"], px.std(axis=0))
 
 
 def test_image_resize_flattened_len(spark, media):
@@ -53,11 +124,34 @@ def test_frame_sample_counts(spark, media):
     assert out["frame_idx"].max() == 90
 
 
-def test_audio_features_pcm_roundtrip(spark, media):
+def test_audio_features_wav_equals_raw_pcm(spark, media):
+    """The same samples through the WAV container and as raw PCM produce
+    identical spectral features — the container parse is lossless."""
     out = audio_features(media, n_bands=4).toPandas().sort_values("media_id")
     assert list(out["media_id"]) == [3, 4]
     assert (out["n_samples"] == 256).all()
-    assert all(len(b) == 4 for b in out["band_energy"])
+    wav_bands = np.asarray(list(out["band_energy"])[0])
+    raw_bands = np.asarray(list(out["band_energy"])[1])
+    assert np.allclose(wav_bands, raw_bands)
     # a low-frequency sine concentrates energy in the first band
-    for b in out["band_energy"]:
-        assert b[0] == max(b)
+    assert wav_bands[0] == max(wav_bands)
+
+
+def test_media_from_documents_real_payloads(spark):
+    """The fixture generator emits decodable BMP/WAV container bytes."""
+    from fdi_flow_spark.pipelines.multimodal import media_from_documents
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some text content") for i in range(12)],
+        "doc_id long, text string",
+    )
+    rows = media_from_documents(docs).collect()
+    assert len(rows) == 12
+    for r in rows:
+        if r["kind"] == "image":
+            arr = decode_image(bytes(r["payload"]))
+            assert arr.shape == (r["meta"]["height"], r["meta"]["width"], 3)
+        elif r["kind"] == "audio":
+            pcm, rate = decode_wav(bytes(r["payload"]))
+            assert rate == r["meta"]["sample_rate"]
+            assert len(pcm) >= 16
