@@ -1,4 +1,8 @@
-from fdi_flow_spark.observers.linalg import ackermann_gain, place_observer_gain
+from fdi_flow_spark.observers.linalg import (
+    ackermann_gain,
+    feedback_gain,
+    place_observer_gain,
+)
 from fdi_flow_spark.observers.observers import (
     KalmanFilter,
     KalmanFilterMatrix,
@@ -14,5 +18,6 @@ __all__ = [
     "SlidingModeObserver",
     "observer_replay",
     "ackermann_gain",
+    "feedback_gain",
     "place_observer_gain",
 ]

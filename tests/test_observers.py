@@ -34,6 +34,39 @@ def test_pole_placement_exact():
     np.testing.assert_allclose(got, np.sort(poles), rtol=1e-9)
 
 
+def test_pole_placement_mimo_two_outputs():
+    """Dyadic-reduction placement on a 2-output, 4-state system (scipy-free
+    MIMO path): eig(A - L C) must match the requested spectrum to 1e-9,
+    including a complex-conjugate pair."""
+    rng = np.random.default_rng(42)
+    A4 = rng.standard_normal((4, 4))
+    C2 = rng.standard_normal((2, 4))
+    poles = np.array([-1.0, -2.0, -3.0 + 1.0j, -3.0 - 1.0j])
+    L = place_observer_gain(A4, C2, poles)
+    assert L.shape == (4, 2)
+    got = np.sort_complex(np.linalg.eigvals(A4 - L @ C2))
+    np.testing.assert_allclose(got, np.sort_complex(poles), rtol=1e-9, atol=1e-9)
+
+
+def test_pole_placement_mimo_noncyclic_A():
+    """A with a repeated eigenvalue in two Jordan blocks is not cyclic, so
+    no single q makes (A.T, C.T q) controllable — the preliminary-feedback
+    branch (Wonham's lemma) must kick in."""
+    A3 = np.diag([0.0, 0.0, 1.0])
+    C2 = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]])
+    poles = np.array([-1.0, -2.0, -4.0])
+    L = place_observer_gain(A3, C2, poles)
+    got = np.sort(np.linalg.eigvals(A3 - L @ C2).real)
+    np.testing.assert_allclose(got, np.sort(poles), rtol=1e-8, atol=1e-9)
+
+
+def test_pole_placement_unobservable_raises():
+    A2 = np.zeros((3, 3))
+    C2 = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])  # third state invisible
+    with pytest.raises(np.linalg.LinAlgError):
+        place_observer_gain(A2, C2, [-1.0, -2.0, -3.0])
+
+
 def test_luenberger_converges():
     u, truth = _simulate_truth()
     obs = LuenbergerObserver(A, B, C, DT, desired_poles=[-3.0, -4.0])
