@@ -6,9 +6,11 @@ from fdi_flow_spark.ml.detectors import (
     RandomForestFaultDetector,
     SVMFaultDetector,
     XGBFaultDetector,
+    xgboost_spark_available,
 )
 
 __all__ = [
+    "xgboost_spark_available",
     "KNNFaultDetector",
     "RandomForestFaultDetector",
     "SVMFaultDetector",

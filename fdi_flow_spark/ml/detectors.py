@@ -559,16 +559,34 @@ class SVMFaultDetector(_AssembledPipelineDetector):
         )
 
 
+def xgboost_spark_available() -> bool:
+    """True when the distributed ``xgboost.spark`` estimator is importable —
+    the backend :class:`XGBFaultDetector` actually uses is then the exact
+    XGBoost algorithm rather than the MLlib GBT approximation."""
+    try:
+        import xgboost.spark  # type: ignore  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 class XGBFaultDetector(GradientBoostingFaultDetector):
     """Reference D5 (``xgb_detectors.py:17-374``). Uses the distributed
     ``xgboost.spark.SparkXGBClassifier`` when xgboost is installed (keeps the
     exact algorithm); otherwise falls back to MLlib GBT (+OVR) with the same
-    hyperparameter names — a documented approximation."""
+    hyperparameter names — a documented approximation. After ``fit`` (or the
+    first classifier construction), ``backend_`` records which one actually
+    ran: ``"xgboost.spark"`` or ``"mllib-gbt"`` — tests and the registry
+    query surface it so driver evidence is honest about what it proves."""
+
+    backend_: str | None = None
 
     def _classifier(self, params, n_classes):
         try:
             from xgboost.spark import SparkXGBClassifier  # type: ignore
 
+            self.backend_ = "xgboost.spark"
             return SparkXGBClassifier(
                 label_col="label",
                 n_estimators=int(params.get("n_estimators", 100)),
@@ -576,6 +594,7 @@ class XGBFaultDetector(GradientBoostingFaultDetector):
                 max_depth=int(params.get("max_depth", 3)),
             )
         except ImportError:
+            self.backend_ = "mllib-gbt"
             return super()._classifier(params, n_classes)
 
 

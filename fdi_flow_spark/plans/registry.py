@@ -1647,7 +1647,12 @@ def _detector_query(det, spark, sf_dir):
 @register("xgb_classify_embeddings")  # rows-only: boosted ensembles are seeded
 def q_xgb_classify(spark, sf_dir):    # but not SQL-expressible
     """XGB fault detector (reference D5, xgb_detectors.py:17-374) as a
-    Pipeline query; in-sandbox it exercises the documented GBT fallback."""
+    Pipeline query. Which backend actually runs is environment-dependent and
+    recorded at fit time in ``det.backend_`` ("xgboost.spark" when xgboost
+    is installed, else the documented "mllib-gbt" fallback — this sandbox
+    has no xgboost, so the driver row evidences the fallback path);
+    tests/test_detectors.py::test_xgb_backend_evidence asserts the recorded
+    backend matches the environment."""
     from fdi_flow_spark.ml import XGBFaultDetector
 
     det = XGBFaultDetector(n_estimators=5, max_depth=3, random_state=42)

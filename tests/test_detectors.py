@@ -152,3 +152,19 @@ def test_binary_gbt_probability(spark):
     proba = det.predict_proba(X[80:])
     assert proba.shape == (20, 2)
     np.testing.assert_allclose(proba.sum(axis=1), 1.0, rtol=1e-6)
+
+
+def test_xgb_backend_evidence(spark, data):
+    """Records WHICH backend the XGB detector actually ran — the exact
+    xgboost.spark algorithm or the documented MLlib-GBT fallback — and
+    asserts it matches the environment. The backend name prints into the
+    test output so a round's evidence is explicit about what it proves."""
+    from fdi_flow_spark.ml import XGBFaultDetector, xgboost_spark_available
+
+    Xtr, ytr, Xte, yte = data
+    det = XGBFaultDetector(n_estimators=5, max_depth=3, random_state=42)
+    det.fit(Xtr, ytr)
+    expected = "xgboost.spark" if xgboost_spark_available() else "mllib-gbt"
+    print(f"\nXGBFaultDetector backend_: {det.backend_}")
+    assert det.backend_ == expected
+    assert det.score(Xte, yte) > 0.85
