@@ -54,6 +54,22 @@ __all__ = [
 ]
 
 
+def _check_axis(axis: int) -> int:
+    """Constructor-time axis validation, mirroring the reference filters /
+    segmenters (``filters.py:53-54`` et al.). Scalers deliberately skip this:
+    the reference's ``BaseScaler.apply`` accepts any axis and treats non-0
+    as columns (``scalers.py:31-35``), and compat reproduces that."""
+    if axis not in (0, 1):
+        raise ValueError("Axis must be 0 (rows) or 1 (columns)")
+    return axis
+
+
+def _check_unit_interval(name: str, value: float) -> float:
+    if not 0 < value < 1:
+        raise ValueError(f"{name.capitalize()} must be between 0 and 1")
+    return value
+
+
 def _series_matrix(data, axis: int):
     """ArrayLike -> (matrix with one series per ROW, meta for round-trip)."""
     if isinstance(data, list):
@@ -148,8 +164,8 @@ class _LongOpShim:
 
 class ExponentialSmoothing(_LongOpShim):
     def __init__(self, alpha: float = 0.3, axis: int = 1):
-        self.alpha = alpha
-        self.axis = axis
+        self.alpha = _check_unit_interval("alpha", alpha)  # filters.py:51-52
+        self.axis = _check_axis(axis)
 
     def _op(self, df):
         return exponential_smoothing(df, alpha=self.alpha)
@@ -157,9 +173,11 @@ class ExponentialSmoothing(_LongOpShim):
 
 class DoubleExponentialSmoothing(_LongOpShim):
     def __init__(self, alpha: float = 0.3, beta: float = 0.1, axis: int = 1):
+        if not 0 < alpha < 1 or not 0 < beta < 1:  # filters.py:87-88
+            raise ValueError("Alpha and beta must be between 0 and 1")
         self.alpha = alpha
         self.beta = beta
-        self.axis = axis
+        self.axis = _check_axis(axis)
 
     def _op(self, df):
         return double_exponential_smoothing(df, alpha=self.alpha, beta=self.beta)
@@ -167,9 +185,11 @@ class DoubleExponentialSmoothing(_LongOpShim):
 
 class MovingAverage(_LongOpShim):
     def __init__(self, window_size: int = 3, pad_with_zeros: bool = False, axis: int = 1):
+        if window_size <= 0:  # filters.py:133-134
+            raise ValueError("Window size must be positive")
         self.window_size = window_size
         self.pad_with_zeros = pad_with_zeros
-        self.axis = axis
+        self.axis = _check_axis(axis)
 
     def _op(self, df):
         return moving_average(df, self.window_size, pad_with_zeros=self.pad_with_zeros)
@@ -177,9 +197,11 @@ class MovingAverage(_LongOpShim):
 
 class MedianFilter(_LongOpShim):
     def __init__(self, window_size: int = 3, pad_with_zeros: bool = False, axis: int = 1):
+        if window_size <= 0:  # filters.py:201-202
+            raise ValueError("Window size must be positive")
         self.window_size = window_size
         self.pad_with_zeros = pad_with_zeros
-        self.axis = axis
+        self.axis = _check_axis(axis)
 
     def _op(self, df):
         return median_filter(df, self.window_size, pad_with_zeros=self.pad_with_zeros)
@@ -187,10 +209,14 @@ class MedianFilter(_LongOpShim):
 
 class BandpassFilter(_LongOpShim):
     def __init__(self, low_cutoff: float, high_cutoff: float, sample_rate: float, axis: int = 1):
+        if low_cutoff >= high_cutoff:  # filters.py:252-255
+            raise ValueError("Low cutoff must be less than high cutoff")
+        if sample_rate <= 0:
+            raise ValueError("Sample rate must be positive")
         self.low_cutoff = low_cutoff
         self.high_cutoff = high_cutoff
         self.sample_rate = sample_rate
-        self.axis = axis
+        self.axis = _check_axis(axis)
 
     def _op(self, df):
         return bandpass_filter(df, self.low_cutoff, self.high_cutoff, self.sample_rate)
@@ -199,7 +225,7 @@ class BandpassFilter(_LongOpShim):
 class KalmanFilter(_LongOpShim):
     def __init__(self, q: float = 1.0, r: float = 1.0, x0=None, p0: float = 1.0, axis: int = 1):
         self.q, self.r, self.x0, self.p0 = q, r, x0, p0
-        self.axis = axis
+        self.axis = _check_axis(axis)  # filters.py:318-319
 
     def _op(self, df):
         return kalman_filter_1d(df, q=self.q, r=self.r, x0=self.x0, p0=self.p0)
@@ -222,6 +248,8 @@ class StandardScaler(_ScalerShim):
 
 class MinMaxScaler(_ScalerShim):
     def __init__(self, feature_range: tuple = (0, 1)):
+        if feature_range[0] >= feature_range[1]:  # scalers.py:89-90
+            raise ValueError("Minimum of feature range must be less than maximum")
         self.feature_range = feature_range
 
     def _op(self, df):
@@ -241,9 +269,13 @@ class RobustScaler(_ScalerShim):
 
 class TimeSeriesResampler(_LongOpShim):
     def __init__(self, target_size: int, method: str = "linear", axis: int = 1):
+        if target_size <= 0:  # segmenters.py:116-121
+            raise ValueError("Target size must be positive")
+        if method not in ("linear", "nearest", "cubic"):
+            raise ValueError("Method must be 'linear', 'nearest' or 'cubic'")
         self.target_size = target_size
         self.method = method
-        self.axis = axis
+        self.axis = _check_axis(axis)
 
     def _op(self, df):
         return resample(df, self.target_size, method=self.method)
@@ -253,10 +285,14 @@ class SplineUpsampler(_LongOpShim):
     def __init__(
         self, target_size: int, spline_degree: int = 3, smoothing: float = 0.0, axis: int = 1
     ):
+        if target_size <= 0:  # segmenters.py:186-191
+            raise ValueError("Target size must be positive")
+        if spline_degree not in (1, 2, 3):
+            raise ValueError("Spline degree must be 1, 2 or 3")
         self.target_size = target_size
         self.spline_degree = spline_degree
         self.smoothing = smoothing
-        self.axis = axis
+        self.axis = _check_axis(axis)
 
     def _op(self, df):
         return spline_upsample(
@@ -267,21 +303,46 @@ class SplineUpsampler(_LongOpShim):
 class TimeSeriesSegmenter:
     """Reference ``segment() -> List[window]`` contract
     (``segmenters.py:9-103``), windows assembled from the distributed
-    ``segment`` operator's packed rows."""
+    ``segment`` operator's packed rows.
+
+    Pandas input follows the reference's dedicated pandas path
+    (``segmenters.py:72-103``): windows are ``iloc`` row slices with the
+    original index/columns preserved, REGARDLESS of ``axis`` (the reference
+    never transposes pandas input), and a series shorter than the window
+    errors when ``drop_last=False`` (the reference hits an unbound loop
+    variable there; we raise a ValueError with an actual message)."""
 
     def __init__(self, window_size: int, step: int = 1, drop_last: bool = True, axis: int = 1):
         if window_size <= 0:
             raise ValueError("Window size must be positive")
-        if axis not in (0, 1):
-            raise ValueError("Axis must be 0 (rows) or 1 (columns)")
         self.window_size = window_size
         self.step = step
         self.drop_last = drop_last
-        self.axis = axis
+        self.axis = _check_axis(axis)
+
+    def _window_starts(self, n_samples: int) -> list[int]:
+        """The reference's emitted start set, including the overlapping
+        ``data[-W:]`` tail quirk (``segmenters.py:51-53``)."""
+        starts = list(range(0, n_samples - self.window_size + 1, self.step))
+        if not self.drop_last:
+            if not starts:
+                raise ValueError(
+                    f"series of length {n_samples} is shorter than "
+                    f"window_size={self.window_size} (reference raises here "
+                    "when drop_last=False)"
+                )
+            if (n_samples - starts[-1] - self.step) > 0:
+                starts.append(n_samples - self.window_size)
+        return starts
 
     def segment(self, data):
         if isinstance(data, DataFrame):
             return segment(data, self.window_size, self.step, self.drop_last)
+        if isinstance(data, (pd.Series, pd.DataFrame)):
+            return [
+                data.iloc[s : s + self.window_size]
+                for s in self._window_starts(len(data))
+            ]
         rows, meta = _series_matrix(data, self.axis)
         df = segment(_rows_to_long(rows), self.window_size, self.step, self.drop_last)
         pdf = df.toPandas().sort_values(["series_id", "window_id"])

@@ -360,6 +360,8 @@ def dedup_components(
     drop-in upgrade if that regime ever matters. ``localCheckpoint`` cuts
     lineage per round so the plan does not grow with iterations.
     """
+    import warnings
+
     ca, cb = pair_cols
     edges = (
         pairs.select(F.col(ca).alias("src"), F.col(cb).alias("dst"))
@@ -394,6 +396,17 @@ def dedup_components(
         labels = merged.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    else:
+        # a chain-shaped graph of diameter > max_iter exits the loop still
+        # merging — never hand back silently-unmerged component ids
+        warnings.warn(
+            f"dedup_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); component ids are unmerged "
+            "upper bounds. Raise max_iter, or switch to large-star/small-star "
+            "(Kiveris et al.) if the pair graph has long chains.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     out = labels.select(F.col("node").alias(id_col), F.col("label").alias("component_id"))
     if docs is None:
         return out

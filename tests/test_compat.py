@@ -152,3 +152,70 @@ def test_reference_import_paths_resolve():
     assert ExponentialSmoothing is compat.ExponentialSmoothing
     assert LinearContinuousStateSpaceModel is systems.LinearContinuousStateSpaceModel
     assert KalmanFilter is KalmanFilterMatrix
+
+
+def test_constructor_validation_mirrors_reference():
+    """Reference constructors reject bad alpha/beta/axis/window/range at
+    __init__ (filters.py:51-54, 87-90, 133-136, 252-257; scalers.py:89-90;
+    segmenters.py:116-121, 186-191) — compat must too."""
+    with pytest.raises(ValueError):
+        compat.ExponentialSmoothing(alpha=0.0)
+    with pytest.raises(ValueError):
+        compat.ExponentialSmoothing(alpha=1.0)
+    with pytest.raises(ValueError):
+        compat.ExponentialSmoothing(axis=2)
+    with pytest.raises(ValueError):
+        compat.DoubleExponentialSmoothing(beta=1.5)
+    with pytest.raises(ValueError):
+        compat.MovingAverage(window_size=0)
+    with pytest.raises(ValueError):
+        compat.MedianFilter(axis=-1)
+    with pytest.raises(ValueError):
+        compat.BandpassFilter(low_cutoff=5.0, high_cutoff=1.0, sample_rate=100.0)
+    with pytest.raises(ValueError):
+        compat.BandpassFilter(low_cutoff=1.0, high_cutoff=5.0, sample_rate=0.0)
+    with pytest.raises(ValueError):
+        compat.KalmanFilter(axis=3)
+    with pytest.raises(ValueError):
+        compat.MinMaxScaler(feature_range=(1, 1))
+    with pytest.raises(ValueError):
+        compat.TimeSeriesResampler(target_size=0)
+    with pytest.raises(ValueError):
+        compat.TimeSeriesResampler(target_size=10, method="quadratic")
+    with pytest.raises(ValueError):
+        compat.SplineUpsampler(target_size=10, spline_degree=5)
+    with pytest.raises(ValueError):
+        compat.TimeSeriesSegmenter(window_size=4, axis=7)
+
+
+def test_segmenter_pandas_row_slices_ignore_axis():
+    """Reference _segment_pandas always slices ROWS with the original index
+    preserved, regardless of axis (segmenters.py:72-103)."""
+    frame = pd.DataFrame(
+        np.arange(22.0).reshape(11, 2), columns=["a", "b"], index=np.arange(100, 111)
+    )
+    for axis in (0, 1):
+        segs = compat.TimeSeriesSegmenter(
+            window_size=4, step=3, drop_last=False, axis=axis
+        ).segment(frame)
+        assert all(isinstance(s, pd.DataFrame) for s in segs)
+        assert [list(s.index) for s in segs] == [
+            [100, 101, 102, 103],
+            [103, 104, 105, 106],
+            [106, 107, 108, 109],
+            [107, 108, 109, 110],  # tail quirk: final W rows re-sliced
+        ]
+        assert list(segs[0].columns) == ["a", "b"]
+    ser = pd.Series(np.arange(11.0), index=np.arange(50, 61))
+    segs = compat.TimeSeriesSegmenter(window_size=4, step=3, drop_last=False).segment(ser)
+    assert all(isinstance(s, pd.Series) for s in segs)
+    assert list(segs[-1].index) == [57, 58, 59, 60]
+
+
+def test_segmenter_pandas_short_series_raises():
+    ser = pd.Series(np.arange(3.0))
+    # drop_last=True: reference returns [] (empty start range)
+    assert compat.TimeSeriesSegmenter(window_size=5).segment(ser) == []
+    # drop_last=False: reference errors (unbound loop variable); we raise
+    with pytest.raises(ValueError, match="shorter than"):
+        compat.TimeSeriesSegmenter(window_size=5, drop_last=False).segment(ser)

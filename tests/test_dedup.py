@@ -196,6 +196,27 @@ def test_dedup_components_long_chain_converges(spark):
     assert set(got.values()) == {1} and len(got) == 12
 
 
+def test_dedup_components_warns_when_not_converged(spark):
+    """A chain longer than max_iter rounds must NOT return silently-unmerged
+    labels — the caller gets a RuntimeWarning naming the fix."""
+    import warnings
+
+    from fdi_flow_spark.pipelines.dedup import dedup_components
+
+    pairs = [(i, i + 1) for i in range(1, 12)]
+    pdf = spark.createDataFrame(pairs, "id_a int, id_b int")
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        got = {
+            r.doc_id: r.component_id
+            for r in dedup_components(pdf, max_iter=2).collect()
+        }
+    assert len(got) == 12 and set(got.values()) != {1}  # honest: still unmerged
+    # converged runs stay silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        dedup_components(pdf, max_iter=15).collect()
+
+
 def test_dedup_components_no_docs_omits_singletons(spark):
     from fdi_flow_spark.pipelines.dedup import dedup_components
 
