@@ -2090,8 +2090,36 @@ def _media(spark, sf_dir, encode_payloads=True):
     )
 
 
-@register("multimodal_image_features")  # rows-only (real BMP decode, SURVEY §2.9)
+@register(
+    "multimodal_image_features",
+    """
+    WITH dims AS (
+      SELECT doc_id, text,
+             doc_id % 7 + 4 AS width,
+             doc_id % 5 + 4 AS height,
+             LENGTH(text) AS len
+      FROM documents WHERE doc_id % 3 = 0
+    ), px AS (
+      SELECT d.doc_id, d.width, d.height,
+             ASCII(SUBSTR(d.text, CAST((3 * k.k) % d.len AS INT) + 1, 1)) AS r
+      FROM dims d, UNNEST(GENERATE_SERIES(0, d.width * d.height - 1)) AS k(k)
+    )
+    SELECT doc_id AS media_id,
+           ROUND(AVG(r), 6) AS mean_r,
+           ROUND(STDDEV_POP(r), 6) AS std_r,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height
+    FROM px GROUP BY doc_id, width, height
+    """,
+)
 def q_image_features(spark, sf_dir):
+    """Red-channel mean/std of each decoded image. The fixture pixels are
+    the document text bytes tiled to (h, w, 3) and ENCODED AS REAL BMP
+    container bytes (``media_from_documents``), then DECODED back through
+    the pure-NumPy BMP parser — so this oracle hash-checks the entire
+    encode -> decode codec chain against DuckDB recomputing the same
+    statistics directly from the text bytes (documents text is ASCII at
+    every sf, so ASCII(SUBSTR(..)) == payload byte)."""
     return image_features(_media(spark, sf_dir)).select(
         "media_id",
         F.round(F.element_at("mean_rgb", 1), 6).alias("mean_r"),
@@ -2403,7 +2431,7 @@ _WINDOW_PRIORITY = [
     "dedup_exact", "dedup_components", "ngram_jaccard_pairs", "minhash_dedup_pairs",
     "simhash_fingerprints", "document_fingerprint",
     "cosine_topk", "knn_classify", "embedding_near_dup",
-    "video_frame_sample", "token_counts", "text_quality", "language_id",
+    "multimodal_image_features", "token_counts", "text_quality", "language_id",
     "corpus_hash_split", "quota_sample", "pii_redact",
     "token_pack", "curation_pipeline",
 ]
@@ -2429,6 +2457,9 @@ _WINDOW_EXCLUDED_ORACLES = {
                           # token_pack (r4)
     "cube_order_stats",   # same Expand grouping-sets kernel as in-window
                           # sales_rollup — swapped out for curation_pipeline (r4)
+    "video_frame_sample",  # sequence+explode kernel stays in-window via
+                           # segment_windows — swapped out for the codec-chain
+                           # proof multimodal_image_features (r4)
 }
 
 
