@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "multimodal_image_features",
     "multimodal_audio_bands",
     "video_frame_sample",
+    "video_frame_features",
     "token_counts",
     "corpus_hash_split",
     "quota_sample",

@@ -1,18 +1,23 @@
-"""Pure-NumPy media codecs: 24-bit uncompressed BMP and 16-bit PCM WAV.
+"""Pure-NumPy media codecs: 24-bit uncompressed BMP, 16-bit PCM WAV, and
+uncompressed 24-bit DIB AVI video.
 
-No external image/audio libraries exist in this environment, but both
-formats are simple enough to implement honestly from their public
+No external image/audio/video libraries exist in this environment, but all
+three formats are simple enough to implement honestly from their public
 specifications (BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR
 rows padded to 4 bytes; WAV: RIFF container with ``fmt `` and ``data``
-chunks, little-endian int16 PCM). These replace the round-3 "deterministic
-fake" decoder in ``multimodal.py`` — the byte->pixel / byte->sample step is
-now a real decode of real container bytes.
+chunks, little-endian int16 PCM; AVI: RIFF container with ``hdrl``
+stream-header lists and raw ``00db`` DIB frames in the ``movi`` list —
+each frame laid out exactly like a BMP pixel body). These replace the
+round-3 "deterministic fake" decoder in ``multimodal.py`` — the
+byte->pixel / byte->sample / byte->frame step is now a real decode of real
+container bytes. Compressed codecs (JPEG/H.264/MP3) stay out of scope —
+they need entropy-coding stacks this container cannot provide.
 
 The encoders exist so fixtures (tests, ``media_from_documents``) can
-produce genuine BMP/WAV payloads; decode(encode(x)) round-trips exactly.
-Everything here is driver/executor-agnostic NumPy over ``bytes`` — the
-Arrow-batched ``mapInPandas`` kernels in ``multimodal.py`` call these per
-payload inside an executor batch.
+produce genuine BMP/WAV/AVI payloads; decode(encode(x)) round-trips
+exactly. Everything here is driver/executor-agnostic NumPy over ``bytes``
+— the Arrow-batched ``mapInPandas`` kernels in ``multimodal.py`` call
+these per payload inside an executor batch.
 """
 
 from __future__ import annotations
@@ -112,6 +117,119 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# --------------------------------------------------------------------- AVI
+#
+# Uncompressed ("DIB ") AVI per the public RIFF/AVI spec: RIFF('AVI ')
+# containing LIST('hdrl') [avih + LIST('strl') [strh('vids'), strf =
+# BITMAPINFOHEADER]] then LIST('movi') with one '00db' chunk per frame.
+# Frame bytes are the BMP pixel-body layout: bottom-up rows, BGR, rows
+# padded to 4 bytes. The optional idx1 index is written for players but the
+# decoder does not require it.
+
+_AVIH = struct.Struct("<IIIIIIIIIIIIII")  # 56-byte main header
+_STRH = struct.Struct("<4s4sIHHIIIIIIIIhhhh")  # 56-byte stream header
+
+
+def _chunk(fourcc: bytes, body: bytes) -> bytes:
+    return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _list(fourcc: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", fourcc + body)
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Encode (n_frames, h, w, 3) uint8 RGB as an uncompressed 24-bit AVI."""
+    arr = np.asarray(frames, dtype=np.uint8)
+    if arr.ndim != 4 or arr.shape[3] != 3:
+        raise ValueError(f"expected (n, h, w, 3) RGB frames, got shape {arr.shape}")
+    n, h, w = arr.shape[:3]
+    row_size = (3 * w + 3) // 4 * 4
+    frame_size = row_size * h
+    # bottom-up BGR padded rows, one '00db' chunk per frame
+    rows = np.zeros((n, h, row_size), dtype=np.uint8)
+    rows[:, :, : 3 * w] = arr[:, ::-1, :, ::-1].reshape(n, h, 3 * w)
+    movi_frames = b"".join(_chunk(b"00db", f.tobytes()) for f in rows)
+    avih = _AVIH.pack(
+        1_000_000 // max(fps, 1),  # microseconds per frame
+        frame_size * fps,  # max bytes per second
+        0,  # padding granularity
+        0x10,  # flags: AVIF_HASINDEX
+        n, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = _STRH.pack(
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0, 0, 0, w, h
+    )
+    strf = _BMP_INFO_HEADER.pack(40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi = _list(b"movi", movi_frames)
+    # idx1: (fourcc, flags=KEYFRAME, offset from movi list start, size)
+    idx_entries = []
+    off = 4  # offsets count from the 'movi' fourcc
+    for _ in range(n):
+        idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, off, frame_size))
+        off += 8 + frame_size + (frame_size & 1)
+    idx1 = _chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode an uncompressed 24-bit DIB AVI -> ((n, h, w, 3) uint8 RGB, fps).
+
+    Walks the RIFF chunk tree: reads dims/bpp from the first video ``strf``
+    (BITMAPINFOHEADER), fps from ``strh`` rate/scale, then every ``00db``
+    raw-DIB chunk in the ``movi`` list. Compressed streams are rejected.
+    """
+    buf = bytes(payload)
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload (missing RIFF/'AVI ' magic)")
+    width = height = None
+    fps = 0
+    frames: list[np.ndarray] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal width, height, fps
+        pos = start
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body = pos + 8
+            stop = min(body + size, end)
+            if cid == b"LIST":
+                walk(body + 4, stop)  # skip the list-type fourcc
+            elif cid == b"strh" and size >= _STRH.size:
+                fields = _STRH.unpack_from(buf, body)
+                if fields[0] == b"vids":
+                    if fields[1] not in (b"DIB ", b"\x00\x00\x00\x00"):
+                        raise ValueError(f"unsupported AVI video codec {fields[1]!r}")
+                    scale, rate = fields[6], fields[7]
+                    fps = rate // scale if scale else rate
+            elif cid == b"strf" and size >= 40 and width is None:
+                (_, w, h, _, bpp, comp, *_rest) = _BMP_INFO_HEADER.unpack_from(buf, body)
+                if comp != 0 or bpp != 24:
+                    raise ValueError(f"unsupported AVI frame format (bpp={bpp}, compression={comp})")
+                width, height = w, abs(h)
+            elif cid == b"00db":
+                if width is None:
+                    raise ValueError("AVI frame chunk before stream format header")
+                row_size = (3 * width + 3) // 4 * 4
+                if size < row_size * height:
+                    raise ValueError("truncated AVI frame")
+                rows = np.frombuffer(buf, np.uint8, count=row_size * height, offset=body)
+                rgb = rows.reshape(height, row_size)[:, : 3 * width].reshape(height, width, 3)
+                frames.append(rgb[::-1, :, ::-1])  # bottom-up BGR -> top-down RGB
+            pos = body + size + (size & 1)
+
+    walk(12, len(buf))
+    if not frames:
+        raise ValueError("AVI payload has no raw-DIB frames")
+    return np.stack(frames), int(fps)
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:

@@ -2157,6 +2157,47 @@ def q_frame_sample(spark, sf_dir):
 
 
 @register(
+    "video_frame_features",
+    """
+    WITH dims AS (
+      SELECT doc_id, text,
+             doc_id % 7 + 4 AS width,
+             doc_id % 5 + 4 AS height,
+             doc_id % 50 + 1 AS n_frames,
+             LENGTH(text) AS len
+      FROM documents WHERE doc_id % 3 = 2
+    ), fr AS (
+      SELECT d.*, CAST(f.frame_idx AS BIGINT) AS frame_idx
+      FROM dims d, UNNEST(GENERATE_SERIES(0, d.n_frames - 1, 10)) AS f(frame_idx)
+    ), px AS (
+      SELECT fr.doc_id, fr.frame_idx,
+             ASCII(SUBSTR(fr.text,
+                 CAST((fr.frame_idx * fr.width * fr.height * 3 + 3 * k.k) % fr.len AS INT) + 1,
+                 1)) AS r
+      FROM fr, UNNEST(GENERATE_SERIES(0, fr.width * fr.height - 1)) AS k(k)
+    )
+    SELECT doc_id AS media_id, frame_idx, ROUND(AVG(r), 6) AS mean_r
+    FROM px GROUP BY doc_id, frame_idx
+    """,
+)
+def q_video_frame_features(spark, sf_dir):
+    """Red-channel mean of every 10th DECODED video frame. The fixture
+    frames are document text bytes tiled to (n_frames, h, w, 3) and encoded
+    as a real uncompressed-DIB AVI container (``media_from_documents``),
+    then decoded back through the pure-NumPy AVI parser — the oracle
+    recomputes each sampled frame's statistic straight from the text bytes,
+    so a hash match proves the AVI encode -> decode chain lossless
+    (companion to the BMP proof in ``multimodal_image_features``)."""
+    from fdi_flow_spark.pipelines.multimodal import frame_extract
+
+    return frame_extract(_media(spark, sf_dir), every_n=10).select(
+        "media_id",
+        "frame_idx",
+        F.round(F.element_at("mean_rgb", 1), 6).alias("mean_r"),
+    )
+
+
+@register(
     "token_counts",
     """
     WITH toks AS (
@@ -2460,6 +2501,8 @@ _WINDOW_EXCLUDED_ORACLES = {
     "video_frame_sample",  # sequence+explode kernel stays in-window via
                            # segment_windows — swapped out for the codec-chain
                            # proof multimodal_image_features (r4)
+    "video_frame_features",  # AVI-decode twin of the in-window BMP-decode
+                             # proof (same mapInPandas codec kernel shape)
 }
 
 

@@ -2,8 +2,10 @@ import numpy as np
 import pytest
 
 from fdi_flow_spark.pipelines.codecs import (
+    decode_avi,
     decode_bmp,
     decode_wav,
+    encode_avi,
     encode_bmp,
     encode_wav,
 )
@@ -11,6 +13,7 @@ from fdi_flow_spark.pipelines.multimodal import (
     audio_features,
     decode_audio,
     decode_image,
+    frame_extract,
     frame_sample,
     image_features,
     image_resize,
@@ -74,6 +77,26 @@ def test_wav_stereo_and_chunk_skipping():
     assert np.allclose(mono, pcm.astype(float).mean(axis=1))
 
 
+def test_avi_roundtrip_exact():
+    rng = np.random.default_rng(11)
+    for n, h, w in [(5, 6, 7), (1, 1, 1), (12, 4, 6)]:
+        frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        out, fps = decode_avi(encode_avi(frames, fps=24))
+        assert fps == 24
+        assert np.array_equal(out, frames)
+
+
+def test_avi_rejects_compressed_and_garbage():
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    # flip the codec fourcc to a compressed one -> clean rejection
+    frames = np.zeros((1, 2, 2, 3), dtype=np.uint8)
+    buf = bytearray(encode_avi(frames))
+    buf[buf.index(b"DIB ") : buf.index(b"DIB ") + 4] = b"H264"
+    with pytest.raises(ValueError, match="codec"):
+        decode_avi(bytes(buf))
+
+
 # --------------------------------------------------------------- Spark kernels
 
 
@@ -91,8 +114,9 @@ def media(spark):
     pcm = (np.sin(np.linspace(0, 40, 256)) * 1000).astype("<i2")
     rows.append((3, "audio", encode_wav(pcm, 8000), {"sample_rate": 8000, "format": "wav"}))
     rows.append((4, "audio", pcm.tobytes(), {"sample_rate": 8000, "format": "pcm16"}))
-    # video: metadata-only frame plan
-    rows.append((5, "video", b"", {"n_frames": 95, "format": "mp4"}))
+    # video: real uncompressed-DIB AVI payload
+    vid = rng.integers(0, 256, size=(95, 4, 6, 3), dtype=np.uint8)
+    rows.append((5, "video", encode_avi(vid, fps=10), {"n_frames": 95, "format": "avi"}))
     return make_media_table(spark, rows)
 
 
@@ -122,6 +146,21 @@ def test_frame_sample_counts(spark, media):
     # frames 0,10,...,90 -> 10 rows
     assert len(out) == 10
     assert out["frame_idx"].max() == 90
+
+
+def test_frame_extract_golden(spark, media):
+    """Decoded frame features equal NumPy means of the very frames we
+    encoded, and the emitted frame indexes match the frame_sample plan."""
+    rng = np.random.default_rng(4)
+    for _ in range(3):  # replay the fixture's image draws
+        rng.integers(0, 256, size=(10, 12, 3), dtype=np.uint8)
+    vid = rng.integers(0, 256, size=(95, 4, 6, 3), dtype=np.uint8)
+    out = frame_extract(media, every_n=10).toPandas().sort_values("frame_idx")
+    assert list(out["frame_idx"]) == list(range(0, 95, 10))
+    assert (out["width"] == 6).all() and (out["height"] == 4).all()
+    for _, row in out.iterrows():
+        expected = vid[row["frame_idx"]].reshape(-1, 3).astype(float).mean(axis=0)
+        np.testing.assert_allclose(row["mean_rgb"], expected)
 
 
 def test_audio_features_wav_equals_raw_pcm(spark, media):
