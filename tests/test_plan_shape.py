@@ -210,3 +210,20 @@ def test_curation_projection_ops_have_no_shuffle(spark):
     assert "ReadSchema: struct<doc_id:bigint>" in split_plan
     pii_plan = _plan(pii_redact(docs).select("doc_id", "n_redacted"))
     assert "Exchange" not in pii_plan
+
+
+def test_multimodal_codec_pipeline_single_fanout_shuffle(spark):
+    """The media fixture encode and the codec feature kernels are narrow
+    Arrow stages: payload bytes flow scan -> encode mapInPandas -> decode
+    mapInPandas. The ONLY allowed Exchange is ensure_min_parallelism's
+    conditional fan-out of the degenerate single-split test scan (a no-op
+    on healthy 100 TB layouts) — per-kind filtering and the codec work
+    itself must never add a second shuffle, so the binary column crosses
+    the network at most once."""
+    from fdi_flow_spark.plans.registry import QUERIES
+
+    for name in ("multimodal_image_features", "video_frame_features"):
+        plan = _plan(QUERIES[name](spark, SF), mode="simple")
+        assert plan.count("Exchange") <= 1, f"{name} extra shuffles:\n{plan}"
+        assert "hashpartitioning(doc_id" in plan or "RoundRobinPartitioning" in plan, plan
+        assert plan.count("MapInPandas") <= 2, plan
