@@ -11,11 +11,14 @@ the stdout line pushes the JSON past the driver's stdout-tail capture and the
 medians get truncated away ("parsed": null).
 
 Each query is executed with a noop write (full pipeline execution, no
-driver-side collect cost) $SPARK_GRAFT_BENCH_N times (default 3) in
+driver-side collect cost) $SPARK_GRAFT_BENCH_N times (default 5) in
 round-robin passes; per-query numbers are MEDIANS — single cold runs at this
 scale are codegen/JIT-dominated and swing ±40% run to run, which round 2
-demonstrated by "regressing" untouched queries. The registry import is local
-so the driver can run this file standalone from the repo root.
+demonstrated by "regressing" untouched queries, and round-4 spreads showed
+occasional multi-second environmental spikes on Arrow-path queries (a
+median of 5 tolerates two disturbed passes where a median of 3 tolerates
+one). The registry import is local so the driver can run this file
+standalone from the repo root.
 """
 
 from __future__ import annotations
@@ -132,7 +135,7 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "5")))
     runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     # round-robin passes (not back-to-back repeats) so every query gets one
     # cold run and the later passes measure the steady state

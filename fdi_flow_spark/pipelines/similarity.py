@@ -379,21 +379,25 @@ def cosine_near_dup_pairs(
     broadcast; candidate rows stream through a blocked BLAS matmul, emitting
     only above-threshold upper-triangle pairs — the shuffle carries matches,
     never the O(n^2) pair space. Valid while one side fits in a broadcast;
-    a pre-collect count enforces ``max_collect_rows`` and points at
+    the collect itself is capped at ``max_collect_rows + 1`` rows (a LIMIT
+    pushed into the scan — no separate count pass) and points at
     ``cosine_near_dup_lsh``, the beyond-broadcast path, instead of letting
     the driver OOM mid-collect.
     """
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    n_rows = emb.count()
-    if n_rows > max_collect_rows:
+    rows = (
+        emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+        .limit(max_collect_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_collect_rows:
         raise ValueError(
-            f"cosine_near_dup_pairs broadcasts the corpus ({n_rows} rows > "
-            f"max_collect_rows={max_collect_rows}); use cosine_near_dup_lsh "
-            "for beyond-broadcast corpora"
+            f"cosine_near_dup_pairs broadcasts the corpus (> "
+            f"max_collect_rows={max_collect_rows} rows); use "
+            "cosine_near_dup_lsh for beyond-broadcast corpora"
         )
-    rows = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     spark = emb.sparkSession
     schema = StructType(
