@@ -337,12 +337,56 @@ def simhash_fingerprints(
     return fp.select(F.col("id").alias(id_col), "simhash")
 
 
+def _star_edge_checksum(edges: DataFrame) -> tuple:
+    """(count, hash-xor) fingerprint of an edge set — one aggregate, used as
+    the fixpoint test of the star alternation (collision odds ~2^-64).
+    bit_xor, not sum: summing 64-bit hashes overflows under ANSI mode."""
+    row = edges.select(F.xxhash64("src", "dst").alias("_h")).agg(
+        F.count("*").alias("n"), F.expr("bit_xor(_h)").alias("h")
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Kiveris et al. large-star: every node connects its LARGER neighbors
+    to the minimum of its neighborhood (including itself)."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("_m")
+    )
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Kiveris et al. small-star: orient edges large -> small, then connect
+    each node and its smaller neighbors to the neighborhood minimum."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    mins = directed.groupBy("src").agg(F.min("dst").alias("_m"))
+    j = directed.join(mins, "src")
+    nbr_links = j.where(F.col("dst") != F.col("_m")).select(
+        F.col("dst").alias("src"), F.col("_m").alias("dst")
+    )
+    self_links = j.select("src", F.col("_m").alias("dst"))
+    return nbr_links.unionByName(self_links).distinct()
+
+
 def dedup_components(
     pairs: DataFrame,
     docs: DataFrame | None = None,
     id_col: str = "doc_id",
     pair_cols: tuple[str, str] = ("id_a", "id_b"),
     max_iter: int = 20,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Connected components over near-dup pairs: the clustering step that
     turns pairwise matches (MinHash/Jaccard/cosine) into dedup groups.
@@ -350,18 +394,27 @@ def dedup_components(
     doc id in the component; with ``docs`` given, docs in no pair map to
     themselves (singletons), so the output covers the whole corpus.
 
-    Iterative min-label propagation, Spark-shaped: each round is one
-    hash-shuffle on the node key (edges join labels -> per-node min ->
-    merge), and the loop exits on a converged round (changed-count
+    ``algorithm='label'`` (default): iterative min-label propagation — each
+    round is one hash-shuffle on the node key (edges join labels ->
+    per-node min -> merge), exiting on a converged round (changed-count
     aggregate == 0) or ``max_iter``. Near-dup components are small and
-    dense (bounded diameter), so rounds ~ 2-4 in practice; pathological
-    chain graphs need diameter rounds — the large-star/small-star
-    alternation (Kiveris et al., MapReduce connected components) is the
-    drop-in upgrade if that regime ever matters. ``localCheckpoint`` cuts
-    lineage per round so the plan does not grow with iterations.
+    dense (bounded diameter), so rounds ~ 2-4 in practice; a chain graph
+    of diameter > ``max_iter`` warns (see below).
+
+    ``algorithm='star'``: the large-star/small-star alternation (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") — converges in
+    O(log^2 n) rounds REGARDLESS of graph diameter, at the cost of two
+    shuffles per round instead of one. The right choice when the pair
+    graph can contain long chains. Fixpoint is detected by an edge-set
+    (count, hash-sum) fingerprint, one aggregate per round.
+
+    ``localCheckpoint`` cuts lineage per round in both algorithms so the
+    plan does not grow with iterations.
     """
     import warnings
 
+    if algorithm not in ("label", "star"):
+        raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
     ca, cb = pair_cols
     edges = (
         pairs.select(F.col(ca).alias("src"), F.col(cb).alias("dst"))
@@ -372,6 +425,44 @@ def dedup_components(
         # banding, ...) from scratch
         .localCheckpoint(eager=True)
     )
+    if algorithm == "star":
+        e = edges
+        prev = _star_edge_checksum(e)
+        converged = False
+        for _ in range(max_iter):
+            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            cur = _star_edge_checksum(e)
+            if cur == prev:
+                converged = True
+                break
+            prev = cur
+        if not converged:
+            warnings.warn(
+                f"dedup_components(algorithm='star') hit max_iter={max_iter} "
+                "before the edge set stabilized — component ids may be "
+                "unmerged upper bounds. Raise max_iter (rounds needed are "
+                "O(log^2 n)).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        # fixpoint edges form disjoint stars centered on component minima
+        out = (
+            e.select(F.col("src").alias("node"), F.col("dst").alias("label"))
+            .unionByName(
+                e.select(F.col("dst").alias("node"), F.col("dst").alias("label"))
+            )
+            .groupBy("node")
+            .agg(F.min("label").alias("component_id"))
+            .select(F.col("node").alias(id_col), "component_id")
+        )
+        if docs is None:
+            return out
+        d = docs.select(F.col(id_col))
+        return d.join(out, id_col, "left").select(
+            F.col(id_col),
+            F.coalesce("component_id", F.col(id_col)).alias("component_id"),
+        )
+
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -402,8 +493,9 @@ def dedup_components(
         warnings.warn(
             f"dedup_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing); component ids are unmerged "
-            "upper bounds. Raise max_iter, or switch to large-star/small-star "
-            "(Kiveris et al.) if the pair graph has long chains.",
+            "upper bounds. Raise max_iter, or pass algorithm='star' "
+            "(large-star/small-star, diameter-independent) if the pair "
+            "graph has long chains.",
             RuntimeWarning,
             stacklevel=2,
         )

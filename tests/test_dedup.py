@@ -217,6 +217,40 @@ def test_dedup_components_warns_when_not_converged(spark):
         dedup_components(pdf, max_iter=15).collect()
 
 
+def test_dedup_components_star_matches_label_and_union_find(spark):
+    """algorithm='star' (large-star/small-star) produces the identical
+    component map as union-find on the hand graph, including singletons."""
+    from fdi_flow_spark.pipelines.dedup import dedup_components
+
+    pairs = [(2, 1), (2, 3), (5, 4), (9, 8), (8, 7)]
+    docs_ids = list(range(1, 11))
+    pdf = spark.createDataFrame(pairs, "id_a int, id_b int")
+    docs = spark.createDataFrame([(i,) for i in docs_ids], "doc_id int")
+    got = {
+        r.doc_id: r.component_id
+        for r in dedup_components(pdf, docs=docs, algorithm="star").collect()
+    }
+    assert got == _union_find_components(pairs, docs_ids)
+
+
+def test_dedup_components_star_long_chain_logarithmic_rounds(spark):
+    """A 33-node path (diameter 32) converges with max_iter=8 under the
+    star alternation — the label-propagation path would need ~32 rounds."""
+    import warnings
+
+    from fdi_flow_spark.pipelines.dedup import dedup_components
+
+    pairs = [(i, i + 1) for i in range(1, 33)]
+    pdf = spark.createDataFrame(pairs, "id_a int, id_b int")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got = {
+            r.doc_id: r.component_id
+            for r in dedup_components(pdf, max_iter=8, algorithm="star").collect()
+        }
+    assert set(got.values()) == {1} and len(got) == 33
+
+
 def test_dedup_components_no_docs_omits_singletons(spark):
     from fdi_flow_spark.pipelines.dedup import dedup_components
 
