@@ -113,10 +113,18 @@ class NumpyForecastModel:
 
     @classmethod
     def init_random(
-        cls, model_type: str, time_steps: int, output_steps: int = 1, seed: int = 0
+        cls,
+        model_type: str,
+        time_steps: int,
+        output_steps: int = 1,
+        seed: int = 0,
+        units: int = 100,
+        conv_filters: int = 64,
     ) -> "NumpyForecastModel":
-        """Deterministic Glorot-uniform init — a runnable stand-in when no
-        trained Keras weights exist (training stays TF-gated)."""
+        """Deterministic Glorot-uniform init — the starting point for
+        ``forecasting.training.train_numpy_model`` (and a runnable stand-in
+        when no trained weights exist). ``units``/``conv_filters`` default
+        to the reference architecture (LSTM(100), Conv1D(64))."""
         rng = np.random.default_rng(seed)
 
         def glorot(*shape):
@@ -124,11 +132,11 @@ class NumpyForecastModel:
             lim = np.sqrt(6.0 / (fan_in + fan_out))
             return rng.uniform(-lim, lim, shape)
 
-        u = 100
+        u, cf = units, conv_filters
         if model_type == "lstm":
             ws = [glorot(1, 4 * u), glorot(u, 4 * u), np.zeros(4 * u)]
         elif model_type == "convlstm":
-            ws = [glorot(3, 1, 64), np.zeros(64), glorot(64, 4 * u), glorot(u, 4 * u), np.zeros(4 * u)]
+            ws = [glorot(3, 1, cf), np.zeros(cf), glorot(cf, 4 * u), glorot(u, 4 * u), np.zeros(4 * u)]
         else:
             raise ValueError(f"unknown model_type {model_type!r}")
         ws += [glorot(u, output_steps), np.zeros(output_steps)]

@@ -15,16 +15,20 @@ exactly (``load_and_preprocess_data``, ``:88-166``):
    — the same machinery as ``operators.segmenters.supervised_windows``,
 6. concat train windows across files (``unionByName``).
 
-Training (``build_model``/``train_model``, ``:168-235``) needs TensorFlow/
-Keras, which is optional here: the model layer raises ``NotImplementedError``
-when TF is missing. Architectures (when TF present) match the reference:
-``lstm`` = LSTM(100)+Dropout(.2)+Dense(H); ``convlstm`` =
-Conv1D(64,3,relu)+MaxPool(2)+LSTM(100)+Dropout(.2)+Dense(H); adam+mse.
+Training (``build_model``/``train_model``, ``:168-235``) uses TensorFlow/
+Keras when installed; without TF it runs the NumPy twin trainer
+(``forecasting.training``): the same architectures — ``lstm`` =
+LSTM(100)+Dropout(.2)+Dense(H); ``convlstm`` =
+Conv1D(64,3,relu)+MaxPool(2)+LSTM(100)+Dropout(.2)+Dense(H) — under
+Adam+MSE with full BPTT, gradient-checked against central finite
+differences. Documented deviation: NumPy-trained weights are not
+bit-identical to a TF run (different RNG streams/kernels); the parity is
+architectural and mathematical.
 
-Inference does NOT need TF: ``forecasting.inference`` reimplements the
+Inference never needs TF: ``forecasting.inference`` reimplements the
 LSTM/Conv1D/MaxPool/Dense forward math in NumPy against the Keras weight
-layouts, so a model trained elsewhere runs distributed Arrow-batched
-inference here from its ``get_weights()`` list (``use_numpy_model``).
+layouts, so a model trained either way runs distributed Arrow-batched
+inference from its weight list (``use_numpy_model``).
 """
 
 from __future__ import annotations
@@ -123,8 +127,9 @@ class TimeSeriesPredictor:
         X_test, y_test = collect_xy(test_w)
         return X_train, y_train, X_test, y_test
 
-    # ---- model layer (TF optional) -----------------------------------
-    def _require_tf(self):
+    # ---- model layer (TF optional; NumPy twin otherwise) --------------
+    def _tf_layers(self):
+        """Keras imports, or None when TF is absent (-> NumPy training)."""
         try:
             from tensorflow.keras.layers import (  # noqa: F401
                 LSTM,
@@ -136,14 +141,21 @@ class TimeSeriesPredictor:
             from tensorflow.keras.models import Sequential  # noqa: F401
 
             return Sequential, LSTM, Dense, Dropout, Conv1D, MaxPooling1D
-        except ImportError as e:
-            raise NotImplementedError(
-                "model training requires tensorflow/keras, which is optional "
-                "in this environment; the distributed data path works without it"
-            ) from e
+        except ImportError:
+            return None
 
     def build_model(self):
-        Sequential, LSTM, Dense, Dropout, Conv1D, MaxPooling1D = self._require_tf()
+        """Build the Keras model when TF is installed. Without TF this is a
+        no-op marker: ``train_model`` then runs the NumPy twin trainer
+        (``forecasting.training`` — same architecture, Adam + MSE + BPTT,
+        gradient-checked; documented deviation: not bit-identical to TF)."""
+        tf = self._tf_layers()
+        if tf is None:
+            if self.model_type not in ("lstm", "convlstm"):
+                raise ValueError(f"unknown model_type {self.model_type!r}")
+            self.model = None  # NumPy trainer builds weights at fit time
+            return None
+        Sequential, LSTM, Dense, Dropout, Conv1D, MaxPooling1D = tf
         model = Sequential()
         if self.model_type == "lstm":
             model.add(LSTM(100, input_shape=(self.time_steps, 1)))
@@ -164,8 +176,31 @@ class TimeSeriesPredictor:
         return model
 
     def train_model(self, X_train, y_train, validation_split=0.1):
-        if self.model is None:
+        if self.model is None and self._tf_layers() is not None:
             self.build_model()
+        if self.model is None:  # TF absent: NumPy twin trainer
+            from fdi_flow_spark.forecasting.training import train_numpy_model
+
+            X = np.asarray(X_train, dtype=np.float64).reshape(len(X_train), -1)
+            Y = np.asarray(y_train, dtype=np.float64).reshape(len(y_train), -1)
+            val = None
+            if validation_split and 0.0 < validation_split < 1.0:
+                n_val = max(1, int(len(X) * validation_split))
+                X, Xv = X[:-n_val], X[-n_val:]
+                Y, Yv = Y[:-n_val], Y[-n_val:]
+                val = (Xv, Yv)
+            model, history = train_numpy_model(
+                self.model_type,
+                X,
+                Y,
+                epochs=self.epochs,
+                batch_size=self.batch_size,
+                validation_data=val,
+                verbose=bool(self.verbose),
+            )
+            self.model = model
+            self.history = history
+            return history
         self.history = self.model.fit(
             X_train,
             y_train,
@@ -179,6 +214,12 @@ class TimeSeriesPredictor:
     def evaluate_model(self, X_test, y_test):
         if self.model is None:
             raise RuntimeError("model not trained")
+        from fdi_flow_spark.forecasting.inference import NumpyForecastModel
+
+        if isinstance(self.model, NumpyForecastModel):
+            pred = self.model.predict(np.asarray(X_test, dtype=np.float32))
+            Y = np.asarray(y_test, dtype=np.float64).reshape(pred.shape)
+            return float(((pred - Y) ** 2).mean())  # loss='mse', as compiled
         return self.model.evaluate(X_test, y_test, verbose=self.verbose)
 
     def use_numpy_model(self, model) -> None:
