@@ -194,3 +194,54 @@ def test_media_from_documents_real_payloads(spark):
             pcm, rate = decode_wav(bytes(r["payload"]))
             assert rate == r["meta"]["sample_rate"]
             assert len(pcm) >= 16
+
+
+# ------------------------------------------------------- codec properties
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 9),
+    w=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_roundtrip_property(h, w, seed):
+    pixels = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(pixels)), pixels)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 300),
+    ch=st.integers(1, 3),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    pcm = (
+        np.random.default_rng(seed)
+        .integers(-(2**15), 2**15, size=(n, ch))
+        .astype("<i2")
+    )
+    out, got_rate = decode_wav(encode_wav(pcm, rate))
+    assert got_rate == rate
+    assert np.array_equal(out, pcm)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(1, 8),
+    h=st.integers(1, 7),
+    w=st.integers(1, 7),
+    fps=st.integers(1, 60),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_avi_roundtrip_property(n, h, w, fps, seed):
+    frames = np.random.default_rng(seed).integers(
+        0, 256, size=(n, h, w, 3), dtype=np.uint8
+    )
+    out, got_fps = decode_avi(encode_avi(frames, fps=fps))
+    assert got_fps == fps
+    assert np.array_equal(out, frames)

@@ -318,3 +318,54 @@ def test_streaming_curation_ops_equal_batch(spark):
         spark.catalog.dropTempView("curation_sink")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_image_features_equals_batch(spark):
+    """The codec kernels are stateless mapInPandas stages, so they run
+    unchanged under Structured Streaming: decoding the same BMP payloads
+    from a file stream (one file per micro-batch) produces exactly the
+    batch features — multimodal ingest composes with readStream."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from fdi_flow_spark.pipelines.codecs import encode_bmp
+    from fdi_flow_spark.pipelines.multimodal import (
+        MEDIA_SCHEMA,
+        image_features,
+        make_media_table,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (i, "image", encode_bmp(rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)),
+         {"width": 7, "height": 5, "format": "bmp"})
+        for i in range(6)
+    ]
+    media = make_media_table(spark, rows)
+    d = tempfile.mkdtemp(prefix="fdi_media_stream_")
+    try:
+        media.where("media_id < 3").coalesce(1).write.parquet(f"{d}/chunk=0")
+        media.where("media_id >= 3").coalesce(1).write.parquet(f"{d}/chunk=1")
+        stream = (
+            spark.readStream.schema(MEDIA_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            image_features(stream)
+            .writeStream.format("memory")
+            .queryName("media_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("media_sink").toPandas().sort_values("media_id")
+        want = image_features(media).toPandas().sort_values("media_id")
+        assert list(got["media_id"]) == list(want["media_id"])
+        for g, w in zip(got["mean_rgb"], want["mean_rgb"]):
+            np.testing.assert_allclose(g, w)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
