@@ -86,6 +86,43 @@ def main() -> None:
         print("IVF top-3 for 3 queries:")
         hits.show(9, truncate=False)
 
+    # 6. Multimodal columns with REAL pure-NumPy codecs: BMP images, WAV
+    # audio, uncompressed-DIB AVI video — decode, feature-extract, and
+    # frame-sample as Arrow-batched kernels over binary payloads.
+    from fdi_flow_spark.pipelines.multimodal import (
+        audio_features,
+        frame_extract,
+        image_features,
+        media_from_documents,
+    )
+
+    media = media_from_documents(docs)
+    print(
+        "image mean-RGB rows:", image_features(media).count(),
+        "| audio FFT-band rows:", audio_features(media).count(),
+        "| decoded video frames:", frame_extract(media, every_n=10).count(),
+    )
+
+    # 7. Forecasting end to end WITHOUT TensorFlow: distributed window prep,
+    # NumPy Adam+BPTT training, Arrow-batched distributed inference.
+    from fdi_flow_spark.forecasting.predictor import TimeSeriesPredictor
+
+    sig = np.sin(np.arange(600) * 0.2) * 0.5 + 0.5
+    T, H = 12, 1
+    X = np.stack([sig[i : i + T] for i in range(len(sig) - T - H)])[:, :, None]
+    Y = np.stack([sig[i + T : i + T + H] for i in range(len(sig) - T - H)])
+    pred = TimeSeriesPredictor(time_steps=T, output_step=H, epochs=5, batch_size=64, verbose=0)
+    pred.build_model()  # no TF -> NumPy twin trainer
+    hist = pred.train_model(X, Y, validation_split=0.1)
+    windows = spark.createDataFrame(
+        [(i, [float(v) for v in X[i, :, 0]]) for i in range(5)], "window_id long, x array<double>"
+    )
+    scored = pred.predict_distributed(windows)
+    print(
+        f"forecaster loss {hist['loss'][0]:.4f} -> {hist['loss'][-1]:.4f};",
+        "distributed predictions:", scored.count(),
+    )
+
     spark.stop()
 
 
