@@ -23,7 +23,9 @@ from ``param_search_space`` (int range -> randint, float range -> uniform,
 list -> choice — the reference's distribution rules,
 ``sklearn_detectors.py:114-122``) and scores each by k-fold CV with a
 deterministic ``pmod(hash(id), cv)`` fold column. ``'optuna'`` keeps the
-reference's TPE driver loop when optuna is installed (it is optional here).
+reference's TPE driver loop when optuna is installed, and otherwise runs
+the built-in seeded TPE sampler (``ml/tpe.py``, same algorithm family) —
+the search mode works in any environment.
 
 Data ingress: ``fit``/``predict`` accept numpy/pandas/list (reference parity;
 rows get a stable ``_row_id`` so predictions return in input order) or a
@@ -163,13 +165,23 @@ class BaseFaultDetector:
         return best_params
 
     def _optimize_optuna(self, df: DataFrame, n_classes: int):
+        """TPE search. Uses optuna's ``TPESampler`` when optuna is
+        installed (exact reference parity); otherwise runs the built-in
+        seeded TPE implementation (``ml/tpe.py`` — same algorithm family,
+        Bergstra et al. 2011 factorized Parzen estimators)."""
         try:
             import optuna
             from optuna.samplers import TPESampler
-        except ImportError as e:
-            raise NotImplementedError(
-                "search_method='optuna' requires the optional optuna package"
-            ) from e
+        except ImportError:
+            from fdi_flow_spark.ml.tpe import tpe_maximize
+
+            best_params, _ = tpe_maximize(
+                lambda params: self._cv_accuracy(df, params, n_classes),
+                self.param_search_space,
+                n_iter=self.n_iter,
+                seed=self.random_state,
+            )
+            return best_params
 
         def objective(trial):
             params = {}

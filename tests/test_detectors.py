@@ -168,3 +168,59 @@ def test_xgb_backend_evidence(spark, data):
     print(f"\nXGBFaultDetector backend_: {det.backend_}")
     assert det.backend_ == expected
     assert det.score(Xte, yte) > 0.85
+
+
+def test_tpe_sampler_beats_random_and_respects_space():
+    """The built-in TPE (ml/tpe.py) on a known objective: stays inside the
+    space grammar (int range / float range / categorical), is deterministic
+    under seed, and reaches a better optimum than seeded random sampling
+    with the same 40-trial budget."""
+    from fdi_flow_spark.ml.tpe import _sample_random, tpe_maximize
+
+    space = {"n": (1, 40), "c": (0.01, 10.0), "kind": ["a", "b", "c"]}
+
+    def objective(p):
+        assert isinstance(p["n"], int) and 1 <= p["n"] <= 40
+        assert isinstance(p["c"], float) and 0.01 <= p["c"] <= 10.0
+        assert p["kind"] in ("a", "b", "c")
+        return (
+            -((p["n"] - 17) ** 2) / 100.0
+            - (np.log10(p["c"]) - 0.5) ** 2
+            + (0.5 if p["kind"] == "b" else 0.0)
+        )
+
+    best, score = tpe_maximize(objective, space, n_iter=40, seed=11)
+    best2, score2 = tpe_maximize(objective, space, n_iter=40, seed=11)
+    assert best == best2 and score == score2  # deterministic
+    # aggregate comparison over seeds (single-seed wins are luck-sensitive
+    # in a 40-trial budget): TPE must win the majority and the mean
+    wins, tpe_scores, rand_scores = 0, [], []
+    for seed in range(8):
+        _, s = tpe_maximize(objective, space, n_iter=40, seed=seed)
+        rng = np.random.default_rng(seed)
+        r = max(objective(_sample_random(space, rng)) for _ in range(40))
+        wins += s >= r
+        tpe_scores.append(s)
+        rand_scores.append(r)
+    assert wins >= 5, (wins, tpe_scores, rand_scores)
+    assert np.mean(tpe_scores) > np.mean(rand_scores)
+    assert abs(best["n"] - 17) <= 4 and best["kind"] == "b"
+
+
+def test_detector_optuna_search_without_optuna(spark, data):
+    """search_method='optuna' works in this optuna-free environment via the
+    built-in TPE fallback and returns params inside the declared space."""
+    try:
+        import optuna  # noqa: F401
+
+        pytest.skip("optuna installed; fallback not exercised")
+    except ImportError:
+        pass
+    Xtr, ytr, Xte, yte = data
+    space = {"n_neighbors": (3, 9), "weights": ["uniform", "distance"]}
+    det = KNNFaultDetector(
+        param_search_space=space, n_iter=4, cv=2, search_method="optuna", random_state=5
+    ).fit(Xtr, ytr, optimize=True)
+    assert 3 <= det.best_params_["n_neighbors"] <= 9
+    assert det.best_params_["weights"] in space["weights"]
+    assert det.score(Xte, yte) > 0.85
