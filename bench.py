@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "holt_smoothing",
     "holt_chunked",
     "kalman1d_filter",
+    "kalman1d_chunked",
     "bandpass_filter",
     # simulation / observers over table data
     "simulate_discrete_events",

@@ -377,6 +377,147 @@ def kalman_filter_1d(
     return _apply_per_series(df, lambda x: kalman1d_numpy(x, q, r, x0, p0))
 
 
+def _kalman1d_gains(q: float, r: float, p0: float, max_len: int = 100_000) -> np.ndarray:
+    """The scalar Kalman gain sequence k_1, k_2, ... is DATA-INDEPENDENT:
+    the covariance follows the scalar Riccati recursion p' = (p+q)r/(p+q+r)
+    from p0 alone, and for q > 0 it converges geometrically to the steady
+    state, so the whole sequence is (converged prefix, constant tail).
+    Returns the prefix up to machine-precision convergence; the last entry
+    is the steady-state gain. Raises if convergence needs more than
+    ``max_len`` steps (q ~ 0 decays only harmonically — use the sequential
+    operator there)."""
+    gains = []
+    p = p0
+    for _ in range(max_len):
+        p_pred = p + q
+        k = p_pred / (p_pred + r)
+        # the float fixed point is a last-ulp 2-cycle, never exact equality;
+        # a few-ulp relative test converges geometrically (q > 0) while the
+        # harmonic q = 0 decay (diff ~ 1/i^2 vs tol ~ 1/i) still times out
+        if gains and abs(k - gains[-1]) <= 1e-14 * abs(k):
+            return np.array(gains)
+        gains.append(k)
+        p = (1.0 - k) * p_pred
+    raise ValueError(
+        f"Kalman gain sequence did not reach steady state within {max_len} "
+        "steps (q is zero or degenerate); use kalman_filter_1d instead"
+    )
+
+
+def kalman_filter_1d_chunked(
+    df: DataFrame,
+    q: float = 1.0,
+    r: float = 1.0,
+    x0: float | None = None,
+    p0: float = 1.0,
+    chunk_size: int = 100_000,
+) -> DataFrame:
+    """Scalar Kalman smoothing for series too long for one executor group —
+    the third member of the chunk-parallel recurrence family (EWMA, Holt,
+    now F6).
+
+    Because the gain sequence is data-independent (see
+    :func:`_kalman1d_gains`), the state update collapses to a linear
+    time-varying recurrence s_i = (1-k_i) s_{i-1} + k_i x_i with KNOWN
+    coefficients — exactly the EWMA decomposition with a position-dependent
+    alpha: zero-carry local scans per (series, chunk), a per-series carry
+    chain over 2-number chunk summaries (decay product A, last local B),
+    and an embarrassingly parallel finalize s_i = local_i + cumA_i * carry.
+    Matches :func:`kalman_filter_1d` to ~1e-12 relative.
+    """
+    assert_long(df)
+    from pyspark.sql import functions as F
+
+    gains = _kalman1d_gains(q, r, p0)
+    k_steady = float(gains[-1])
+    n_prefix = len(gains)
+
+    base = df.withColumn(
+        "_chunk", (F.col("ts") / chunk_size).cast("long")
+    ).withColumn("_pos", F.col("ts") % chunk_size)
+
+    local_schema = StructType(
+        [
+            StructField("series_id", StringType()),
+            StructField("_chunk", LongType()),
+            StructField("ts", LongType()),
+            StructField("_pos", LongType()),
+            StructField("_local", DoubleType()),
+            StructField("_cumA", DoubleType()),
+        ]
+    )
+
+    def k_at(ts: np.ndarray) -> np.ndarray:
+        """Gain for global step ts (first update is ts=1 -> gains[0])."""
+        idx = np.minimum(ts - 1, n_prefix - 1)
+        return np.where(ts >= 1, gains[np.clip(idx, 0, None)], k_steady)
+
+    def local_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_pos")
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        ts = pdf["ts"].to_numpy(dtype=np.int64)
+        chunk = int(pdf["_chunk"].iloc[0])
+        if chunk == 0:
+            local = kalman1d_numpy(x, q, r, x0, p0)  # exact head semantics
+            cumA = np.zeros(len(x))  # no incoming carry for the head
+        else:
+            kk = k_at(ts)
+            one_minus = 1.0 - kk
+            local = np.empty(len(x))
+            acc = 0.0
+            for i in range(len(x)):
+                acc = kk[i] * x[i] + one_minus[i] * acc
+                local[i] = acc
+            cumA = np.cumprod(one_minus)
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].to_numpy(),
+                "_chunk": pdf["_chunk"].to_numpy(),
+                "ts": ts,
+                "_pos": pdf["_pos"].to_numpy(),
+                "_local": local,
+                "_cumA": cumA,
+            }
+        )
+
+    local = base.groupBy("series_id", "_chunk").applyInPandas(local_fn, local_schema)
+
+    summaries = local.groupBy("series_id", "_chunk").agg(
+        F.max_by("_local", "_pos").alias("_B"),
+        F.max_by("_cumA", "_pos").alias("_A"),
+    )
+    carry_schema = StructType(
+        [
+            StructField("series_id", StringType()),
+            StructField("_chunk", LongType()),
+            StructField("_carry", DoubleType()),
+        ]
+    )
+
+    def carry_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_chunk")
+        carries = []
+        c = 0.0
+        for _, row in pdf.iterrows():
+            carries.append(c)
+            # head chunk's state is absolute (carry 0 into chunk 1 would
+            # lose it): its B IS the state, A=0 kills any incoming term
+            c = float(row["_B"]) + float(row["_A"]) * c
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].to_numpy(),
+                "_chunk": pdf["_chunk"].to_numpy(),
+                "_carry": carries,
+            }
+        )
+
+    carries = summaries.groupBy("series_id").applyInPandas(carry_fn, carry_schema)
+
+    out = local.join(F.broadcast(carries), ["series_id", "_chunk"])
+    value = F.col("_local") + F.col("_cumA") * F.col("_carry")
+    return out.select("series_id", "ts", value.alias("value"))
+
+
 # ------------------------------------------------------------ bandpass (F5)
 
 

@@ -996,6 +996,36 @@ def q_kalman1d(spark, sf_dir):
     return _rounded(kalman_filter_1d(s, q=0.5, r=2.0))
 
 
+@register(
+    "kalman1d_chunked",
+    # identical oracle to kalman1d_filter: the chunk-parallel scale path is
+    # held to the same recursive-CTE hash, not a looser check
+    f"""
+    WITH RECURSIVE base AS ({SERIES_SQL}),
+    s AS (SELECT series_id, ts, value FROM base WHERE ts < 150),
+    rec AS (
+      SELECT series_id, ts, value AS x, CAST(1.0 AS DOUBLE) AS p
+      FROM s WHERE ts = 0
+      UNION ALL
+      SELECT s.series_id, s.ts,
+             rec.x + ((rec.p + 0.5) / (rec.p + 0.5 + 2.0)) * (s.value - rec.x) AS x,
+             (1.0 - (rec.p + 0.5) / (rec.p + 0.5 + 2.0)) * (rec.p + 0.5) AS p
+      FROM rec JOIN s ON s.series_id = rec.series_id AND s.ts = rec.ts + 1)
+    SELECT series_id, ts, ROUND(x, 6) AS value FROM rec
+    """,
+)
+def q_kalman1d_chunked(spark, sf_dir):
+    """Beyond-memory scalar Kalman (F6): the gain sequence is
+    data-independent (scalar Riccati converges geometrically), so the state
+    update is a linear time-varying scan and chunks like EWMA — zero-carry
+    local scans + a per-series carry chain. Hash-held to the sequential
+    operator's oracle."""
+    from fdi_flow_spark.operators.recurrences import kalman_filter_1d_chunked
+
+    s = events_series(spark, sf_dir).where(F.col("ts") < 150)
+    return _rounded(kalman_filter_1d_chunked(s, q=0.5, r=2.0, chunk_size=48))
+
+
 @register("bandpass_filter")  # rows-only: whole-series FFT
 def q_bandpass(spark, sf_dir):
     from fdi_flow_spark.operators import bandpass_filter
@@ -2485,6 +2515,7 @@ _WINDOW_PRIORITY = [
 _WINDOW_EXCLUDED_ORACLES = {
     "ewma_chunked",       # chunk-parallel scan twin of ewma_closed_form
     "holt_chunked",       # 2x2 affine-scan twin of holt_smoothing
+    "kalman1d_chunked",   # gain-precomputed chunk-scan twin of kalman1d_filter
     "median_filter_zeros",  # zero-pad variant sharing median_filter_edge's kernel
     "moving_average_padded",  # edge-pad variant sharing moving_average_valid's
                               # kernel — swapped out for dedup_components (r3)

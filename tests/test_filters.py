@@ -144,3 +144,37 @@ def test_holt_chunked_short_series(spark):
     l1 = 0.5 * 3.0 + 0.5 * 3.0
     t1 = 0.5 * (l1 - 1.0) + 0.5 * 2.0
     np.testing.assert_allclose(out["two"], [3.0, l1 + t1])
+
+
+def test_kalman_chunked_equals_sequential(spark):
+    """The gain-precomputed chunk-parallel Kalman matches the sequential
+    kernel exactly (to float noise) across chunk boundaries, both with
+    auto x0 (first sample) and explicit x0/p0."""
+    from fdi_flow_spark.operators.recurrences import (
+        kalman1d_numpy,
+        kalman_filter_1d_chunked,
+    )
+
+    rng = np.random.default_rng(21)
+    arrays = {"a": rng.normal(0, 5, 500), "b": np.linspace(-3, 3, 257)}
+    df = make_long(spark, arrays)
+    chunked = collect_series(kalman_filter_1d_chunked(df, q=0.5, r=2.0, chunk_size=64))
+    for sid, arr in arrays.items():
+        np.testing.assert_allclose(
+            chunked[sid], kalman1d_numpy(arr, 0.5, 2.0, None, 1.0), rtol=1e-11
+        )
+    explicit = collect_series(
+        kalman_filter_1d_chunked(df, q=1.5, r=0.7, x0=2.5, p0=4.0, chunk_size=48)
+    )
+    for sid, arr in arrays.items():
+        np.testing.assert_allclose(
+            explicit[sid], kalman1d_numpy(arr, 1.5, 0.7, 2.5, 4.0), rtol=1e-11
+        )
+
+
+def test_kalman_chunked_degenerate_q_raises(spark):
+    from fdi_flow_spark.operators.recurrences import kalman_filter_1d_chunked
+
+    df = make_long(spark, {"s": np.arange(10.0)})
+    with pytest.raises(ValueError, match="steady state"):
+        kalman_filter_1d_chunked(df, q=0.0, r=1.0).collect()
