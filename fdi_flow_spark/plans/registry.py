@@ -1478,10 +1478,80 @@ def q_kalman_matrix_events(spark, sf_dir):
     )
 
 
-@register("observer_replay_kalman")  # rows-only: matrix recurrence
+def _kalman_replay_oracle_sql() -> str:
+    """Recursive-CTE oracle for the fixture-driven matrix-Kalman replay:
+    same element-wise (x1, x2, p00..p11) expansion as the events twin
+    (``_matrix_kalman_oracle_sql``), plus the control term ``B@u`` in the
+    predict stage; fixture inputs inlined as full-precision VALUES
+    literals so both engines replay identical floats."""
+    import numpy as np
+
+    rows, A, B, C, dt = _observer_fixture_rows()
+    Fm = np.eye(2) + dt * A
+    Bd = dt * B
+    (f00, f01), (f10, f11) = (tuple(float(v) for v in r) for r in Fm)
+    b0, b1 = (float(v) for v in Bd.ravel())
+    q, r = 0.01, 0.1
+    values = ",\n      ".join(
+        f"({step}, CAST({u[0]!r} AS DOUBLE), CAST({y[0]!r} AS DOUBLE))"
+        for (_sid, step, u, y) in rows
+    )
+    pred = f"""
+      SELECT step, z,
+             ({f00!r}*x1 + {f01!r}*x2) + {b0!r}*u AS xp1,
+             ({f10!r}*x1 + {f11!r}*x2) + {b1!r}*u AS xp2,
+             ({f00!r}*p00 + {f01!r}*p10)*{f00!r} + ({f00!r}*p01 + {f01!r}*p11)*{f01!r} + {q!r} AS pp00,
+             ({f00!r}*p00 + {f01!r}*p10)*{f10!r} + ({f00!r}*p01 + {f01!r}*p11)*{f11!r} + 0.0 AS pp01,
+             ({f10!r}*p00 + {f11!r}*p10)*{f00!r} + ({f10!r}*p01 + {f11!r}*p11)*{f01!r} + 0.0 AS pp10,
+             ({f10!r}*p00 + {f11!r}*p10)*{f10!r} + ({f10!r}*p01 + {f11!r}*p11)*{f11!r} + {q!r} AS pp11
+    """
+    gain = f"""
+      SELECT step, z, xp1, xp2, pp00, pp01, pp10, pp11,
+             z - (1.0*xp1 + 0.0*xp2) AS yv,
+             (pp00*1.0 + pp01*0.0) * (1.0/((1.0*pp00 + 0.0*pp10)*1.0 + (1.0*pp01 + 0.0*pp11)*0.0 + {r!r})) AS k0,
+             (pp10*1.0 + pp11*0.0) * (1.0/((1.0*pp00 + 0.0*pp10)*1.0 + (1.0*pp01 + 0.0*pp11)*0.0 + {r!r})) AS k1
+    """
+    upd = """
+      SELECT step,
+             xp1 + k0*yv AS x1,
+             xp2 + k1*yv AS x2,
+             (1.0 - k0*1.0)*pp00 + (0.0 - k0*0.0)*pp10 AS p00,
+             (1.0 - k0*1.0)*pp01 + (0.0 - k0*0.0)*pp11 AS p01,
+             (0.0 - k1*1.0)*pp00 + (1.0 - k1*0.0)*pp10 AS p10,
+             (0.0 - k1*1.0)*pp01 + (1.0 - k1*0.0)*pp11 AS p11
+    """
+    return f"""
+    WITH RECURSIVE s(step, u, z) AS (VALUES
+      {values}),
+    rec AS (
+      SELECT step,
+             CAST(x1 AS DOUBLE) AS x1, CAST(x2 AS DOUBLE) AS x2,
+             CAST(p00 AS DOUBLE) AS p00, CAST(p01 AS DOUBLE) AS p01,
+             CAST(p10 AS DOUBLE) AS p10, CAST(p11 AS DOUBLE) AS p11
+      FROM ({upd} FROM ({gain} FROM ({pred}
+            FROM (SELECT step, u, z,
+                         CAST(0.0 AS DOUBLE) AS x1, CAST(0.0 AS DOUBLE) AS x2,
+                         CAST(1.0 AS DOUBLE) AS p00, CAST(0.0 AS DOUBLE) AS p01,
+                         CAST(0.0 AS DOUBLE) AS p10, CAST(1.0 AS DOUBLE) AS p11
+                  FROM s WHERE step = 0))))
+      UNION ALL
+      SELECT step, x1, x2, p00, p01, p10, p11
+      FROM ({upd} FROM ({gain} FROM ({pred}
+            FROM (SELECT s.step, s.u, s.z,
+                         rec.x1, rec.x2, rec.p00, rec.p01, rec.p10, rec.p11
+                  FROM rec JOIN s ON s.step = rec.step + 1))))
+      )
+    SELECT CAST('sys1' AS VARCHAR) AS series_id, CAST(step AS BIGINT) AS step,
+           ROUND(x1, 6) AS x1, ROUND(x2, 6) AS x2
+    FROM rec
+    """
+
+
+@register("observer_replay_kalman", _kalman_replay_oracle_sql())
 def q_observer_kalman(spark, sf_dir):
     """Matrix Kalman filter replayed distributively over the §6 fixture
-    (reference kalman.py:3-91 semantics: predict + Joseph-less update)."""
+    (reference kalman.py:3-91 semantics: predict + Joseph-less update).
+    Value-hash checked since r4 against the element-wise recursive CTE."""
     import numpy as np
 
     from fdi_flow_spark.observers import KalmanFilterMatrix, observer_replay
@@ -1576,9 +1646,63 @@ def q_sliding_events(spark, sf_dir):
     )
 
 
-@register("observer_replay_sliding")  # rows-only: matrix recurrence
+def _sliding_replay_oracle_sql() -> str:
+    """Recursive-CTE oracle for the fixture-driven sliding-mode replay:
+    same element-wise expansion (and tanh emulation) as the events twin
+    (``_sliding_oracle_sql``) with the control term ``B@u`` live and the
+    fixture's (u, y) inlined as full-precision VALUES literals."""
+    import numpy as np
+
+    from fdi_flow_spark.observers import SlidingModeObserver
+
+    rows, A, B, C, dt = _observer_fixture_rows()
+    obs = SlidingModeObserver(A, B, C, desired_poles=[-3.0, -4.0], eta=1.0, eps=0.1)
+    a00, a01, a10, a11 = (repr(float(v)) for v in obs.A.ravel())
+    b0, b1 = (repr(float(v)) for v in obs.B.ravel())
+    c0, c1 = (repr(float(v)) for v in obs.C.ravel())
+    l0, l1 = (repr(float(v)) for v in obs.L.ravel())
+    k0, k1 = (repr(float(v)) for v in obs.K.ravel())
+    eps, dts = repr(float(obs.eps)), repr(float(dt))
+    values = ",\n      ".join(
+        f"({step}, CAST({u[0]!r} AS DOUBLE), CAST({y[0]!r} AS DOUBLE))"
+        for (_sid, step, u, y) in rows
+    )
+
+    def th(z):
+        return (
+            f"(CASE WHEN {z} > 20.0 THEN 1.0 WHEN {z} < -20.0 THEN -1.0 "
+            f"ELSE (exp(2.0*({z})) - 1.0)/(exp(2.0*({z})) + 1.0) END)"
+        )
+
+    def stp(x1, x2, s, u):
+        e1 = f"{x1} + ((({a00}*{x1} + {a01}*{x2}) + {b0}*{u}) + {l0}*{s} + {k0}*{th(f'{s}/{eps}')}) * {dts}"
+        e2 = f"{x2} + ((({a10}*{x1} + {a11}*{x2}) + {b1}*{u}) + {l1}*{s} + {k1}*{th(f'{s}/{eps}')}) * {dts}"
+        return e1, e2
+
+    s_anchor = "(y - (0.0 + 0.0))"
+    a1, a2 = stp("0.0", "0.0", s_anchor, "u")
+    s_step = f"(s.y - ({c0}*rec.x1 + {c1}*rec.x2))"
+    e1, e2 = stp("rec.x1", "rec.x2", s_step, "s.u")
+    return f"""
+    WITH RECURSIVE s(step, u, y) AS (VALUES
+      {values}),
+    rec AS (
+      SELECT CAST(step AS BIGINT) AS step,
+             CAST({a1} AS DOUBLE) AS x1, CAST({a2} AS DOUBLE) AS x2
+      FROM s WHERE step = 0
+      UNION ALL
+      SELECT CAST(s.step AS BIGINT) AS step, {e1} AS x1, {e2} AS x2
+      FROM rec JOIN s ON s.step = rec.step + 1)
+    SELECT CAST('sys1' AS VARCHAR) AS series_id, step,
+           ROUND(x1, 6) AS x1, ROUND(x2, 6) AS x2
+    FROM rec
+    """
+
+
+@register("observer_replay_sliding", _sliding_replay_oracle_sql())
 def q_observer_sliding(spark, sf_dir):
-    """Sliding-mode observer replay (reference sliding_mode.py:4-100)."""
+    """Sliding-mode observer replay (reference sliding_mode.py:4-100).
+    Value-hash checked since r4 against the literal-driven recursive CTE."""
     from fdi_flow_spark.observers import SlidingModeObserver, observer_replay
 
     df, A, B, C, dt = _observer_fixture(spark)
@@ -2516,6 +2640,9 @@ _WINDOW_EXCLUDED_ORACLES = {
     "ewma_chunked",       # chunk-parallel scan twin of ewma_closed_form
     "holt_chunked",       # 2x2 affine-scan twin of holt_smoothing
     "kalman1d_chunked",   # gain-precomputed chunk-scan twin of kalman1d_filter
+    "observer_replay_kalman",   # fixture-literal CTE twins of the in-window
+    "observer_replay_sliding",  # events-driven O2/O3 oracles (same kernels,
+                                # control term live) — pytest-hash-checked
     "median_filter_zeros",  # zero-pad variant sharing median_filter_edge's kernel
     "moving_average_padded",  # edge-pad variant sharing moving_average_valid's
                               # kernel — swapped out for dedup_components (r3)
