@@ -1869,10 +1869,37 @@ def q_simulate_nonlinear(spark, sf_dir):
     )
 
 
-@register("multimodal_image_resize")  # rows-only (real BMP decode, SURVEY §2.9)
+@register(
+    "multimodal_image_resize",
+    """
+    WITH dims AS (
+      SELECT doc_id, text,
+             doc_id % 7 + 4 AS width,
+             doc_id % 5 + 4 AS height,
+             LENGTH(text) AS len
+      FROM documents WHERE doc_id % 3 = 0
+    ), px AS (
+      SELECT d.doc_id,
+             ASCII(SUBSTR(d.text,
+                 CAST(((((ty.v * d.height) // 4) * d.width
+                        + ((tx.v * d.width) // 4)) * 3 + c.v) % d.len AS INT) + 1,
+                 1)) / 255.0 AS val
+      FROM dims d,
+           UNNEST(GENERATE_SERIES(0, 3)) AS ty(v),
+           UNNEST(GENERATE_SERIES(0, 3)) AS tx(v),
+           UNNEST(GENERATE_SERIES(0, 2)) AS c(v)
+    )
+    SELECT doc_id AS media_id, ROUND(SUM(val), 6) AS pixel_sum,
+           CAST(48 AS INT) AS n_values
+    FROM px GROUP BY doc_id
+    """,
+)
 def q_image_resize(spark, sf_dir):
-    """Nearest-neighbor image resize to an 4x4 grid — the model-input
-    plumbing path; emits a checksum per image rather than 48 floats."""
+    """Nearest-neighbor image resize to a 4x4 grid — the model-input
+    plumbing path; emits a checksum per image rather than 48 floats. The
+    oracle recomputes the same gather (floor-index arithmetic over the
+    tiled text bytes; h, w >= 4 so no edge clipping applies) straight from
+    the documents table — a second value proof of the BMP decode path."""
     from fdi_flow_spark.pipelines.multimodal import image_resize
 
     resized = image_resize(_media(spark, sf_dir), target_w=4, target_h=4)
@@ -2661,6 +2688,7 @@ _WINDOW_EXCLUDED_ORACLES = {
                            # proof multimodal_image_features (r4)
     "video_frame_features",  # AVI-decode twin of the in-window BMP-decode
                              # proof (same mapInPandas codec kernel shape)
+    "multimodal_image_resize",  # second BMP-decode proof (resize gather)
 }
 
 
