@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "pii_redact",
     "token_pack",
     "curation_pipeline",
+    "corpus_contamination",
+    "corpus_decontaminate",
     "text_quality",
     "language_id",
 ]

@@ -157,3 +157,66 @@ def token_pack(
             (F.col("_start") % seq_len).alias("pack_offset"),
         )
     )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination detection: every (corpus doc, benchmark doc)
+    pair sharing at least ``min_hits`` distinct word ``n``-grams — the
+    standard pretraining decontamination primitive (eval n-gram overlap).
+
+    Execution: both sides shingle with the dedup module's word-n-gram
+    kernel, shingles are hashed to 8-byte keys before the join (the shuffle
+    never carries gram strings), and the benchmark side — eval sets are
+    small by nature — broadcasts by default; set
+    ``broadcast_benchmark=False`` when decontaminating against something
+    corpus-sized, which turns it into a plain shuffle-hash join on the
+    hashed grams. Output: ``(corpus_id, bench_id, n_shared)``.
+    """
+    from fdi_flow_spark.pipelines.dedup import _word_ngrams
+
+    cg = _word_ngrams(corpus, id_col, text_col, n).select(
+        F.col("id").alias("corpus_id"), F.xxhash64("shingle").alias("_g")
+    )
+    bg = _word_ngrams(benchmark, id_col, text_col, n).select(
+        F.col("id").alias("bench_id"), F.xxhash64("shingle").alias("_g")
+    )
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    return (
+        cg.join(bg, "_g")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_hits)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Drop every corpus doc sharing >= ``min_hits`` word ``n``-grams with
+    any benchmark doc (anti-join against :func:`contamination_pairs`'s
+    corpus side). Returns the surviving corpus rows unchanged."""
+    hits = contamination_pairs(
+        corpus,
+        benchmark,
+        n=n,
+        min_hits=min_hits,
+        id_col=id_col,
+        text_col=text_col,
+        broadcast_benchmark=broadcast_benchmark,
+    ).select(F.col("corpus_id").alias(id_col)).distinct()
+    return corpus.join(hits, id_col, "left_anti")

@@ -2337,6 +2337,63 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+_CONTAMINATION_GRAMS_SQL = """
+    toks AS (
+      SELECT doc_id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), t -> LENGTH(t) > 0) AS tk
+      FROM documents),
+    grams AS (
+      SELECT doc_id AS id,
+             UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               GENERATE_SERIES(1, LEN(tk) - 7),
+               i -> ARRAY_TO_STRING(LIST_SLICE(tk, i, i + 7), ' ')))) AS shingle
+      FROM toks WHERE LEN(tk) >= 8),
+    bench AS (SELECT * FROM grams WHERE id % 10 = 0),
+    common AS (
+      SELECT c.id AS corpus_id, b.id AS bench_id, COUNT(*) AS n_shared
+      FROM grams c JOIN bench b ON c.shingle = b.shingle
+      GROUP BY c.id, b.id)
+"""
+
+
+@register(
+    "corpus_contamination",
+    f"""
+    WITH {_CONTAMINATION_GRAMS_SQL}
+    SELECT corpus_id, bench_id, CAST(n_shared AS BIGINT) AS n_shared FROM common
+    """,
+)
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination pairs (train/eval word-8-gram overlap) with
+    docs where doc_id %% 10 == 0 standing in as the eval set. The Spark
+    side joins on 8-byte xxhash64'd grams with the benchmark broadcast;
+    the oracle joins the raw gram strings — a hash match certifies the
+    hashed join loses nothing (collision odds ~2^-64)."""
+    from fdi_flow_spark.pipelines.curation import contamination_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    return contamination_pairs(docs, bench, n=8)
+
+
+@register(
+    "corpus_decontaminate",
+    f"""
+    WITH {_CONTAMINATION_GRAMS_SQL}
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM common WHERE common.corpus_id = d.doc_id)
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """The decontamination step itself: corpus docs surviving the 8-gram
+    overlap anti-join against the synthetic eval set."""
+    from fdi_flow_spark.pipelines.curation import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    return decontaminate(docs, bench, n=8).select("doc_id")
+
+
 @register(
     "video_frame_features",
     """
@@ -2688,6 +2745,10 @@ _WINDOW_EXCLUDED_ORACLES = {
                            # segment_windows — swapped out for the codec-chain
                            # proof multimodal_image_features (r4)
     "multimodal_image_resize",  # second BMP-decode proof (resize gather)
+    "corpus_contamination",     # word-ngram inverted-index join — same
+    "corpus_decontaminate",     # kernel family as in-window
+                                # ngram_jaccard_pairs (+ LeftAnti, in-window
+                                # via anti_join_quiet_customers)
     "observer_replay_luenberger",  # same recursive-CTE kernel family as the
                                    # in-window observer_luenberger_events —
                                    # swapped for the unique AVI-codec proof

@@ -134,3 +134,28 @@ def test_token_pack_rejects_bad_seq_len(spark):
     df = spark.createDataFrame([(1, "a b", "s")], "doc_id long, text string, source string")
     with pytest.raises(ValueError):
         token_pack(df, seq_len=0)
+
+
+def test_decontaminate_drops_exact_and_near_overlaps(spark):
+    """Docs sharing an 8-word window with the benchmark go; others stay.
+    Hashed-gram join equals raw-gram semantics on a hand fixture."""
+    from fdi_flow_spark.pipelines.curation import contamination_pairs, decontaminate
+
+    base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    rows = [
+        (0, base),                                     # benchmark member
+        (1, base + " with extra trailing words"),      # shares 8-grams -> drop
+        (2, "completely different text " + "x " * 20), # clean -> keep
+        (3, "prefix words then " + base),              # shares 8-grams -> drop
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.where("doc_id = 0")
+    pairs = contamination_pairs(docs, bench, n=8)
+    got = {(r.corpus_id, r.bench_id) for r in pairs.collect()}
+    assert {(0, 0), (1, 0), (3, 0)} <= got and (2, 0) not in got
+    survivors = {r.doc_id for r in decontaminate(docs, bench, n=8).collect()}
+    assert survivors == {2}
+    # min_hits raises the bar: no pair here shares 50 grams (the benchmark
+    # doc itself only has 6 distinct 8-grams), so everything survives
+    strict = decontaminate(docs, bench, n=8, min_hits=50)
+    assert {r.doc_id for r in strict.collect()} == {0, 1, 2, 3}
