@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "corpus_contamination",
     "corpus_decontaminate",
     "text_quality",
+    "text_repetition",
     "language_id",
 ]
 

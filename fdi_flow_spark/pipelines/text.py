@@ -190,3 +190,45 @@ def document_fingerprint(
         .mapInPandas(fn, schema)
         .distinct()
     )
+
+
+def repetition_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, public quality
+    rules): per doc, the fraction of word-bigram instances covered by the
+    single most frequent bigram (``top_bigram_frac``) and the fraction
+    belonging to any bigram that occurs more than once
+    (``dup_bigram_frac``). High values flag boilerplate/spam for corpus
+    filtering. Pure JVM expressions — explode + two aggregates, no Python
+    in the row path; docs with < 2 tokens score 0.0 on both.
+    """
+    docs = ensure_min_parallelism(docs, id_col)
+    toks = _tokens(F.col(text_col))
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(0, size(_tk) - 1)),"
+        " i -> concat(element_at(_tk, i), ' ', element_at(_tk, i + 1)))"
+    )
+    exploded = (
+        docs.select(F.col(id_col), toks.alias("_tk"))
+        .where(F.size("_tk") >= 2)
+        .select(F.col(id_col), F.explode(bigrams).alias("_bg"))
+    )
+    counts = exploded.groupBy(id_col, "_bg").agg(F.count("*").alias("_c"))
+    scored = counts.groupBy(id_col).agg(
+        F.sum("_c").alias("n_bigrams"),
+        F.round(F.max("_c") / F.sum("_c"), 6).alias("top_bigram_frac"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("_c") > 1, F.col("_c"))), F.lit(0))
+            / F.sum("_c"),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+    # short docs (< 2 tokens) still get a row: 0 bigrams, 0.0 fractions
+    base = docs.select(F.col(id_col))
+    return base.join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        F.coalesce("dup_bigram_frac", F.lit(0.0)).alias("dup_bigram_frac"),
+    )

@@ -2337,6 +2337,43 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+@register(
+    "text_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), t -> LENGTH(t) > 0) AS tk
+      FROM documents),
+    bg AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(
+               GENERATE_SERIES(1, LEN(tk) - 1),
+               i -> tk[i] || ' ' || tk[i + 1])) AS b
+      FROM toks WHERE LEN(tk) >= 2),
+    counts AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+    scored AS (
+      SELECT doc_id,
+             SUM(c) AS n_bigrams,
+             ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac,
+             ROUND(CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS DOUBLE)
+                   / SUM(c), 6) AS dup_bigram_frac
+      FROM counts GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           COALESCE(s.top_bigram_frac, 0.0) AS top_bigram_frac,
+           COALESCE(s.dup_bigram_frac, 0.0) AS dup_bigram_frac
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (top-bigram share and
+    duplicate-bigram share) over the documents table — pure explode+agg
+    JVM expressions, oracle-checked value for value."""
+    from fdi_flow_spark.pipelines.text import repetition_scores
+
+    return repetition_scores(load_table(spark, sf_dir, "documents"))
+
+
 _CONTAMINATION_GRAMS_SQL = """
     toks AS (
       SELECT doc_id,
@@ -2745,6 +2782,8 @@ _WINDOW_EXCLUDED_ORACLES = {
                            # segment_windows — swapped out for the codec-chain
                            # proof multimodal_image_features (r4)
     "multimodal_image_resize",  # second BMP-decode proof (resize gather)
+    "text_repetition",          # explode+agg kernel family as in-window
+                                # token_counts/text_quality
     "corpus_contamination",     # word-ngram inverted-index join — same
     "corpus_decontaminate",     # kernel family as in-window
                                 # ngram_jaccard_pairs (+ LeftAnti, in-window
