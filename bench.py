@@ -138,6 +138,13 @@ def main() -> None:
     QUERIES["embedding_near_dup"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # The multimodal codec queries carry real BMP/WAV/AVI encode+decode since
+    # r4 (their r1 baselines measured a seeded FAKE decoder — strictly less
+    # work), and their cold pass additionally pays Python-worker spin-up for
+    # binary-heavy Arrow batches; warm that path once untimed.
+    QUERIES["multimodal_audio_bands"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "5")))
     runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}

@@ -72,7 +72,9 @@ def make_media_table(spark, rows) -> DataFrame:
     return spark.createDataFrame(data, schema=MEDIA_SCHEMA)
 
 
-def media_from_documents(docs: DataFrame, encode_payloads: bool = True) -> DataFrame:
+def media_from_documents(
+    docs: DataFrame, encode_payloads: bool = True, kinds: tuple | None = None
+) -> DataFrame:
     """Deterministically derive a media table from the ``documents`` table so
     the multimodal kernels are runnable (and driver-checkable) on the shared
     testdata: kind cycles image/audio/video by ``doc_id % 3``, metadata is a
@@ -83,7 +85,11 @@ def media_from_documents(docs: DataFrame, encode_payloads: bool = True) -> DataF
 
     ``encode_payloads=False`` keeps the pure-JVM projection (payload = UTF-8
     text bytes) for metadata-only consumers like ``frame_sample``, avoiding
-    an Arrow encode stage whose output would be dropped."""
+    an Arrow encode stage whose output would be dropped. ``kinds`` filters
+    rows JVM-side BEFORE the encode stage — a consumer that only reads one
+    modality (every feature kernel does) must not pay for encoding the
+    other two; the kernels' own ``where(kind = ...)`` cannot push through
+    the opaque mapInPandas, so the predicate belongs here."""
     from fdi_flow_spark.core.partitioning import ensure_min_parallelism
 
     docs = ensure_min_parallelism(docs, "doc_id")
@@ -104,6 +110,8 @@ def media_from_documents(docs: DataFrame, encode_payloads: bool = True) -> DataF
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         meta.alias("meta"),
     )
+    if kinds is not None:
+        media = media.where(F.col("kind").isin(list(kinds)))
     if not encode_payloads:
         return media
 

@@ -1902,7 +1902,7 @@ def q_image_resize(spark, sf_dir):
     the documents table — a second value proof of the BMP decode path."""
     from fdi_flow_spark.pipelines.multimodal import image_resize
 
-    resized = image_resize(_media(spark, sf_dir), target_w=4, target_h=4)
+    resized = image_resize(_media(spark, sf_dir, kinds=("image",)), target_w=4, target_h=4)
     return resized.select(
         "media_id",
         F.round(
@@ -2265,9 +2265,11 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
 
 # ------------------------------------------------------------- multimodal
 
-def _media(spark, sf_dir, encode_payloads=True):
+def _media(spark, sf_dir, encode_payloads=True, kinds=None):
     return media_from_documents(
-        load_table(spark, sf_dir, "documents"), encode_payloads=encode_payloads
+        load_table(spark, sf_dir, "documents"),
+        encode_payloads=encode_payloads,
+        kinds=kinds,  # JVM-side kind filter BEFORE the opaque encode stage
     )
 
 
@@ -2301,7 +2303,7 @@ def q_image_features(spark, sf_dir):
     encode -> decode codec chain against DuckDB recomputing the same
     statistics directly from the text bytes (documents text is ASCII at
     every sf, so ASCII(SUBSTR(..)) == payload byte)."""
-    return image_features(_media(spark, sf_dir)).select(
+    return image_features(_media(spark, sf_dir, kinds=("image",))).select(
         "media_id",
         F.round(F.element_at("mean_rgb", 1), 6).alias("mean_r"),
         F.round(F.element_at("std_rgb", 1), 6).alias("std_r"),
@@ -2312,7 +2314,7 @@ def q_image_features(spark, sf_dir):
 
 @register("multimodal_audio_bands")  # rows-only (FFT over PCM payload bytes)
 def q_audio_bands(spark, sf_dir):
-    return audio_features(_media(spark, sf_dir)).select(
+    return audio_features(_media(spark, sf_dir, kinds=("audio",))).select(
         "media_id",
         "n_samples",
         F.round(F.element_at("band_energy", 1), 6).alias("band0"),
@@ -2465,7 +2467,7 @@ def q_video_frame_features(spark, sf_dir):
     (companion to the BMP proof in ``multimodal_image_features``)."""
     from fdi_flow_spark.pipelines.multimodal import frame_extract
 
-    return frame_extract(_media(spark, sf_dir), every_n=10).select(
+    return frame_extract(_media(spark, sf_dir, kinds=("video",)), every_n=10).select(
         "media_id",
         "frame_idx",
         F.round(F.element_at("mean_rgb", 1), 6).alias("mean_r"),
