@@ -74,6 +74,21 @@ def main() -> None:
         "| packs:", packed.agg({"pack_id": "max"}).first()[0] + 1,
     )
 
+    # 4b. Eval decontamination + repetition filtering — the other two
+    # standard pretraining hygiene steps, both oracle-checked.
+    from fdi_flow_spark.pipelines.curation import decontaminate
+    from fdi_flow_spark.pipelines.text import repetition_scores
+
+    from pyspark.sql import functions as F
+
+    bench = docs.where(F.col("doc_id") % 10 == 0)  # stand-in eval set
+    clean = decontaminate(docs, bench, n=8)
+    rep = repetition_scores(docs).where(F.col("dup_bigram_frac") > 0.5)
+    print(
+        "decontaminated corpus:", clean.count(), "of", docs.count(),
+        "| repetitive docs flagged:", rep.count(),
+    )
+
     # 5. Similarity search with a persisted IVF index.
     import tempfile
 
