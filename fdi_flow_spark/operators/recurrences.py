@@ -424,44 +424,61 @@ def kalman_filter_1d_chunked(
     chain over 2-number chunk summaries (decay product A, last local B),
     and an embarrassingly parallel finalize s_i = local_i + cumA_i * carry.
     Matches :func:`kalman_filter_1d` to ~1e-12 relative.
+
+    Unlike the constant-coefficient EWMA/Holt chunked scans, the gains here
+    are POSITIONAL (k_i is the i-th Riccati gain, not "the gain at ts=i"),
+    so a series whose ts does not start at 0, or has gaps, must still index
+    the gain sequence by per-series rank. Ranks are derived without any
+    global sort: a map-side-combinable per-(series, chunk) count feeds a
+    tiny window cumsum over chunk summaries, and each chunk's start rank is
+    broadcast back — the chunk boundaries themselves stay arithmetic
+    (ts // chunk_size), they just no longer double as positions.
     """
     assert_long(df)
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     gains = _kalman1d_gains(q, r, p0)
-    k_steady = float(gains[-1])
     n_prefix = len(gains)
 
-    base = df.withColumn(
-        "_chunk", (F.col("ts") / chunk_size).cast("long")
-    ).withColumn("_pos", F.col("ts") % chunk_size)
+    base = df.withColumn("_chunk", (F.col("ts") / chunk_size).cast("long"))
+
+    # Per-chunk row counts -> each chunk's starting rank within its series.
+    # The count aggregation is map-side combinable; the window runs over the
+    # tiny (series, chunk) summary table, never the data.
+    counts = base.groupBy("series_id", "_chunk").agg(F.count("*").alias("_n"))
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    starts = counts.withColumn(
+        "_start", F.coalesce(F.sum("_n").over(w), F.lit(0)).cast("long")
+    ).drop("_n")
+    base = base.join(F.broadcast(starts), ["series_id", "_chunk"])
 
     local_schema = StructType(
         [
             StructField("series_id", StringType()),
             StructField("_chunk", LongType()),
             StructField("ts", LongType()),
-            StructField("_pos", LongType()),
             StructField("_local", DoubleType()),
             StructField("_cumA", DoubleType()),
         ]
     )
 
-    def k_at(ts: np.ndarray) -> np.ndarray:
-        """Gain for global step ts (first update is ts=1 -> gains[0])."""
-        idx = np.minimum(ts - 1, n_prefix - 1)
-        return np.where(ts >= 1, gains[np.clip(idx, 0, None)], k_steady)
-
     def local_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_pos")
+        pdf = pdf.sort_values("ts")
         x = pdf["value"].to_numpy(dtype=np.float64)
         ts = pdf["ts"].to_numpy(dtype=np.int64)
-        chunk = int(pdf["_chunk"].iloc[0])
-        if chunk == 0:
+        start = int(pdf["_start"].iloc[0])
+        if start == 0:
             local = kalman1d_numpy(x, q, r, x0, p0)  # exact head semantics
             cumA = np.zeros(len(x))  # no incoming carry for the head
         else:
-            kk = k_at(ts)
+            # global 0-based positions; update at position p uses gains[p-1]
+            pos = start + np.arange(len(x), dtype=np.int64)
+            kk = gains[np.minimum(pos - 1, n_prefix - 1)]
             one_minus = 1.0 - kk
             local = np.empty(len(x))
             acc = 0.0
@@ -474,7 +491,6 @@ def kalman_filter_1d_chunked(
                 "series_id": pdf["series_id"].to_numpy(),
                 "_chunk": pdf["_chunk"].to_numpy(),
                 "ts": ts,
-                "_pos": pdf["_pos"].to_numpy(),
                 "_local": local,
                 "_cumA": cumA,
             }
@@ -483,8 +499,8 @@ def kalman_filter_1d_chunked(
     local = base.groupBy("series_id", "_chunk").applyInPandas(local_fn, local_schema)
 
     summaries = local.groupBy("series_id", "_chunk").agg(
-        F.max_by("_local", "_pos").alias("_B"),
-        F.max_by("_cumA", "_pos").alias("_A"),
+        F.max_by("_local", "ts").alias("_B"),
+        F.max_by("_cumA", "ts").alias("_A"),
     )
     carry_schema = StructType(
         [

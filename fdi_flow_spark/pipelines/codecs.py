@@ -191,10 +191,11 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not an AVI payload (missing RIFF/'AVI ' magic)")
     width = height = None
     fps = 0
+    bottom_up = True  # positive strf height = bottom-up DIB (the common case)
     frames: list[np.ndarray] = []
 
     def walk(start: int, end: int) -> None:
-        nonlocal width, height, fps
+        nonlocal width, height, fps, bottom_up
         pos = start
         while pos + 8 <= end:
             cid = buf[pos : pos + 4]
@@ -214,7 +215,7 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
                 (_, w, h, _, bpp, comp, *_rest) = _BMP_INFO_HEADER.unpack_from(buf, body)
                 if comp != 0 or bpp != 24:
                     raise ValueError(f"unsupported AVI frame format (bpp={bpp}, compression={comp})")
-                width, height = w, abs(h)
+                width, height, bottom_up = w, abs(h), h >= 0
             elif cid == b"00db":
                 if width is None:
                     raise ValueError("AVI frame chunk before stream format header")
@@ -223,7 +224,9 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
                     raise ValueError("truncated AVI frame")
                 rows = np.frombuffer(buf, np.uint8, count=row_size * height, offset=body)
                 rgb = rows.reshape(height, row_size)[:, : 3 * width].reshape(height, width, 3)
-                frames.append(rgb[::-1, :, ::-1])  # bottom-up BGR -> top-down RGB
+                # BGR -> RGB always; flip rows only for bottom-up DIBs
+                # (a negative strf height declares a top-down stream)
+                frames.append(rgb[::-1, :, ::-1] if bottom_up else rgb[:, :, ::-1])
             pos = body + size + (size & 1)
 
     walk(12, len(buf))
@@ -256,8 +259,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         elif chunk_id == b"data":
             if n_channels is None:
                 raise ValueError("WAV data chunk before fmt chunk")
-            size = min(chunk_size, len(buf) - body)
-            n_frames = size // (2 * n_channels)
+            if chunk_size > len(buf) - body:
+                raise ValueError("truncated WAV data chunk")
+            n_frames = chunk_size // (2 * n_channels)
             pcm = np.frombuffer(buf, dtype="<i2", count=n_frames * n_channels, offset=body)
             return pcm.reshape(n_frames, n_channels).copy(), int(sample_rate)
         pos = body + chunk_size + (chunk_size & 1)  # chunks are word-aligned

@@ -2660,7 +2660,8 @@ def q_pii_redact(spark, sf_dir):
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
       FROM t)
     SELECT doc_id, shard, n_tokens,
-           start // 400 AS pack_id, start % 400 AS pack_offset
+           CAST(start // 400 AS BIGINT) AS pack_id,
+           CAST(start % 400 AS BIGINT) AS pack_offset
     FROM c
     """,
 )

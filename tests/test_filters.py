@@ -172,6 +172,34 @@ def test_kalman_chunked_equals_sequential(spark):
         )
 
 
+def test_kalman_chunked_offset_and_gappy_ts(spark):
+    """The positional gains must be indexed by per-series RANK, not raw ts:
+    a series starting at ts=1000 or with holes in ts must still match the
+    sequential kernel row for row (order given by ts)."""
+    from fdi_flow_spark.operators.recurrences import (
+        kalman1d_numpy,
+        kalman_filter_1d_chunked,
+    )
+
+    rng = np.random.default_rng(99)
+    vals_off = rng.normal(0, 3, 300)
+    vals_gap = rng.normal(0, 3, 300)
+    rows = [("off", 1000 + i, float(v)) for i, v in enumerate(vals_off)]
+    # gappy: every 3rd ts missing, series also offset — 7 chunks at size 64
+    gap_ts = [t for t in range(450) if t % 3 != 0][:300]
+    rows += [("gap", 37 + t, float(v)) for t, v in zip(gap_ts, vals_gap)]
+    df = spark.createDataFrame(rows, schema="series_id string, ts long, value double")
+
+    # small q/r so the gain prefix spans several 64-row chunks
+    out = collect_series(kalman_filter_1d_chunked(df, q=0.02, r=5.0, chunk_size=64))
+    np.testing.assert_allclose(
+        out["off"], kalman1d_numpy(vals_off, 0.02, 5.0, None, 1.0), rtol=1e-11
+    )
+    np.testing.assert_allclose(
+        out["gap"], kalman1d_numpy(vals_gap, 0.02, 5.0, None, 1.0), rtol=1e-11
+    )
+
+
 def test_kalman_chunked_degenerate_q_raises(spark):
     from fdi_flow_spark.operators.recurrences import kalman_filter_1d_chunked
 

@@ -86,6 +86,30 @@ def test_avi_roundtrip_exact():
         assert np.array_equal(out, frames)
 
 
+def test_avi_top_down_stream_not_flipped():
+    """A negative strf height declares a top-down DIB stream: rows are
+    already in display order, so the decoder must not vertically flip."""
+    import struct
+
+    rng = np.random.default_rng(13)
+    frames = rng.integers(0, 256, size=(3, 4, 5, 3), dtype=np.uint8)
+    buf = bytearray(encode_avi(frames, fps=10))
+    strf_body = buf.index(b"strf") + 8
+    (h,) = struct.unpack_from("<i", buf, strf_body + 8)
+    struct.pack_into("<i", buf, strf_body + 8, -h)
+    out, _ = decode_avi(bytes(buf))
+    # payload rows are bottom-up on disk; declaring top-down must yield the
+    # vertical mirror of the true frames (i.e. no flip was applied)
+    assert np.array_equal(out, frames[:, ::-1, :, :])
+
+
+def test_wav_truncated_data_chunk_raises():
+    pcm = (np.arange(100, dtype="<i2") * 31).astype("<i2")
+    buf = encode_wav(pcm, 8000)
+    with pytest.raises(ValueError, match="truncated WAV data chunk"):
+        decode_wav(buf[:-10])
+
+
 def test_avi_rejects_compressed_and_garbage():
     with pytest.raises(ValueError):
         decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
