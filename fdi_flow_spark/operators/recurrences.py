@@ -25,7 +25,14 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from fdi_flow_spark.core.series import SERIES_ID, assert_long
 
@@ -93,17 +100,22 @@ def exponential_smoothing_chunked(
     Numerically identical to the sequential recurrence up to ~1e-12 relative
     (one extra multiply-add per element). The same decomposition pattern
     applies to any linear recurrence (Holt is 2x2-matrix-valued).
+
+    Offset/gap robust: chunk boundaries derive arithmetically from ts
+    (no row_number window, so no per-series sort Exchange), but positions
+    are the per-chunk RANK in ts order, and the head chunk is whichever
+    chunk sorts first — a series need not start at ts=0 or be dense. The
+    reference head semantics s_0 = x_0 fall out of seeding the carry chain
+    with the head chunk's first sample (s_i = l_i + (1-a)^(i+1) * s_pre
+    with s_pre = x_0 reproduces s_0 = x_0 exactly), so every chunk runs
+    the same uniform zero-carry scan — no head special-case in the hot path.
     """
     if not 0 < alpha < 1:
         raise ValueError("Alpha must be between 0 and 1")
     assert_long(df)
     from pyspark.sql import functions as F
 
-    # dense 0-based ts (long contract) -> chunk/pos by arithmetic; no
-    # row_number window, so no per-series sort Exchange before the scan
-    base = df.withColumn(
-        "_chunk", (F.col("ts") / chunk_size).cast("long")
-    ).withColumn("_pos", F.col("ts") % chunk_size)
+    base = df.withColumn("_chunk", (F.col("ts") / chunk_size).cast("long"))
 
     local_schema = StructType(
         [
@@ -116,24 +128,20 @@ def exponential_smoothing_chunked(
     )
 
     def local_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_pos")
+        pdf = pdf.sort_values("ts")
         x = pdf["value"].to_numpy(dtype=np.float64)
-        chunk = int(pdf["_chunk"].iloc[0])
-        if chunk == 0:
-            local = ewma_numpy(x, alpha)  # s0 = x0 semantics on the true head
-        else:
-            # zero-carry local scan: l_0 = a*x_0; l_i = a*x_i + (1-a)*l_{i-1}
-            local = np.empty(len(x))
-            acc = 0.0
-            for i, xi in enumerate(x):
-                acc = alpha * xi + (1 - alpha) * acc
-                local[i] = acc
+        # uniform zero-carry local scan: l_0 = a*x_0; l_i = a*x_i + (1-a)*l_{i-1}
+        local = np.empty(len(x))
+        acc = 0.0
+        for i, xi in enumerate(x):
+            acc = alpha * xi + (1 - alpha) * acc
+            local[i] = acc
         return pd.DataFrame(
             {
                 "series_id": pdf["series_id"].to_numpy(),
                 "_chunk": pdf["_chunk"].to_numpy(),
                 "ts": pdf["ts"].to_numpy(),
-                "_pos": pdf["_pos"].to_numpy(),
+                "_pos": np.arange(len(x), dtype=np.int64),
                 "_local": local,
             }
         )
@@ -142,7 +150,9 @@ def exponential_smoothing_chunked(
 
     # chunk summaries -> sequential carry chain over the tiny summary table
     summaries = local.groupBy("series_id", "_chunk").agg(
-        F.count("*").alias("_len"), F.max_by("_local", "_pos").alias("_B")
+        F.count("*").alias("_len"),
+        F.max_by("_local", "_pos").alias("_B"),
+        F.min_by("_local", "_pos").alias("_l0"),  # = a*x_first -> seeds the head
     )
     carry_schema = StructType(
         [
@@ -155,7 +165,9 @@ def exponential_smoothing_chunked(
     def carry_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_chunk")
         carries = []
-        c = 0.0  # carry INTO each chunk; chunk 0 needs none
+        # carry INTO the head chunk is its own first sample (l_0 / a), which
+        # turns the uniform zero-carry scan into the s_0 = x_0 reference head
+        c = float(pdf["_l0"].iloc[0]) / alpha
         for _, row in pdf.iterrows():
             carries.append(c)
             A = (1 - alpha) ** int(row["_len"])
@@ -190,15 +202,24 @@ def double_exponential_smoothing_chunked(
     carry chain runs over one tiny summary row per chunk; rows finalize with
     ``out_i += [1,1] . A^(pos+1) carry`` (running 2-vector, O(1)/row).
 
-    Chunk 0 runs the exact reference init (level=x0, trend=x1-x0 — the
-    one-sample look-ahead stays inside the first chunk since chunk_size >= 2).
+    The head chunk runs the exact reference init (level=x0, trend=x1-x0);
     Matches the sequential kernel to ~1e-12 relative.
 
     Plan shape: exactly two Arrow scans of the grouped data — one emitting a
     1-row-per-chunk state summary, one emitting the output rows with the
     carry folded into the scan's initial state — plus the tiny per-series
-    carry chain. ``_chunk``/``_pos`` derive arithmetically from the long
-    contract's dense 0-based ``ts`` (no row_number window, no sort Exchange).
+    carry chain. ``_chunk`` derives arithmetically from ``ts`` (no
+    row_number window, no sort Exchange).
+
+    Offset/gap robust: the head chunk is whichever chunk sorts FIRST per
+    series, not literally ``_chunk == 0``, so a series starting at an
+    arbitrary ts (or with holes) still gets the reference init. Each chunk
+    emits BOTH a zero-carry affine state (for composition) and an
+    exact-init state (used iff it turns out to be the head), and the carry
+    chain picks per sort position — no extra pass over the data. The one
+    unsupported corner: a head chunk holding a single sample of a longer
+    series (the init's x[1] look-ahead would cross a chunk boundary) raises
+    cleanly rather than guessing.
     """
     if not 0 < alpha < 1 or not 0 < beta < 1:
         raise ValueError("Alpha and beta must be between 0 and 1")
@@ -211,15 +232,13 @@ def double_exponential_smoothing_chunked(
     A = np.array([[1 - a, 1 - a], [-a * b, 1 - a * b]])
     c = np.array([a, a * b])
 
-    base = df.withColumn(
-        "_chunk", (F.col("ts") / chunk_size).cast("long")
-    ).withColumn("_pos", F.col("ts") % chunk_size)
+    base = df.withColumn("_chunk", (F.col("ts") / chunk_size).cast("long"))
 
-    def scan(x: np.ndarray, chunk: int, carry: np.ndarray):
+    def scan(x: np.ndarray, is_head: bool, carry: np.ndarray):
         """Replay one chunk from ``carry`` state; returns (out, final state).
-        Chunk 0 ignores the (zero) carry and runs the reference init."""
+        The head chunk ignores the (zero) carry and runs the reference init."""
         out = np.empty(len(x))
-        if chunk == 0:
+        if is_head:
             if len(x) < 2:  # whole series shorter than 2: returned as-is
                 out[:] = x
                 return out, np.zeros(2)
@@ -244,22 +263,27 @@ def double_exponential_smoothing_chunked(
             StructField("_len", LongType()),
             StructField("_v0", DoubleType()),
             StructField("_v1", DoubleType()),
+            StructField("_h0", DoubleType()),
+            StructField("_h1", DoubleType()),
         ]
     )
 
     def sum_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_pos")
+        pdf = pdf.sort_values("ts")
         x = pdf["value"].to_numpy(dtype=np.float64)
-        chunk = int(pdf["_chunk"].iloc[0])
-        # zero-carry state: the carry chain composes A^len @ carry + v
-        _, s = scan(x, chunk, np.zeros(2))
+        # zero-carry state (the carry chain composes A^len @ carry + v) AND
+        # the exact-init state, consumed only if this chunk is the head
+        _, s = scan(x, False, np.zeros(2))
+        _, h = scan(x, True, np.zeros(2))
         return pd.DataFrame(
             {
                 "series_id": [pdf["series_id"].iloc[0]],
-                "_chunk": [chunk],
+                "_chunk": [int(pdf["_chunk"].iloc[0])],
                 "_len": [len(x)],
                 "_v0": [s[0]],
                 "_v1": [s[1]],
+                "_h0": [h[0]],
+                "_h1": [h[1]],
             }
         )
 
@@ -271,24 +295,35 @@ def double_exponential_smoothing_chunked(
             StructField("_chunk", LongType()),
             StructField("_c0", DoubleType()),
             StructField("_c1", DoubleType()),
+            StructField("_is_head", BooleanType()),
         ]
     )
 
     def carry_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_chunk")
+        if len(pdf) > 1 and int(pdf["_len"].iloc[0]) < 2:
+            raise ValueError(
+                "Holt chunked: head chunk holds a single sample of a longer "
+                "series (init's x[1] look-ahead crosses the chunk boundary); "
+                "use double_exponential_smoothing or a larger chunk_size"
+            )
         carries0, carries1 = [], []
-        s = np.zeros(2)  # carry INTO each chunk; chunk 0 takes none
-        for _, row in pdf.iterrows():
+        s = np.zeros(2)  # carry INTO each chunk; the head takes none
+        for i, (_, row) in enumerate(pdf.iterrows()):
             carries0.append(s[0])
             carries1.append(s[1])
-            P = np.linalg.matrix_power(A, int(row["_len"]))
-            s = P @ s + np.array([row["_v0"], row["_v1"]])
+            if i == 0:  # head: outgoing state is the exact-init scan's
+                s = np.array([row["_h0"], row["_h1"]])
+            else:
+                P = np.linalg.matrix_power(A, int(row["_len"]))
+                s = P @ s + np.array([row["_v0"], row["_v1"]])
         return pd.DataFrame(
             {
                 "series_id": pdf["series_id"].to_numpy(),
                 "_chunk": pdf["_chunk"].to_numpy(),
                 "_c0": carries0,
                 "_c1": carries1,
+                "_is_head": [i == 0 for i in range(len(pdf))],
             }
         )
 
@@ -303,10 +338,10 @@ def double_exponential_smoothing_chunked(
     )
 
     def final_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_pos")
+        pdf = pdf.sort_values("ts")
         x = pdf["value"].to_numpy(dtype=np.float64)
         carry = np.array([pdf["_c0"].iloc[0], pdf["_c1"].iloc[0]])
-        out, _ = scan(x, int(pdf["_chunk"].iloc[0]), carry)
+        out, _ = scan(x, bool(pdf["_is_head"].iloc[0]), carry)
         return pd.DataFrame(
             {
                 "series_id": pdf["series_id"].to_numpy(),

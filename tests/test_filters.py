@@ -111,6 +111,59 @@ def test_ewma_chunked_single_chunk_degenerate(spark):
     np.testing.assert_allclose(out["s"], ref_ewma(arrays["s"], 0.5), rtol=1e-12)
 
 
+def _offset_gappy_df(spark, vals_off, vals_gap):
+    """Two awkward series: one offset to ts=1000, one offset AND gappy."""
+    rows = [("off", 1000 + i, float(v)) for i, v in enumerate(vals_off)]
+    gap_ts = [t for t in range(450) if t % 3 != 0][: len(vals_gap)]
+    rows += [("gap", 37 + t, float(v)) for t, v in zip(gap_ts, vals_gap)]
+    return spark.createDataFrame(rows, schema="series_id string, ts long, value double")
+
+
+def test_ewma_chunked_offset_and_gappy_ts(spark):
+    """Head semantics (s0=x0) and carry decay must follow per-series rank,
+    not raw ts: chunk 0 may not exist and ts may have holes."""
+    from fdi_flow_spark.operators.recurrences import exponential_smoothing_chunked
+
+    rng = np.random.default_rng(31)
+    vals_off, vals_gap = rng.normal(0, 3, 300), rng.normal(0, 3, 300)
+    df = _offset_gappy_df(spark, vals_off, vals_gap)
+    out = collect_series(exponential_smoothing_chunked(df, alpha=0.3, chunk_size=64))
+    np.testing.assert_allclose(out["off"], ref_ewma(vals_off, 0.3), rtol=1e-11)
+    np.testing.assert_allclose(out["gap"], ref_ewma(vals_gap, 0.3), rtol=1e-11)
+
+
+def test_holt_chunked_offset_and_gappy_ts(spark):
+    """The reference init must run in whichever chunk sorts first, and the
+    finalize scans must be positional — offset/gappy ts still match."""
+    from fdi_flow_spark.operators.recurrences import (
+        double_exponential_smoothing_chunked,
+        holt_numpy,
+    )
+
+    rng = np.random.default_rng(32)
+    vals_off, vals_gap = rng.normal(0, 3, 300), rng.normal(0, 3, 300)
+    df = _offset_gappy_df(spark, vals_off, vals_gap)
+    out = collect_series(
+        double_exponential_smoothing_chunked(df, alpha=0.3, beta=0.1, chunk_size=64)
+    )
+    np.testing.assert_allclose(out["off"], holt_numpy(vals_off, 0.3, 0.1), rtol=1e-10)
+    np.testing.assert_allclose(out["gap"], holt_numpy(vals_gap, 0.3, 0.1), rtol=1e-10)
+
+
+def test_holt_chunked_lone_head_sample_raises(spark):
+    """A head chunk holding one sample of a longer series cannot run the
+    x[1] look-ahead init — must raise, not silently diverge."""
+    from fdi_flow_spark.operators.recurrences import (
+        double_exponential_smoothing_chunked,
+    )
+
+    # ts=63 alone in chunk 0 (size 64), rest in later chunks
+    rows = [("s", 63, 1.0)] + [("s", 64 + i, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, schema="series_id string, ts long, value double")
+    with pytest.raises(Exception, match="head chunk"):
+        double_exponential_smoothing_chunked(df, chunk_size=64).collect()
+
+
 def test_holt_chunked_equals_sequential(spark):
     from fdi_flow_spark.operators.recurrences import (
         double_exponential_smoothing_chunked,
