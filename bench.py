@@ -105,6 +105,12 @@ BENCH_QUERIES = [
     "text_quality",
     "text_repetition",
     "language_id",
+    # r5: LM scoring, line dedup, source mixing, clustering, SemDeDup
+    "lm_perplexity",
+    "line_dedup",
+    "source_mix",
+    "embedding_kmeans",
+    "semantic_dedup",
 ]
 
 

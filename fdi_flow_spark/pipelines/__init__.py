@@ -1,4 +1,13 @@
-from fdi_flow_spark.pipelines.curation import hash_split, pii_redact, quota_sample, token_pack
+from fdi_flow_spark.pipelines.clustering import kmeans_embeddings, semantic_dedup_pairs
+from fdi_flow_spark.pipelines.curation import (
+    hash_split,
+    line_dedup,
+    pii_redact,
+    quota_sample,
+    source_mix,
+    token_pack,
+)
+from fdi_flow_spark.pipelines.lm import lm_perplexity
 from fdi_flow_spark.pipelines.dedup import (
     dedup_components,
     exact_dedup,
@@ -36,4 +45,9 @@ __all__ = [
     "language_id",
     "token_counts",
     "document_fingerprint",
+    "kmeans_embeddings",
+    "semantic_dedup_pairs",
+    "line_dedup",
+    "source_mix",
+    "lm_perplexity",
 ]

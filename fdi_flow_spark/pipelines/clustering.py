@@ -1,0 +1,192 @@
+"""Embedding clustering and semantic near-duplicate detection.
+
+No reference twin — driver-mandated LLM-pipeline surface (SURVEY §2.9).
+``kmeans_embeddings`` is a deterministic distributed Lloyd iteration;
+``semantic_dedup_pairs`` is the SemDeDup recipe (Abbas et al., 2023):
+cluster the embedding space, then search for near-duplicates only WITHIN
+each cluster — the cluster assignment bounds the candidate pairs, turning
+an O(n^2) all-pairs cosine into k tractable blocks.
+
+Design at 100 TB:
+
+- Lloyd is deterministic end-to-end: init = the vectors of the k smallest
+  ids (TakeOrdered, no full sort), assignment = exact argmin against
+  broadcast centroids (Arrow-batched pandas UDF, BLAS-free direct form so
+  the DuckDB oracle reproduces it), update = map-side partial sums per
+  partition (``mapInPandas`` emitting <= k tiny rows per partition) reduced
+  per cluster — the full vector stream is never shuffled, and nothing
+  data-sized ever reaches the driver (the reduce input is
+  #partitions x k rows).
+- Empty clusters keep their previous centroid (pinned, mirrored in the
+  oracle).
+- ``semantic_dedup_pairs`` self-joins on the cluster key only, with the
+  cosine evaluated JVM-side (``zip_with`` + ``aggregate`` fold — the same
+  sequential sum order DuckDB's LIST_COSINE_SIMILARITY uses, which keeps
+  the value hash bit-stable).
+
+MLlib's KMeans is deliberately not used: its kmeans|| init and
+tolerance-based convergence are seed- and partitioning-dependent, which
+breaks the driver's value-hash contract; this Lloyd is reproducible on any
+cluster layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from fdi_flow_spark.core.partitioning import ensure_min_parallelism
+
+
+def _collect_init_centroids(df: DataFrame, k: int, id_col: str, vec_col: str) -> np.ndarray:
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)  # TakeOrdered: top-k per partition then merge, no full sort
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"k={k} exceeds the {len(rows)} available vectors")
+    return np.array([list(r[1]) for r in rows], dtype=np.float64)
+
+
+def _assign(df: DataFrame, cent: np.ndarray, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vector, cluster, dist): exact nearest centroid, ties to the
+    lowest cluster id (np.argmin first-hit == SQL min_by (dist, cluster))."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf("struct<cluster: bigint, dist: double>")
+    def nearest(v: pd.Series) -> pd.DataFrame:
+        c = bc.value  # (k, d)
+        x = np.stack(v.to_numpy()).astype(np.float64)  # (n, d)
+        # direct form (x - c)^2 summed over dims — matches the oracle's
+        # LIST_DISTANCE elementwise evaluation, unlike the gemm expansion
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)  # (n, k)
+        idx = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {"cluster": idx.astype(np.int64), "dist": np.sqrt(d2[np.arange(len(idx)), idx])}
+        )
+
+    out = df.select(F.col(id_col), F.col(vec_col), nearest(F.col(vec_col)).alias("_n"))
+    return out.select(id_col, vec_col, F.col("_n.cluster").alias("cluster"), F.col("_n.dist").alias("dist"))
+
+
+def _update_centroids(
+    assigned: DataFrame, cent: np.ndarray, vec_col: str
+) -> np.ndarray:
+    """One Lloyd update: per-partition partial (cluster, count, sum) rows,
+    reduced per cluster over the tiny partial table. Empty clusters keep
+    their previous centroid."""
+    k, d = cent.shape
+    part_schema = StructType(
+        [
+            StructField("cluster", LongType()),
+            StructField("_n", LongType()),
+            StructField("_s", ArrayType(DoubleType())),
+        ]
+    )
+
+    def partials(batches):
+        sums: dict[int, tuple[int, np.ndarray]] = {}
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cl = pdf["cluster"].to_numpy()
+            for c in np.unique(cl):
+                m = cl == c
+                n, s = sums.get(int(c), (0, np.zeros(d)))
+                sums[int(c)] = (n + int(m.sum()), s + x[m].sum(axis=0))
+        if sums:
+            yield pd.DataFrame(
+                {
+                    "cluster": list(sums),
+                    "_n": [v[0] for v in sums.values()],
+                    "_s": [v[1].tolist() for v in sums.values()],
+                }
+            )
+
+    part = assigned.select("cluster", vec_col).mapInPandas(partials, part_schema)
+    rows = part.groupBy("cluster").agg(
+        F.sum("_n").alias("n"),
+        F.array(*[F.sum(F.col("_s")[i]) for i in range(d)]).alias("s"),
+    ).collect()
+    new = cent.copy()
+    for r in rows:
+        new[int(r["cluster"])] = np.array(r["s"], dtype=np.float64) / float(r["n"])
+    return new
+
+
+def kmeans_embeddings(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column.
+
+    Runs ``n_iter`` full (assign, update) iterations from the pinned init,
+    then returns the assignment against the FINAL centroids:
+    ``(id, cluster, dist)`` with ``dist`` the euclidean distance, rounded
+    to 6 places. Reproducible on any partitioning — no RNG anywhere.
+    """
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    work = ensure_min_parallelism(df.select(id_col, vec_col), id_col)
+    cent = _collect_init_centroids(work, k, id_col, vec_col)
+    for _ in range(n_iter):
+        assigned = _assign(work, cent, id_col, vec_col)
+        cent = _update_centroids(assigned, cent, vec_col)
+    final = _assign(work, cent, id_col, vec_col)
+    return final.select(
+        F.col(id_col),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: k-means the embeddings, then emit every within-cluster pair
+    with cosine similarity >= ``threshold`` (``id_a < id_b``).
+
+    The self-join key is the CLUSTER, so pair candidates are bounded by
+    cluster sizes instead of n^2; the cosine is a JVM ``zip_with`` +
+    ``aggregate`` fold over double-cast vectors (no Python in the pair
+    path). At 100 TB, k scales with the corpus (SemDeDup uses ~100k
+    clusters for web scale) precisely so the per-cluster blocks stay small.
+    """
+    assign = kmeans_embeddings(df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    vecs = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    ).join(assign.select(F.col(id_col).alias("_id"), "cluster"), "_id")
+
+    a = vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "cluster")
+    b = vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "cluster")
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    cos = dot / (norm(F.col("_va")) * norm(F.col("_vb")))
+    return (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("cluster", "id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from fdi_flow_spark.core.partitioning import ensure_min_parallelism
+
 # RE2-safe AND java.util.regex-safe (no lookaround, no backrefs) so Spark
 # and the DuckDB oracle evaluate identical semantics.
 PII_PATTERNS: dict[str, str] = {
@@ -88,6 +90,128 @@ def quota_sample(
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= n_per_group)
         .drop("_rn")
+    )
+
+
+def source_mix(
+    df: DataFrame,
+    budget: int,
+    temperature: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based source mixing: sample ``budget`` documents total,
+    allocating per-source quotas proportional to ``n_source^temperature``
+    (the multilingual/data-mixing rule from the mBERT/Pile/LLaMA recipes —
+    ``temperature < 1`` upsamples small sources relative to their share).
+
+    Quotas: ``quota_s = round(budget * n_s^T / sum(n_t^T))`` capped at
+    ``n_s``; members are then the quota-first documents in deterministic
+    hash order (same kernel as :func:`quota_sample`). The default
+    ``temperature=0.5`` evaluates as ``SQRT`` — exactly rounded under
+    IEEE-754, unlike ``pow``, so the oracle replays it bit-identically.
+
+    Scale shape: the source-count aggregate is tiny (one row per source)
+    and broadcast back; one hash-ordered window per source does the rest.
+    Output adds ``n_source``, ``source_weight``, ``src_rank``.
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    wexp = (
+        F.sqrt(F.col("n_source"))
+        if temperature == 0.5
+        else F.pow(F.col("n_source"), F.lit(float(temperature)))
+    )
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_source"))
+    tot = counts.select(
+        F.sum(wexp).alias("_wsum")
+    )
+    quotas = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_source",
+            (wexp / F.col("_wsum")).alias("_w"),
+        )
+        .select(
+            source_col,
+            "n_source",
+            F.round("_w", 6).alias("source_weight"),
+            F.least(
+                F.col("n_source"), F.round(F.lit(budget) * F.col("_w")).cast("bigint")
+            ).alias("_quota"),
+        )
+    )
+    order = _hash_bucket(F.col(id_col), seed, 1_000_000_007)
+    w = Window.partitionBy(source_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(quotas), source_col)
+        .withColumn("src_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("src_rank") <= F.col("_quota"))
+        .drop("_quota")
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    min_doc_freq: int = 3,
+    min_line_chars: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_boilerplate: bool = False,
+) -> DataFrame:
+    """C4-style boilerplate line removal: a (trimmed) line of at least
+    ``min_line_chars`` characters appearing in ``min_doc_freq`` or more
+    DISTINCT documents is dropped from every document (cookie banners,
+    nav menus, license footers). Shorter lines are never dropped.
+
+    Output is total — one row per input document:
+    ``(doc_id, n_lines, n_removed, clean_md5)`` where ``clean_md5``
+    checksums the kept lines re-joined in order (empty string when every
+    line was boilerplate).
+
+    Scale shape: the line stream is scanned twice (document-frequency
+    aggregate; re-group per doc), both shuffles map-side combinable; the
+    boilerplate join carries 8-byte ``xxhash64`` keys, never line strings.
+    The boilerplate table is usually tiny relative to the corpus but is
+    NOT provably so — the join defaults to shuffle-hash, with
+    ``broadcast_boilerplate=True`` as the bench-scale opt-in.
+    """
+    lines = (
+        ensure_min_parallelism(df, id_col)
+        .select(
+            F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line")
+        )
+        .withColumn("_norm", F.trim(F.col("_line")))
+        .withColumn("_eligible", F.length("_norm") >= min_line_chars)
+        .withColumn("_k", F.xxhash64("_norm"))
+    )
+    boiler = (
+        lines.where("_eligible")
+        .groupBy("_k")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .where(F.col("_df") >= min_doc_freq)
+        .select("_k", F.lit(True).alias("_boiler"))
+    )
+    if broadcast_boilerplate:
+        boiler = F.broadcast(boiler)
+    marked = lines.join(boiler, "_k", "left").withColumn(
+        "_drop", F.col("_eligible") & F.coalesce(F.col("_boiler"), F.lit(False))
+    )
+    kept_lines = F.transform(
+        F.filter(
+            F.sort_array(F.collect_list(F.struct("_pos", "_drop", "_line"))),
+            lambda s: ~s["_drop"],
+        ),
+        lambda s: s["_line"],
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.col("_drop").cast("bigint")).alias("n_removed"),
+        F.md5(F.array_join(kept_lines, "\n")).alias("clean_md5"),
     )
 
 

@@ -1,0 +1,100 @@
+"""N-gram language-model quality scoring — CCNet-style perplexity filtering
+for pretraining corpora.
+
+No reference twin — this belongs to the driver-mandated LLM-pipeline
+extension surface (SURVEY §2.9), alongside dedup/text/curation. The
+canonical use (CCNet, Gopher, LLaMA data recipes) is: train a cheap n-gram
+LM on a trusted corpus, score every candidate document's perplexity under
+it, and keep the low-perplexity (fluent) tail.
+
+Design at 100 TB:
+
+- The model is two aggregate tables (bigram counts, context counts) — the
+  bigram stream is scanned ONCE for counts (``groupBy(w1, w2)``,
+  map-side combinable); context counts and the vocabulary size derive from
+  the much smaller count table, never from a second corpus scan.
+- Scoring re-derives the bigram stream and joins it against the counts.
+  Both joins default to shuffle-hash (scale-safe: a web-scale vocabulary's
+  count table can be too big to broadcast); ``broadcast_model=True`` is the
+  bench-scale opt-in.
+- Everything is JVM expressions + joins — no Python in the row path, and
+  the whole pipeline is one Catalyst plan (lazy), so filter/column pruning
+  reach the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from fdi_flow_spark.core.partitioning import ensure_min_parallelism
+
+BOS = "<s>"
+
+
+def _bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-position (not distinct) lowercase word bigrams with a BOS marker:
+    ``(id, w1, w2)`` — one row per adjacent token pair, so counts weight by
+    frequency like a real LM, unlike the dedup shingle kernel."""
+    docs = ensure_min_parallelism(docs, id_col)
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    pairs = F.expr(
+        f"""
+        transform(sequence(1, size(_t) - 1),
+                  i -> struct(element_at(_t, i) AS w1, element_at(_t, i + 1) AS w2))
+        """
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), F.concat(F.array(F.lit(BOS)), toks).alias("_t"))
+        .where(F.size("_t") >= 2)  # at least one real token
+        .select("id", F.explode(pairs).alias("_p"))
+        .select("id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Score each document's perplexity under an add-one-smoothed bigram LM
+    trained on ``model_docs`` (default: the same corpus — self-scoring, the
+    in-distribution baseline CCNet uses before importing a clean LM).
+
+    Per bigram: ``log P(w2|w1) = ln(c(w1,w2) + 1) - ln(c(w1) + V)`` with
+    ``V`` = distinct successor vocabulary of the model. Unseen bigrams
+    back off to the +1 numerator; unseen contexts to the ``V``-only
+    denominator. Output: ``(doc_id, n_bigrams, avg_logp, ppl)`` with
+    ``ppl = exp(-avg_logp)``; documents with zero tokens are not scorable
+    and are absent from the result (documented).
+    """
+    big = _bigrams(docs, id_col, text_col)
+    model_big = big if model_docs is None else _bigrams(model_docs, id_col, text_col)
+
+    # one scan of the model's bigram stream; everything else derives from it
+    c12 = model_big.groupBy("w1", "w2").agg(F.count("*").alias("_c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
+    vocab = c12.agg(F.countDistinct("w2").alias("_v"))
+    if broadcast_model:
+        c12, c1 = F.broadcast(c12), F.broadcast(c1)
+
+    scored = (
+        big.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            (
+                F.log(F.coalesce(F.col("_c12"), F.lit(0)) + F.lit(1))
+                - F.log(F.coalesce(F.col("_c1"), F.lit(0)) + F.col("_v"))
+            ).alias("_logp"),
+        )
+    )
+    n = F.count("*")
+    avg_logp = F.sum("_logp") / n
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        n.cast("bigint").alias("n_bigrams"),
+        F.round(avg_logp, 6).alias("avg_logp"),
+        F.round(F.exp(-avg_logp), 4).alias("ppl"),
+    )

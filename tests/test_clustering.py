@@ -1,0 +1,126 @@
+"""Embedding clustering + SemDeDup (pipelines/clustering.py) and the bigram
+LM scorer (pipelines/lm.py)."""
+
+import numpy as np
+import pytest
+
+from fdi_flow_spark.pipelines.clustering import kmeans_embeddings, semantic_dedup_pairs
+from fdi_flow_spark.pipelines.lm import lm_perplexity
+
+
+def _blob_df(spark, seed=5, n_per=40, d=8, centers=((0,) * 8, (10,) * 8, (-10,) * 8)):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for ci, c in enumerate(centers):
+        pts = rng.normal(0, 0.5, size=(n_per, d)) + np.array(c, dtype=float)
+        for j, p in enumerate(pts):
+            rows.append((ci * n_per + j, [float(v) for v in p]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), len(centers)
+
+
+def _ref_lloyd(X, ids, k, n_iter):
+    """NumPy twin of the pinned Lloyd semantics."""
+    order = np.argsort(ids)
+    cent = X[order[:k]].astype(np.float64).copy()
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - cent[None]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for c in range(k):
+            if (a == c).any():
+                cent[c] = X[a == c].mean(axis=0)
+    d2 = ((X[:, None, :] - cent[None]) ** 2).sum(axis=2)
+    a = d2.argmin(axis=1)
+    return a, np.sqrt(d2[np.arange(len(a)), a])
+
+
+def test_kmeans_matches_numpy_lloyd_and_is_partition_invariant(spark):
+    df, k = _blob_df(spark)
+    pdf = df.toPandas().sort_values("vec_id")
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    ref_a, ref_d = _ref_lloyd(X, ids, k=k, n_iter=2)
+
+    out = kmeans_embeddings(df, k=k, n_iter=2).toPandas().sort_values("vec_id")
+    assert np.array_equal(out["cluster"].to_numpy(), ref_a)
+    np.testing.assert_allclose(out["dist"].to_numpy(), np.round(ref_d, 6), atol=2e-6)
+
+    # identical result on a different partitioning (determinism contract)
+    out2 = kmeans_embeddings(df.repartition(7), k=k, n_iter=2).toPandas().sort_values("vec_id")
+    assert np.array_equal(out["cluster"].to_numpy(), out2["cluster"].to_numpy())
+
+    # well-separated blobs: every blob lands in one cluster
+    blobs = np.repeat(np.arange(k), len(X) // k)
+    for b in range(k):
+        assert len(set(out["cluster"].to_numpy()[blobs == b])) == 1
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # k=3 but only two distinct locations: one init centroid never wins ->
+    # its cluster goes empty and must keep the previous centroid (no NaN)
+    rows = [(i, [0.0, 0.0]) for i in range(3)] + [(i, [5.0, 5.0]) for i in range(3, 6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_embeddings(df, k=3, n_iter=2).toPandas()
+    assert not out["dist"].isna().any()
+    assert set(out["cluster"]) <= {0, 1, 2}
+
+
+def test_kmeans_k_exceeding_rows_raises(spark):
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="exceeds"):
+        kmeans_embeddings(df, k=5)
+
+
+def test_semantic_dedup_pairs_within_cluster_only(spark):
+    df, k = _blob_df(spark)
+    pairs = semantic_dedup_pairs(df, k=k, n_iter=2, threshold=0.99).toPandas()
+    assert (pairs["id_a"] < pairs["id_b"]).all()
+    assert (pairs["cosine"] >= 0.99).all()
+    # blob members are near-parallel (mean >> noise) -> plenty of pairs,
+    # and every pair stays inside one blob
+    assert len(pairs) > 100
+    blob = lambda i: i // 40  # noqa: E731
+    assert (pairs["id_a"].map(blob) == pairs["id_b"].map(blob)).all()
+
+
+# ------------------------------------------------------------------ LM (r5)
+
+
+def test_lm_perplexity_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in lm_perplexity(df).collect()}
+    # bigrams: (<s>,a) x3, (a,b) x2, (a,c) x1 ; c(<s>)=3, c(a)=3 ; V={a,b,c}=3
+    lp_sa = math.log(3 + 1) - math.log(3 + 3)
+    lp_ab = math.log(2 + 1) - math.log(3 + 3)
+    lp_ac = math.log(1 + 1) - math.log(3 + 3)
+    avg0 = (lp_sa + lp_ab) / 2
+    avg2 = (lp_sa + lp_ac) / 2
+    assert out[0]["n_bigrams"] == 2
+    assert abs(out[0]["avg_logp"] - round(avg0, 6)) < 1e-9
+    assert abs(out[2]["ppl"] - round(math.exp(-avg2), 4)) < 1e-9
+    assert out[0]["avg_logp"] == out[1]["avg_logp"]
+    # repeated fluent bigram scores better than the rarer one
+    assert out[0]["ppl"] < out[2]["ppl"]
+
+
+def test_lm_perplexity_empty_docs_absent_and_external_model(spark):
+    docs = spark.createDataFrame(
+        [(0, "x y z"), (1, "   "), (2, "")], "doc_id long, text string"
+    )
+    out = lm_perplexity(docs).collect()
+    assert {r["doc_id"] for r in out} == {0}
+
+    # scoring under an external model: unseen bigrams back off to +1 / V
+    import math
+
+    model = spark.createDataFrame([(10, "p q"), (11, "p q")], "doc_id long, text string")
+    scored = {r["doc_id"]: r for r in lm_perplexity(docs, model_docs=model).collect()}
+    # model: c(<s>,p)=2, c(p,q)=2; c(<s>)=2, c(p)=2; V={p,q}=2
+    # doc 0 bigrams (<s>,x),(x,y),(y,z) all unseen; contexts <s> seen, x/y unseen
+    lp_sx = math.log(1) - math.log(2 + 2)
+    lp_unseen = math.log(1) - math.log(0 + 2)
+    want = (lp_sx + 2 * lp_unseen) / 3
+    assert abs(scored[0]["avg_logp"] - round(want, 6)) < 1e-9

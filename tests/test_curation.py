@@ -159,3 +159,95 @@ def test_decontaminate_drops_exact_and_near_overlaps(spark):
     # doc itself only has 6 distinct 8-grams), so everything survives
     strict = decontaminate(docs, bench, n=8, min_hits=50)
     assert {r.doc_id for r in strict.collect()} == {0, 1, 2, 3}
+
+
+# ----------------------------------------------------------- line_dedup (r5)
+
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    from fdi_flow_spark.pipelines.curation import line_dedup
+
+    boiler = "this line is everywhere in the corpus"
+    rows = [
+        (0, f"{boiler}\nunique zero\nshort\nunique zero two"),
+        (1, f"unique one\n{boiler}"),
+        (2, f"{boiler}\nunique two"),
+        (3, "all original content here\nnothing shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, min_doc_freq=3, min_line_chars=10).collect()}
+    assert len(out) == 4  # total: every doc has a row
+    assert out[0]["n_removed"] == 1 and out[0]["n_lines"] == 4
+    assert out[1]["n_removed"] == 1 and out[2]["n_removed"] == 1
+    assert out[3]["n_removed"] == 0
+    import hashlib
+
+    # kept lines re-joined in original order ('short' survives: < 10 chars)
+    assert out[0]["clean_md5"] == hashlib.md5(
+        b"unique zero\nshort\nunique zero two"
+    ).hexdigest()
+    assert out[3]["clean_md5"] == hashlib.md5(
+        b"all original content here\nnothing shared"
+    ).hexdigest()
+
+
+def test_line_dedup_doc_fully_boilerplate_yields_empty_md5(spark):
+    from fdi_flow_spark.pipelines.curation import line_dedup
+
+    b = "repeated boilerplate line content"
+    rows = [(i, b) for i in range(3)] + [(9, f"real text content\n{b}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, min_doc_freq=3).collect()}
+    import hashlib
+
+    assert out[0]["clean_md5"] == hashlib.md5(b"").hexdigest()
+    assert out[0]["n_removed"] == 1
+    assert out[9]["n_removed"] == 1
+    assert out[9]["clean_md5"] == hashlib.md5(b"real text content").hexdigest()
+
+
+def test_line_dedup_doc_freq_is_distinct_docs(spark):
+    from fdi_flow_spark.pipelines.curation import line_dedup
+
+    # the same line 3x within ONE doc must not count as freq 3
+    ln = "appears three times in one doc"
+    df = spark.createDataFrame(
+        [(0, f"{ln}\n{ln}\n{ln}"), (1, "other text entirely")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df, min_doc_freq=3).collect()}
+    assert out[0]["n_removed"] == 0
+
+
+# ----------------------------------------------------------- source_mix (r5)
+
+
+def test_source_mix_budget_and_quota_shape(spark):
+    from fdi_flow_spark.pipelines.curation import source_mix
+
+    # 3 sources with sizes 160/90/40: sqrt-temperature quotas, capped at size
+    rows = [(i, f"t{i}", "a" if i < 160 else ("b" if i < 250 else "c")) for i in range(290)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = source_mix(df, budget=100, temperature=0.5, seed=42)
+    got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    import math
+
+    wsum = math.sqrt(160) + math.sqrt(90) + math.sqrt(40)
+    for src, n in [("a", 160), ("b", 90), ("c", 40)]:
+        assert got[src] == min(n, round(100 * math.sqrt(n) / wsum)), (src, got)
+    # deterministic under repartitioning
+    out2 = source_mix(df.repartition(17), budget=100, temperature=0.5, seed=42)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in out2.collect()
+    )
+
+
+def test_source_mix_quota_caps_at_source_size(spark):
+    from fdi_flow_spark.pipelines.curation import source_mix
+
+    # tiny source whose quota would exceed its size gets fully included
+    rows = [(i, f"t{i}", "big" if i < 200 else "tiny") for i in range(205)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = source_mix(df, budget=200, temperature=0.5)
+    got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert got["tiny"] == 5  # capped at n_source, not its raw quota
