@@ -80,13 +80,15 @@ def _assign(df: DataFrame, cent: np.ndarray, id_col: str, vec_col: str) -> DataF
     return out.select(id_col, vec_col, F.col("_n.cluster").alias("cluster"), F.col("_n.dist").alias("dist"))
 
 
-def _update_centroids(
-    assigned: DataFrame, cent: np.ndarray, vec_col: str
-) -> np.ndarray:
-    """One Lloyd update: per-partition partial (cluster, count, sum) rows,
-    reduced per cluster over the tiny partial table. Empty clusters keep
-    their previous centroid."""
+def _lloyd_step(df: DataFrame, cent: np.ndarray, vec_col: str) -> np.ndarray:
+    """One fused Lloyd iteration: a SINGLE ``mapInPandas`` pass assigns each
+    vector to its nearest centroid AND accumulates per-partition partial
+    (cluster, count, sum) rows; the reduce runs over the tiny
+    #partitions x k partial table. Empty clusters keep their previous
+    centroid. One Python/Arrow pass per iteration — the assignment is never
+    materialized as a column during training."""
     k, d = cent.shape
+    bc = df.sparkSession.sparkContext.broadcast(cent)
     part_schema = StructType(
         [
             StructField("cluster", LongType()),
@@ -96,24 +98,31 @@ def _update_centroids(
     )
 
     def partials(batches):
-        sums: dict[int, tuple[int, np.ndarray]] = {}
+        c = bc.value
+        cnt = np.zeros(k, dtype=np.int64)
+        sm = np.zeros((k, d))
         for pdf in batches:
+            if not len(pdf):
+                continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            cl = pdf["cluster"].to_numpy()
-            for c in np.unique(cl):
-                m = cl == c
-                n, s = sums.get(int(c), (0, np.zeros(d)))
-                sums[int(c)] = (n + int(m.sum()), s + x[m].sum(axis=0))
-        if sums:
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            cnt += np.bincount(a, minlength=k)
+            for j in range(k):
+                m = a == j
+                if m.any():
+                    sm[j] += x[m].sum(axis=0)
+        hit = np.nonzero(cnt)[0]
+        if len(hit):
             yield pd.DataFrame(
                 {
-                    "cluster": list(sums),
-                    "_n": [v[0] for v in sums.values()],
-                    "_s": [v[1].tolist() for v in sums.values()],
+                    "cluster": hit.astype(np.int64),
+                    "_n": cnt[hit],
+                    "_s": [sm[j].tolist() for j in hit],
                 }
             )
 
-    part = assigned.select("cluster", vec_col).mapInPandas(partials, part_schema)
+    part = df.select(vec_col).mapInPandas(partials, part_schema)
     rows = part.groupBy("cluster").agg(
         F.sum("_n").alias("n"),
         F.array(*[F.sum(F.col("_s")[i]) for i in range(d)]).alias("s"),
@@ -141,10 +150,16 @@ def kmeans_embeddings(
     if n_iter < 0:
         raise ValueError("n_iter must be >= 0")
     work = ensure_min_parallelism(df.select(id_col, vec_col), id_col)
-    cent = _collect_init_centroids(work, k, id_col, vec_col)
-    for _ in range(n_iter):
-        assigned = _assign(work, cent, id_col, vec_col)
-        cent = _update_centroids(assigned, cent, vec_col)
+    if n_iter > 0:  # training scans the data n_iter+1 times — cache it
+        work = work.persist()
+    try:
+        cent = _collect_init_centroids(work, k, id_col, vec_col)
+        for _ in range(n_iter):
+            cent = _lloyd_step(work, cent, vec_col)
+    finally:
+        if n_iter > 0:
+            # the final assignment below recomputes from source — one scan
+            work.unpersist(blocking=False)
     final = _assign(work, cent, id_col, vec_col)
     return final.select(
         F.col(id_col),
@@ -164,29 +179,57 @@ def semantic_dedup_pairs(
     """SemDeDup: k-means the embeddings, then emit every within-cluster pair
     with cosine similarity >= ``threshold`` (``id_a < id_b``).
 
-    The self-join key is the CLUSTER, so pair candidates are bounded by
-    cluster sizes instead of n^2; the cosine is a JVM ``zip_with`` +
-    ``aggregate`` fold over double-cast vectors (no Python in the pair
-    path). At 100 TB, k scales with the corpus (SemDeDup uses ~100k
-    clusters for web scale) precisely so the per-cluster blocks stay small.
+    The shuffle key is the CLUSTER, so pair candidates are bounded by
+    cluster sizes instead of n^2, and each cluster block evaluates as ONE
+    dense BLAS gemm inside ``applyInPandas`` (the same normalized-matmul
+    kernel as ``cosine_near_dup_pairs``) — only above-threshold pairs are
+    ever materialized. At 100 TB, k scales with the corpus (SemDeDup uses
+    ~100k clusters for web scale) precisely so the per-cluster blocks stay
+    gemm-sized AND the cluster count keeps every executor busy.
     """
     assign = kmeans_embeddings(df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     vecs = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     ).join(assign.select(F.col(id_col).alias("_id"), "cluster"), "_id")
 
-    a = vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "cluster")
-    b = vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "cluster")
-    dot = F.aggregate(
-        F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    thr = float(threshold)
+    schema = StructType(
+        [
+            StructField("cluster", LongType()),
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
-    )
-    cos = dot / (norm(F.col("_va")) * norm(F.col("_vb")))
-    return (
-        a.join(b, "cluster")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("cluster", "id_a", "id_b", F.round(cos, 6).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
-    )
+
+    def pairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order].astype(np.int64)
+        X = np.stack(pdf["_v"].to_numpy()[order]).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        n = len(ids)
+        out_a, out_b, out_c = [], [], []
+        B = 4096  # row-blocked gemm: memory stays O(B * cluster_size)
+        col = np.arange(n)
+        for s in range(0, n, B):
+            S = Xn[s : s + B] @ Xn.T
+            row = np.arange(s, s + S.shape[0])
+            mask = (S >= thr) & (row[:, None] < col[None, :])
+            i, j = np.nonzero(mask)
+            out_a.append(ids[row[i]])
+            out_b.append(ids[j])
+            out_c.append(S[i, j])
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        c = np.concatenate(out_c) if out_c else np.array([])
+        return pd.DataFrame(
+            {
+                "cluster": np.full(len(a), int(pdf["cluster"].iloc[0]), dtype=np.int64),
+                "id_a": a,
+                "id_b": b,
+                "cosine": np.round(c, 6),
+            }
+        )
+
+    return vecs.groupBy("cluster").applyInPandas(pairs_fn, schema)

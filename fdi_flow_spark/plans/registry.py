@@ -2898,7 +2898,7 @@ def q_embedding_kmeans(spark, sf_dir):
     FROM a_final a JOIN a_final b ON a.cl = b.cl AND a.vec_id < b.vec_id
     JOIN e ea ON ea.vec_id = a.vec_id
     JOIN e eb ON eb.vec_id = b.vec_id
-    WHERE ROUND(LIST_COSINE_SIMILARITY(ea.v, eb.v), 6) >= 0.4
+    WHERE LIST_COSINE_SIMILARITY(ea.v, eb.v) >= 0.4
     """,
 )
 def q_semantic_dedup(spark, sf_dir):
