@@ -89,6 +89,31 @@ def main() -> None:
         "| repetitive docs flagged:", rep.count(),
     )
 
+    # 4c. LM-perplexity quality filtering + C4-style boilerplate line
+    # removal + temperature source mixing — the round-5 curation surface.
+    from fdi_flow_spark.pipelines.curation import line_dedup, source_mix
+    from fdi_flow_spark.pipelines.lm import lm_perplexity
+
+    ppl = lm_perplexity(docs)  # self-scored bigram LM
+    fluent = ppl.approxQuantile("ppl", [0.9], 0.01)[0]
+    mixed = source_mix(docs, budget=200, temperature=0.5)
+    cleaned = line_dedup(docs, min_doc_freq=3)
+    print(
+        "P90 perplexity:", round(fluent, 1),
+        "| mixed sample:", mixed.count(),
+        "| docs with boilerplate removed:", cleaned.where("n_removed > 0").count(),
+    )
+
+    # 4d. SemDeDup: deterministic Lloyd k-means, then near-dup pairs only
+    # WITHIN clusters — the candidate space is bounded by cluster blocks.
+    from fdi_flow_spark.pipelines.clustering import kmeans_embeddings, semantic_dedup_pairs
+
+    emb_tbl = load_table(spark, SF, "embeddings")
+    km = kmeans_embeddings(emb_tbl, k=8, n_iter=2)
+    sem = semantic_dedup_pairs(emb_tbl, k=8, n_iter=2, threshold=0.4)
+    print("k-means cluster sizes:", sorted(r["count"] for r in km.groupBy("cluster").count().collect()),
+          "| semantic near-dup pairs:", sem.count())
+
     # 5. Similarity search with a persisted IVF index.
     import tempfile
 

@@ -22,6 +22,11 @@ def ensure_min_parallelism(df: DataFrame, *cols: str) -> DataFrame:
     current partition count is lower. Optional ``cols`` hash-partition by key
     (lets a later groupBy on the same key reuse the exchange); otherwise
     round-robin."""
+    if df.isStreaming:
+        # no .rdd on a stream; micro-batch parallelism is the source's
+        # (maxFilesPerTrigger / partition count), repartitioning adds a
+        # per-batch shuffle for nothing
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

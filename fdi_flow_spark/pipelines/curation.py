@@ -177,8 +177,9 @@ def line_dedup(
     aggregate; re-group per doc), both shuffles map-side combinable; the
     boilerplate join carries 8-byte ``xxhash64`` keys, never line strings.
     The boilerplate table is usually tiny relative to the corpus but is
-    NOT provably so — the join defaults to shuffle-hash, with
-    ``broadcast_boilerplate=True`` as the bench-scale opt-in.
+    NOT provably so — with no hint Catalyst's size estimate decides
+    (broadcast while small, shuffle join beyond the threshold);
+    ``broadcast_boilerplate=True`` forces the broadcast regardless.
     """
     lines = (
         ensure_min_parallelism(df, id_col)

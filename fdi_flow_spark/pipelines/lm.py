@@ -14,9 +14,11 @@ Design at 100 TB:
   map-side combinable); context counts and the vocabulary size derive from
   the much smaller count table, never from a second corpus scan.
 - Scoring re-derives the bigram stream and joins it against the counts.
-  Both joins default to shuffle-hash (scale-safe: a web-scale vocabulary's
-  count table can be too big to broadcast); ``broadcast_model=True`` is the
-  bench-scale opt-in.
+  With no hint, Catalyst's size estimates pick broadcast joins at bench
+  scale and degrade to shuffle joins once the count tables outgrow
+  ``autoBroadcastJoinThreshold`` (a web-scale vocabulary's count table can
+  be too big to broadcast); ``broadcast_model=True`` forces the broadcast
+  regardless. Both regimes are plan-shape-tested.
 - Everything is JVM expressions + joins — no Python in the row path, and
   the whole pipeline is one Catalyst plan (lazy), so filter/column pruning
   reach the parquet scan.

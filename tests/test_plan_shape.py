@@ -227,3 +227,70 @@ def test_multimodal_codec_pipeline_single_fanout_shuffle(spark):
         assert plan.count("Exchange") <= 1, f"{name} extra shuffles:\n{plan}"
         assert "hashpartitioning(doc_id" in plan or "RoundRobinPartitioning" in plan, plan
         assert plan.count("MapInPandas") <= 2, plan
+
+
+def test_lm_perplexity_row_path_is_jvm(spark):
+    """The LM scorer must keep the row path JVM-side: no Python eval nodes
+    anywhere (scoring is expressions + joins), and the scalar vocabulary
+    must arrive via a broadcast Exchange, never a per-row subquery."""
+    from fdi_flow_spark.pipelines.lm import lm_perplexity
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(lm_perplexity(docs), "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_lm_perplexity_broadcast_model_opt_in(spark):
+    """Default = NO hint: Catalyst's size estimate picks broadcast at bench
+    scale and falls back to shuffle joins when the count tables outgrow the
+    threshold (simulated here with threshold=-1). The opt-in flag forces
+    broadcast regardless."""
+    from fdi_flow_spark.pipelines.lm import lm_perplexity
+
+    docs = load_table(spark, SF, "documents")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # big-table regime: the scoring joins must degrade to shuffle joins;
+        # only the 1-row vocabulary scalar stays broadcast (explicit hint)
+        default_plan = _plan(lm_perplexity(docs), "simple")
+        assert default_plan.count("BroadcastExchange") == 1, default_plan
+        opt = _plan(lm_perplexity(docs, broadcast_model=True), "simple")
+        assert opt.count("BroadcastExchange") == 3, opt
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_line_dedup_joins_on_hashed_lines(spark):
+    """The boilerplate join must carry 8-byte xxhash64 keys, not line
+    strings; with no hint Catalyst decides from stats (shuffle join once
+    the boilerplate table outgrows the threshold), and the flag forces
+    broadcast."""
+    from fdi_flow_spark.pipelines.curation import line_dedup
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(line_dedup(docs), "formatted")
+    assert "xxhash64" in plan, plan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        simple = _plan(line_dedup(docs), "simple")
+        assert "BroadcastExchange" not in simple, simple
+        opt = _plan(line_dedup(docs, broadcast_boilerplate=True), "simple")
+        assert "BroadcastExchange" in opt, opt
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_source_mix_single_window_over_data(spark):
+    """Quota computation must stay on the tiny per-source aggregate
+    (broadcast back); the data itself sees exactly one window shuffle."""
+    from fdi_flow_spark.pipelines.curation import source_mix
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(source_mix(docs, budget=100), "simple")
+    assert "BroadcastExchange" in plan, plan  # quotas join, not data-sized
+    # one hashpartitioning Exchange on source for the rank window; the
+    # quota aggregate adds its own tiny pre-broadcast exchanges only
+    assert plan.count("Window") == 1, plan

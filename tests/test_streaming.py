@@ -369,3 +369,52 @@ def test_streaming_image_features_equals_batch(spark):
             np.testing.assert_allclose(g, w)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_lm_scoring_equals_batch(spark):
+    """The production LM deployment shape: the bigram model is trained
+    OFFLINE (static model_docs); arriving documents are scored by a
+    stream-static join + per-doc aggregation. Scores must equal batch."""
+    import shutil
+    import tempfile
+
+    from fdi_flow_spark.pipelines.lm import lm_perplexity
+
+    model_rows = [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(5)]
+    model_rows += [(200 + i, "pack my box with five dozen liquor jugs") for i in range(5)]
+    model = spark.createDataFrame(model_rows, "doc_id long, text string")
+
+    score_rows = [
+        (0, "the quick brown fox"),
+        (1, "pack my box with jugs"),
+        (2, "completely novel text here"),
+        (3, "the lazy dog jumps"),
+    ]
+    batch = spark.createDataFrame(score_rows, "doc_id long, text string")
+    d = tempfile.mkdtemp(prefix="fdi_lm_stream_")
+    try:
+        batch.where("doc_id < 2").coalesce(1).write.mode("append").parquet(d)
+        batch.where("doc_id >= 2").coalesce(1).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            lm_perplexity(stream, model_docs=model)
+            .writeStream.format("memory")
+            .queryName("lm_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.table("lm_sink").collect())
+        expect = sorted(
+            tuple(r) for r in lm_perplexity(batch, model_docs=model).collect()
+        )
+        assert got == expect
+        assert len(got) == 4
+        spark.catalog.dropTempView("lm_sink")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
