@@ -56,9 +56,9 @@ ROWS_ONLY = sorted(set(entry_mod.queries()) - set(ORACLE_NAMES))
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_parity(spark, ddb, name):
     q = entry_mod.queries()[name]
-    sdf = q(spark, SF_DIR)
-    spark_cols = sdf.columns
-    spark_rows = [(spark_cols, tuple(r)) for r in sdf.collect()]
+    sdf_frame = q(spark, SF_DIR)
+    spark_cols = sdf_frame.columns
+    spark_rows = [(spark_cols, tuple(r)) for r in sdf_frame.collect()]
 
     res = ddb.execute(entry_mod.oracle_sql()[name])
     duck_cols = [d[0] for d in res.description]
@@ -67,6 +67,18 @@ def test_oracle_parity(spark, ddb, name):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column names differ: {spark_cols} vs {duck_cols}"
     )
+    # The driver's value hash is TYPE-sensitive (the r4 token_pack miss: a
+    # DuckDB HUGEINT window sum reached pandas as a different dtype than
+    # Spark's bigint while every VALUE matched). Rehearse that too: the
+    # pandas dtype of each column must agree exactly.
+    spandas = sdf_frame.toPandas()
+    dpandas = ddb.execute(entry_mod.oracle_sql()[name]).df()
+    for c in spark_cols:
+        assert str(spandas[c].dtype) == str(dpandas[c].dtype), (
+            f"{name}.{c}: dtype {spandas[c].dtype} vs oracle {dpandas[c].dtype} "
+            "— cast the oracle (or the query) so the driver's type-sensitive "
+            "hash cannot diverge on equal values"
+        )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
     )
