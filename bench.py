@@ -111,6 +111,9 @@ BENCH_QUERIES = [
     "source_mix",
     "embedding_kmeans",
     "semantic_dedup",
+    "bm25_search",
+    "embedding_quantize",
+    "cosine_topk_q8",
 ]
 
 

@@ -8,6 +8,10 @@ from fdi_flow_spark.pipelines.curation import (
     token_pack,
 )
 from fdi_flow_spark.pipelines.lm import lm_perplexity
+from fdi_flow_spark.pipelines.quantization import (
+    cosine_topk_quantized,
+    quantize_embeddings,
+)
 from fdi_flow_spark.pipelines.dedup import (
     dedup_components,
     exact_dedup,
@@ -50,4 +54,6 @@ __all__ = [
     "line_dedup",
     "source_mix",
     "lm_perplexity",
+    "quantize_embeddings",
+    "cosine_topk_quantized",
 ]

@@ -232,3 +232,70 @@ def repetition_scores(
         F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
         F.coalesce("dup_bigram_frac", F.lit(0.0)).alias("dup_bigram_frac"),
     )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranking of documents against a literal term list (Robertson/
+    Sparck Jones idf with the Lucene +1 floor) — the retrieval primitive a
+    curation pipeline uses to mine domain-relevant documents.
+
+    Score per doc: ``sum_t idf_t * tf_t * (k1+1) / (tf_t + k1*(1 - b +
+    b*dl/avgdl))`` with ``idf = ln((N - df + 0.5)/(df + 0.5) + 1)``.
+
+    Shape: for a literal query the term frequencies are pure projections
+    (one array-filter per term — no explode, no inverted index, no
+    shuffle of the token stream); N/avgdl/df are ONE tiny aggregate row
+    broadcast back; the top-n is a distributed TakeOrdered, never a global
+    sort. Ranks order by the ROUNDED score (ties by id) so the oracle's
+    rank boundary agrees bit-for-bit. Output:
+    ``(doc_id, doc_len, bm25, rank)``.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    docs = ensure_min_parallelism(docs, id_col)
+    toks = _tokens(F.lower(F.col(text_col)))
+
+    def _tf(word: str):
+        # single-arg lambda: a 2-arg lambda would be read as (element, index)
+        lit = F.lit(word)
+        return F.size(F.filter(toks, lambda t: t == lit))
+
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        *[_tf(w).alias(f"_tf{i}") for i, w in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count("*").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("bigint")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("_n") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5) + 1.0
+        )
+        tf = F.col(f"_tf{i}")
+        denom = tf + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+        score = score + idf * tf * (k1 + 1.0) / denom
+    ranked = j.select(
+        F.col(id_col),
+        F.col("_dl").cast("bigint").alias("doc_len"),
+        F.round(score, 6).alias("bm25"),
+    ).orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(top_n)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("bigint"))

@@ -2911,6 +2911,124 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ("hash", "join", "vector")
+
+
+def _bm25_oracle_sql(terms, k1=1.2, b=0.75, top_n=20) -> str:
+    tok = "LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'), t -> LENGTH(t) > 0)"
+    tfs = ",\n             ".join(
+        f"LEN(LIST_FILTER({tok}, t -> t = '{w}')) AS tf{i}" for i, w in enumerate(terms)
+    )
+    dfs = ",\n             ".join(
+        f"CAST(COUNT(*) FILTER (WHERE tf{i} > 0) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    # mirror the Spark expression tree exactly: ((n - df) + 0.5)/(df + 0.5)+1,
+    # ((idf*tf)*(k1+1))/(tf + k1*((1-b) + (b*dl)/avgdl)), summed in term order
+    score = "\n           + ".join(
+        f"LN((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0) * tf{i} * {k1 + 1.0!r} "
+        f"/ (tf{i} + {k1!r} * ({1.0 - b!r} + ({b!r} * dl) / avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             LEN({tok}) AS dl,
+             {tfs}
+      FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl,
+             {dfs}
+      FROM base),
+    scored AS (
+      SELECT doc_id, CAST(dl AS BIGINT) AS doc_len,
+           ROUND(0.0
+           + {score}, 6) AS bm25
+      FROM base, stats)
+    SELECT doc_id, doc_len, bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+    FROM scored ORDER BY bm25 DESC, doc_id LIMIT {top_n}
+    """
+
+
+@register("bm25_search", _bm25_oracle_sql(_BM25_TERMS))
+def q_bm25_search(spark, sf_dir):
+    """BM25 retrieval for a literal 3-term query: per-term tf as pure
+    projections (no explode, no inverted index), one broadcast stats row,
+    distributed TakeOrdered top-20."""
+    from fdi_flow_spark.pipelines.text import bm25_rank
+
+    return bm25_rank(load_table(spark, sf_dir, "documents"), list(_BM25_TERMS), top_n=20)
+
+
+_QUANTIZE_CTE = """
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qs AS (SELECT vec_id, v,
+                  LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) / 127.0 AS scale
+           FROM e),
+    qv AS (SELECT vec_id, scale,
+                  CASE WHEN scale = 0 THEN LIST_TRANSFORM(v, x -> 0.0)
+                       ELSE LIST_TRANSFORM(v, x -> FLOOR(x / scale + 0.5)) END AS q
+           FROM qs)
+"""
+
+
+@register(
+    "embedding_quantize",
+    f"""
+    WITH {_QUANTIZE_CTE}
+    SELECT vec_id, gs.i AS dim, CAST(q[gs.i] AS BIGINT) AS q_val, scale
+    FROM qv, GENERATE_SERIES(1, 64) gs(i)
+    """,
+)
+def q_embedding_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 quantization, flattened to (vec_id, dim,
+    q_val, scale) rows. floor(x/scale + 0.5) is engine-independent, so the
+    oracle needs NO rounding tolerance — exact equality."""
+    from fdi_flow_spark.pipelines.quantization import quantize_embeddings
+
+    q = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", F.posexplode("q").alias("_p", "q_val"), "scale"
+    ).select(
+        "vec_id",
+        (F.col("_p") + 1).cast("bigint").alias("dim"),
+        F.col("q_val").cast("bigint").alias("q_val"),
+        "scale",
+    )
+
+
+@register(
+    "cosine_topk_q8",
+    f"""
+    WITH {_QUANTIZE_CTE},
+    q AS (SELECT vec_id AS query_id, q AS qq FROM qv WHERE vec_id % 25 = 0),
+    c AS (SELECT vec_id AS neighbor_id, q AS cq FROM qv),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             LIST_INNER_PRODUCT(q.qq, c.cq) /
+             (GREATEST(SQRT(LIST_INNER_PRODUCT(c.cq, c.cq)), 1e-12) *
+              GREATEST(SQRT(LIST_INNER_PRODUCT(q.qq, q.qq)), 1e-12)) AS cos
+      FROM q, c WHERE q.query_id <> c.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           ROUND(cos, 6) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_cosine_topk_q8(spark, sf_dir):
+    """Quantized-cosine top-5 for the same query set as ``cosine_topk``.
+    Integer dots are exact under any summation order, so ranks (not just
+    rounded scores) are bit-deterministic across engines."""
+    from fdi_flow_spark.pipelines.quantization import cosine_topk_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_quantized(emb.where(F.col("vec_id") % 25 == 0), emb, k=5)
+
+
 # ------------------------------------------------------------ registry order
 # The correctness driver checks the FIRST 50 registered queries. Since r4
 # all 50 slots are oracle-backed AND kernel-diverse: every observer replay
@@ -2943,11 +3061,13 @@ _WINDOW_PRIORITY = [
     "dedup_exact", "dedup_components", "ngram_jaccard_pairs", "minhash_dedup_pairs",
     "simhash_fingerprints", "document_fingerprint",
     "cosine_topk", "knn_classify", "embedding_near_dup",
-    "multimodal_image_features", "token_counts", "text_quality", "language_id",
-    "corpus_hash_split", "quota_sample", "pii_redact",
+    "multimodal_image_features", "token_counts", "language_id",
+    "quota_sample", "pii_redact",
     "token_pack", "curation_pipeline",
-    # r5: LM scoring, boilerplate line dedup, deterministic Lloyd, SemDeDup
+    # r5: LM scoring, boilerplate line dedup, deterministic Lloyd, SemDeDup,
+    # BM25 retrieval, int8 quantization
     "lm_perplexity", "line_dedup", "embedding_kmeans", "semantic_dedup",
+    "bm25_search", "embedding_quantize",
 ]
 
 
@@ -3001,6 +3121,15 @@ _WINDOW_EXCLUDED_ORACLES = {
     "source_mix",   # temperature quotas over the in-window quota_sample's
                     # hash-order window kernel; the new part (tiny sqrt-share
                     # aggregate) is pytest-hash-checked every run
+    "text_quality",      # pure-projection token-stats kernel, same family as
+                         # in-window token_counts — swapped for bm25_search (r5)
+    "corpus_hash_split",  # md5-bucket projection; the same _hash_bucket kernel
+                          # stays in-window via quota_sample/token_pack ordering
+                          # — swapped for embedding_quantize (r5)
+    "cosine_topk_q8",    # same rank/top-k window kernel as in-window
+                         # cosine_topk, over quantized vectors — the
+                         # quantization step itself is in-window via
+                         # embedding_quantize
 }
 
 

@@ -124,3 +124,75 @@ def test_lm_perplexity_empty_docs_absent_and_external_model(spark):
     lp_unseen = math.log(1) - math.log(0 + 2)
     want = (lp_sx + 2 * lp_unseen) / 3
     assert abs(scored[0]["avg_logp"] - round(want, 6)) < 1e-9
+
+
+# --------------------------------------------------- quantization/BM25 (r5)
+
+
+def test_quantize_embeddings_bounds_and_roundtrip(spark):
+    from fdi_flow_spark.pipelines.quantization import quantize_embeddings
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(v) for v in rng.normal(0, 2, 16)]) for i in range(50)]
+    rows.append((50, [0.0] * 16))  # zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for i, vec in rows:
+        q, scale = np.array(out[i]["q"]), out[i]["scale"]
+        assert np.abs(q).max() <= 127
+        x = np.array(np.array(vec, dtype=np.float32), dtype=np.float64)
+        if i == 50:
+            assert scale == 0.0 and (q == 0).all()
+        else:
+            # reconstruction error bounded by half a quantization step
+            assert np.abs(q * scale - x).max() <= scale / 2 + 1e-12
+            # the max-|x| element hits full scale
+            assert np.abs(q).max() == 127
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """SQ8 cosine top-k must stay close to the float top-k on real
+    embeddings: recall@5 >= 0.9 at sf0.001."""
+    from fdi_flow_spark.pipelines.quantization import cosine_topk_quantized
+    from fdi_flow_spark.pipelines.similarity import cosine_topk_bruteforce
+    from fdi_flow_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.where(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk_bruteforce(qs, emb, k=5).toPandas()
+    quant = cosine_topk_quantized(qs, emb, k=5).toPandas()
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    g = quant.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [len(e[q] & g[q]) / 5 for q in e.index]
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_bm25_hand_computed(spark):
+    import math
+
+    from fdi_flow_spark.pipelines.text import bm25_rank
+
+    docs = spark.createDataFrame(
+        [(0, "cat dog cat"), (1, "dog bird"), (2, "fish fish fish fish")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bm25_rank(docs, ["cat"], k1=1.2, b=0.75, top_n=3).collect()}
+    # N=3, df(cat)=1, avgdl=(3+2+4)/3=3; doc0: tf=2, dl=3
+    idf = math.log((3 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    s0 = idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3 / 3.0))
+    assert abs(out[0]["bm25"] - round(s0, 6)) < 1e-9
+    assert out[0]["rank"] == 1
+    assert out[1]["bm25"] == 0.0 and out[2]["bm25"] == 0.0
+    # zero-score ties break by doc_id
+    assert out[1]["rank"] == 2 and out[2]["rank"] == 3
+
+
+def test_bm25_requires_terms(spark):
+    from fdi_flow_spark.pipelines.text import bm25_rank
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        bm25_rank(docs, [])
