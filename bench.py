@@ -114,6 +114,9 @@ BENCH_QUERIES = [
     "bm25_search",
     "embedding_quantize",
     "cosine_topk_q8",
+    # r5b: exact span-level dedup
+    "span_dedup",
+    "duplicated_spans",
 ]
 
 

@@ -507,3 +507,159 @@ def dedup_components(
         F.col(id_col),
         F.coalesce("component_id", F.col(id_col)).alias("component_id"),
     )
+
+
+# ------------------------------------------------- exact span-level dedup
+
+
+def _token_windows(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """Per-position k-token windows as ``(id, start, h)`` with 1-based
+    ``start`` and ``h = xxhash64`` of the space-joined lowercase window.
+    One row per window occurrence (NOT distinct — span dedup counts every
+    occurrence, unlike the set-semantics shingles of ``_word_ngrams``)."""
+    docs = ensure_min_parallelism(docs, id_col)
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    wins = F.expr(
+        f"""
+        transform(sequence(1, size(_t) - {k} + 1),
+                  i -> struct(CAST(i AS BIGINT) AS start,
+                              xxhash64(array_join(slice(_t, i, {k}), ' ')) AS h))
+        """
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), toks.alias("_t"))
+        .where(F.size("_t") >= k)
+        .select("id", F.explode(wins).alias("_w"))
+        .select("id", F.col("_w.start").alias("start"), F.col("_w.h").alias("h"))
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated token spans — the detection half of exact
+    substring deduplication (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", at fixed k-token granularity instead of
+    suffix-array-exact arbitrary lengths).
+
+    A k-token window whose text occurs ``min_count`` or more times anywhere
+    in the corpus (same doc included) is *duplicated*; per document,
+    overlapping or exactly adjacent duplicated windows merge into maximal
+    spans. Output: one row per maximal span,
+    ``(doc_id, span_start, span_end, span_tokens, n_windows)`` with 1-based
+    inclusive token positions.
+
+    Scale shape: windows carry 8-byte xxhash64 keys (never window strings);
+    the duplicate filter is one map-side-combinable aggregate, the
+    occurrence join shuffles only hash keys, and the island merge is a lag
+    window over *duplicated* occurrences only — the non-duplicated bulk of
+    the corpus never reaches the per-doc sort."""
+    w = _token_windows(docs, id_col, text_col, k)
+    dup = (
+        w.groupBy("h")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("h")
+    )
+    occ = w.join(dup, "h").select("id", "start")
+    win = Window.partitionBy("id").orderBy("start")
+    isl = (
+        occ.withColumn("_prev", F.lag("start").over(win))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("start") > F.col("_prev") + k), 1
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(win))
+    )
+    return (
+        isl.groupBy("id", "_isl")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + F.lit(k - 1)).alias("span_end"),
+            F.count("*").cast("bigint").alias("n_windows"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_end").cast("bigint").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("bigint")
+            .alias("span_tokens"),
+            "n_windows",
+        )
+    )
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact span-level dedup with first-occurrence-wins semantics: every
+    token covered by a duplicated k-token window whose earliest (minimal
+    ``doc_id``) occurrence lives in ANOTHER document is dropped; the
+    owning document keeps all its occurrences (including its own internal
+    repeats — ownership is per window text, not per occurrence).
+
+    Output is total over documents with >= 1 token — one row per doc,
+    ``(doc_id, n_tokens, n_dropped, clean_md5)`` where ``clean_md5``
+    checksums the kept tokens re-joined with single spaces (the empty
+    string when everything was dropped), mirroring ``line_dedup``'s
+    reassembly contract.
+
+    Scale shape: three corpus scans (token stream, window aggregate,
+    occurrence join), all joins on 8-byte hashes; the covered-position
+    explode is k x (foreign duplicated occurrences) — proportional to the
+    duplicated portion of the corpus, not to the corpus."""
+    docs = ensure_min_parallelism(docs, id_col)
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    tokens = (
+        docs.select(F.col(id_col).alias("id"), toks.alias("_t"))
+        .where(F.size("_t") >= 1)
+        .select("id", F.posexplode("_t").alias("_p0", "tok"))
+        .select("id", (F.col("_p0") + 1).cast("bigint").alias("pos"), "tok")
+    )
+    w = _token_windows(docs, id_col, text_col, k)
+    stats = (
+        w.groupBy("h")
+        .agg(F.count("*").alias("_c"), F.min("id").alias("_owner"))
+        .where(F.col("_c") >= 2)
+        .select("h", "_owner")
+    )
+    foreign = w.join(stats, "h").where(F.col("id") > F.col("_owner")).select("id", "start")
+    covered = (
+        foreign.select(
+            "id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+        .withColumn("_cov", F.lit(True))
+    )
+    marked = tokens.join(covered, ["id", "pos"], "left").withColumn(
+        "_drop", F.coalesce(F.col("_cov"), F.lit(False))
+    )
+    kept = F.transform(
+        F.filter(
+            F.sort_array(F.collect_list(F.struct("pos", "_drop", "tok"))),
+            lambda s: ~s["_drop"],
+        ),
+        lambda s: s["tok"],
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("_drop").cast("bigint")).alias("n_dropped"),
+            F.md5(F.array_join(kept, " ")).alias("clean_md5"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "n_dropped", "clean_md5")
+    )

@@ -257,3 +257,103 @@ def test_dedup_components_no_docs_omits_singletons(spark):
     pdf = spark.createDataFrame([(4, 2)], "id_a int, id_b int")
     got = {r.doc_id: r.component_id for r in dedup_components(pdf).collect()}
     assert got == {2: 2, 4: 2}
+
+
+# ------------------------------------------------- exact span-level dedup
+
+
+def test_duplicated_spans_merge_and_counts(spark):
+    from fdi_flow_spark.pipelines.dedup import duplicated_spans
+
+    shared = "a b c d e f g h i"  # 9 tokens -> two overlapping 8-windows
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique1 tail1 here1"),
+            (2, "lead2 " + shared + " other2 words2"),
+            (3, "totally different text with no duplicated windows at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicated_spans(docs, k=8).collect()
+    by_doc = {r.doc_id: r for r in out}
+    assert set(by_doc) == {1, 2}  # doc 3 clean
+    # doc 1: shared at positions 1..9 -> starts {1, 2} merge into one span
+    assert (by_doc[1].span_start, by_doc[1].span_end, by_doc[1].n_windows) == (1, 9, 2)
+    assert by_doc[1].span_tokens == 9
+    # doc 2: shared starts at token 2 -> positions 2..10
+    assert (by_doc[2].span_start, by_doc[2].span_end) == (2, 10)
+
+
+def test_duplicated_spans_islands_split_on_gap(spark):
+    from fdi_flow_spark.pipelines.dedup import duplicated_spans
+
+    s1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    s2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    gap = "g1 g2 g3 g4 g5 g6 g7 g8 g9"
+    docs = spark.createDataFrame(
+        [
+            (1, s1 + " " + gap + " " + s2),
+            (2, s1 + " x1 x2 x3 x4 x5 x6 x7 x8 x9 " + s2),
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicated_spans(docs, k=8)
+    d1 = sorted(
+        out.where(F.col("doc_id") == 1).collect(), key=lambda r: r.span_start
+    )
+    # two separate 8-token spans (the 9-token gaps are unique per doc)
+    assert [(r.span_start, r.span_end) for r in d1] == [(1, 8), (18, 25)]
+
+
+def test_strip_duplicated_spans_first_occurrence_wins(spark):
+    import hashlib
+
+    from fdi_flow_spark.pipelines.dedup import strip_duplicated_spans
+
+    shared = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " keep1 keep2"),  # owner: nothing stripped
+            (2, "pre2 " + shared + " post2"),  # foreign copy stripped
+            (3, "all different words here nothing shared whatsoever ok fine"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in strip_duplicated_spans(docs, k=8).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_dropped == 0  # first occurrence kept
+    assert out[2].n_dropped == 8
+    assert out[3].n_dropped == 0
+    kept2 = "pre2 post2"
+    assert out[2].clean_md5 == hashlib.md5(kept2.encode()).hexdigest()
+    assert out[1].clean_md5 == hashlib.md5(
+        (shared + " keep1 keep2").encode()
+    ).hexdigest()
+
+
+def test_strip_duplicated_spans_owner_keeps_internal_repeats(spark):
+    from fdi_flow_spark.pipelines.dedup import strip_duplicated_spans
+
+    span = "r1 r2 r3 r4 r5 r6 r7 r8"
+    docs = spark.createDataFrame(
+        [
+            (5, span + " mid " + span),  # internal repeat, owner by min id
+            (9, "z0 " + span + " z1"),  # foreign -> stripped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in strip_duplicated_spans(docs, k=8).collect()}
+    assert out[5].n_dropped == 0  # ownership is per window text, not per occurrence
+    assert out[9].n_dropped == 8
+
+
+def test_strip_duplicated_spans_short_docs_pass_through(spark):
+    from fdi_flow_spark.pipelines.dedup import strip_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "only three tokens")],  # < k, never windowed
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in strip_duplicated_spans(docs, k=8).collect()}
+    assert out[1].n_dropped == 0 and out[2].n_dropped == 0
+    assert out[1].n_tokens == 3
