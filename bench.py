@@ -114,9 +114,11 @@ BENCH_QUERIES = [
     "bm25_search",
     "embedding_quantize",
     "cosine_topk_q8",
-    # r5b: exact span-level dedup
+    # r5b: exact span-level dedup, DSIR importance selection
     "span_dedup",
     "duplicated_spans",
+    "dsir_weights",
+    "dsir_select",
 ]
 
 

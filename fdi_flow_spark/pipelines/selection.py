@@ -1,0 +1,142 @@
+"""Data selection for LM pretraining — DSIR-style hashed n-gram importance
+weighting (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling").
+
+No reference twin — this belongs to the driver-mandated LLM-pipeline
+extension surface (SURVEY §2.9), alongside the perplexity filter in
+``pipelines/lm.py``. Where ``lm_perplexity`` scores fluency under one
+corpus, DSIR scores *distribution match*: how much more likely a document's
+hashed bag-of-n-grams is under a trusted TARGET corpus than under the RAW
+pool it came from. Selection = keep the highest-ratio documents.
+
+Design at 100 TB:
+
+- Features are word unigrams + bigrams hashed into ``buckets`` slots with
+  the md5-bridge hash shared with the DuckDB oracle — the model is two
+  ``buckets``-row count tables, NEVER a vocabulary-sized structure, so the
+  model side of every join is broadcastable by construction at any corpus
+  size (DSIR's core trick).
+- One gram scan of the target corpus (count aggregate) and two of the raw
+  corpus (count aggregate + scoring join), all map-side combinable; totals
+  derive from the count tables, never from another corpus scan.
+- The scoring join is gram-stream x ``buckets`` rows: Catalyst broadcasts
+  the model at any realistic ``buckets``; everything is JVM expressions,
+  no Python in the row path.
+- Selection (``dsir_select``) is a global top-n on the scored table —
+  TakeOrdered, never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from fdi_flow_spark.core.partitioning import ensure_min_parallelism
+from fdi_flow_spark.pipelines.curation import _hash_bucket
+
+
+def _gram_stream(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-occurrence lowercase word unigrams + bigrams: ``(id, gram)``.
+    Occurrence-weighted (not distinct) — DSIR's product over feature
+    occurrences, like the LM bigram stream and unlike the dedup shingles."""
+    docs = ensure_min_parallelism(docs, id_col)
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    bigrams = F.expr(
+        """
+        transform(sequence(1, size(_t) - 1),
+                  i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))
+        """
+    )
+    grams = F.when(F.size("_t") >= 2, F.concat(F.col("_t"), bigrams)).otherwise(
+        F.col("_t")
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), toks.alias("_t"))
+        .where(F.size("_t") >= 1)
+        .select("id", F.explode(grams).alias("gram"))
+    )
+
+
+def dsir_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    buckets: int = 1024,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Per-document DSIR log importance weight.
+
+    Bucket ``b`` gets Laplace-smoothed probabilities under each corpus,
+    ``p(b) = (count_b + 1) / (N + buckets)``; a document's log weight is
+    the sum over its gram OCCURRENCES of ``ln p_target(b) - ln p_raw(b)``
+    — the log of the importance ratio under the hashed bag-of-n-grams
+    model. Output is total over docs with >= 1 token:
+    ``(doc_id, n_grams, log_weight)`` with ``log_weight`` rounded to 6 dp
+    for cross-engine hash parity.
+
+    ``broadcast_model=True`` forces the model-side broadcast; by default
+    Catalyst's size estimate decides (the model is ``buckets`` rows, so it
+    broadcasts in practice)."""
+    raw_g = _gram_stream(raw_docs, id_col, text_col).withColumn(
+        "b", _hash_bucket(F.col("gram"), seed, buckets)
+    )
+    tgt_g = _gram_stream(target_docs, id_col, text_col).withColumn(
+        "b", _hash_bucket(F.col("gram"), seed, buckets)
+    )
+    raw_c = raw_g.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt_c = tgt_g.groupBy("b").agg(F.count("*").alias("ct"))
+    raw_n = raw_c.agg(F.sum("cr").alias("nr"))
+    tgt_n = tgt_c.agg(F.sum("ct").alias("nt"))
+    model = (
+        raw_c.join(tgt_c, "b", "full_outer")
+        .crossJoin(raw_n)
+        .crossJoin(tgt_n)
+        .select(
+            "b",
+            (
+                F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                - F.log(F.col("nt") + buckets)
+                - F.log(F.coalesce(F.col("cr"), F.lit(0)) + 1)
+                + F.log(F.col("nr") + buckets)
+            ).alias("logr"),
+        )
+    )
+    if broadcast_model:
+        model = F.broadcast(model)
+    return (
+        raw_g.join(model, "b")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.round(F.sum("logr"), 6).alias("log_weight"),
+        )
+        .select(F.col("id").alias(id_col), "n_grams", "log_weight")
+    )
+
+
+def dsir_select(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    n: int,
+    buckets: int = 1024,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Deterministic DSIR selection: the ``n`` documents whose hashed
+    n-gram distribution best matches the target corpus, ordered by
+    ``(log_weight DESC, doc_id ASC)`` — a global top-n (TakeOrdered), never
+    a full sort. (The paper resamples with Gumbel noise; the deterministic
+    top-n variant keeps reruns and the oracle bit-identical.)"""
+    w = dsir_weights(
+        raw_docs,
+        target_docs,
+        buckets=buckets,
+        seed=seed,
+        id_col=id_col,
+        text_col=text_col,
+        broadcast_model=broadcast_model,
+    )
+    return w.orderBy(F.col("log_weight").desc(), F.col(id_col).asc()).limit(n)

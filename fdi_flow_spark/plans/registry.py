@@ -3117,6 +3117,76 @@ def q_duplicated_spans(spark, sf_dir):
     return duplicated_spans(load_table(spark, sf_dir, "documents"), k=8)
 
 
+_DSIR_CTE = """
+    toks AS (
+      SELECT doc_id, source,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'),
+                         t -> LENGTH(t) > 0) AS tk
+      FROM documents),
+    g AS (
+      SELECT doc_id, source,
+             UNNEST(LIST_CONCAT(tk,
+               CASE WHEN LEN(tk) >= 2
+                    THEN LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 1),
+                                        i -> tk[i] || ' ' || tk[i + 1])
+                    ELSE CAST([] AS VARCHAR[]) END)) AS gram
+      FROM toks WHERE LEN(tk) >= 1),
+    gb AS (SELECT doc_id, source,
+                  ('0x' || SUBSTR(MD5('7:' || gram), 1, 8))::BIGINT % 1024 AS b
+           FROM g),
+    rc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM gb GROUP BY b),
+    tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM gb
+           WHERE source = 'src0' GROUP BY b),
+    nr AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr FROM rc),
+    nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt FROM tc),
+    model AS (
+      SELECT rc.b,
+             LN(COALESCE(tc.ct, 0) + 1) - LN(nt.nt + 1024)
+             - LN(rc.cr + 1) + LN(nr.nr + 1024) AS logr
+      FROM rc LEFT JOIN tc USING (b) CROSS JOIN nr CROSS JOIN nt),
+    scored AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             ROUND(SUM(logr), 6) AS log_weight
+      FROM gb JOIN model USING (b) GROUP BY doc_id)
+"""
+
+
+@register(
+    "dsir_weights",
+    f"""
+    WITH {_DSIR_CTE}
+    SELECT doc_id, n_grams, log_weight FROM scored
+    """,
+)
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-ngram importance weights (Xie et al. 2023): how much
+    more likely each document's hashed unigram+bigram bag is under the
+    'src0' target slice than under the whole pool. The model is two
+    1024-row count tables — broadcastable at any corpus size."""
+    from fdi_flow_spark.pipelines.selection import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.where(F.col("source") == "src0"))
+
+
+@register(
+    "dsir_select",
+    f"""
+    WITH {_DSIR_CTE}
+    SELECT doc_id, n_grams, log_weight FROM scored
+    ORDER BY log_weight DESC, doc_id ASC LIMIT 100
+    """,
+)
+def q_dsir_select(spark, sf_dir):
+    """Deterministic DSIR top-100 selection toward the 'src0' target —
+    TakeOrdered over the rounded weights with a doc_id tie-break, so the
+    kept set is bit-identical across engines and reruns."""
+    from fdi_flow_spark.pipelines.selection import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(docs, docs.where(F.col("source") == "src0"), n=100)
+
+
 # ------------------------------------------------------------ registry order
 # The correctness driver checks the FIRST 50 registered queries. Since r4
 # all 50 slots are oracle-backed AND kernel-diverse: every observer replay
@@ -3139,7 +3209,7 @@ _WINDOW_PRIORITY = [
     "moving_average_valid", "median_filter_edge",
     "standard_scaler",
     "ewma_closed_form", "failure_encoder",
-    "segment_windows", "supervised_windows", "forecast_prep",
+    "segment_windows", "forecast_prep",
     "resample_linear", "asof_join_purchase",
     "kalman1d_filter",
     # model / observer event streams
@@ -3157,7 +3227,8 @@ _WINDOW_PRIORITY = [
     "lm_perplexity", "line_dedup", "embedding_kmeans", "semantic_dedup",
     "bm25_search", "embedding_quantize",
     # r5b: exact span-level dedup (first-occurrence-wins strip, total output)
-    "span_dedup",
+    # and DSIR hashed-ngram importance weighting
+    "span_dedup", "dsir_weights",
 ]
 
 
@@ -3227,6 +3298,12 @@ _WINDOW_EXCLUDED_ORACLES = {
     "duplicated_spans",  # same _token_windows + duplicate-aggregate kernel
                          # as in-window span_dedup; the island merge is
                          # pytest-hash-checked every run
+    "supervised_windows",  # same sequence+explode windowing kernel as
+                           # in-window segment_windows, and in-window
+                           # forecast_prep runs the identical supervised-
+                           # window stage — swapped for dsir_weights (r5b)
+    "dsir_select",  # top-n over the in-window dsir_weights table; the
+                    # TakeOrdered kernel stays in-window via q3_top_orders
 }
 
 
