@@ -114,11 +114,13 @@ BENCH_QUERIES = [
     "bm25_search",
     "embedding_quantize",
     "cosine_topk_q8",
-    # r5b: exact span-level dedup, DSIR importance selection
+    # r5b: exact span-level dedup, DSIR importance selection, PQ / ADC
     "span_dedup",
     "duplicated_spans",
     "dsir_weights",
     "dsir_select",
+    "pq_encode",
+    "cosine_topk_pq",
 ]
 
 

@@ -17,7 +17,16 @@ reproduces the whole pipeline exactly, no rounding tolerance needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from fdi_flow_spark.core.partitioning import ensure_min_parallelism
 
@@ -67,4 +76,268 @@ def cosine_topk_quantized(
 
     return cosine_topk_bruteforce(
         as_dq(queries), as_dq(candidates), k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
+# ------------------------------------------------- product quantization
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    ks: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks (Jegou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search"): split the ``d`` dims into ``m`` contiguous
+    subspaces and run the deterministic Lloyd from
+    ``pipelines.clustering`` independently in each — init is the ``ks``
+    smallest ids' subvectors, so training is reproducible on any
+    partitioning. Returns ``(m, ks, d/m)`` float64 codebooks.
+
+    ALL ``m`` subspaces train in the SAME fused Arrow pass — one corpus
+    scan per iteration plus one for init, independent of ``m`` (the
+    per-subspace math is identical to running ``_lloyd_step`` on each
+    slice, so the unrolled-SQL oracle is unchanged); each pass reduces to
+    ``#partitions x m x ks`` partial rows like ``kmeans_embeddings``."""
+    d = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    work = ensure_min_parallelism(
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")),
+        id_col,
+    )
+    if n_iter > 0:
+        work = work.persist()
+    try:
+        rows = work.orderBy(id_col).limit(ks).collect()  # TakeOrdered
+        if len(rows) < ks:
+            raise ValueError(f"ks={ks} exceeds the {len(rows)} available vectors")
+        x0 = np.array([r["_v"] for r in rows], dtype=np.float64)  # (ks, d)
+        books = np.stack([x0[:, j * sub : (j + 1) * sub] for j in range(m)])
+        for _ in range(n_iter):
+            books = _pq_lloyd_step(work, books)
+    finally:
+        if n_iter > 0:
+            work.unpersist(blocking=False)
+    return books
+
+
+def _pq_lloyd_step(df: DataFrame, books: np.ndarray) -> np.ndarray:
+    """One fused Lloyd iteration over EVERY subspace: a single
+    ``mapInPandas`` pass assigns each vector's m subvectors and accumulates
+    per-partition ``(subspace, cluster, count, sum)`` partials; the reduce
+    runs over the tiny ``#partitions x m x ks`` table. Empty clusters keep
+    their previous centroid. Per-cluster sums use the same mask-and-sum
+    form as ``clustering._lloyd_step`` so the float association (and hence
+    the oracle parity) is identical to the sliced per-subspace run."""
+    m, ks, sub = books.shape
+    bc = df.sparkSession.sparkContext.broadcast(books)
+    part_schema = StructType(
+        [
+            StructField("subspace", LongType()),
+            StructField("cluster", LongType()),
+            StructField("_n", LongType()),
+            StructField("_s", ArrayType(DoubleType())),
+        ]
+    )
+
+    def partials(batches):
+        B = bc.value
+        cnt = np.zeros((m, ks), dtype=np.int64)
+        sm = np.zeros((m, ks, sub))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            for j in range(m):
+                xj = x[:, j * sub : (j + 1) * sub]
+                d2 = ((xj[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1)
+                cnt[j] += np.bincount(a, minlength=ks)
+                for c in range(ks):
+                    msk = a == c
+                    if msk.any():
+                        sm[j, c] += xj[msk].sum(axis=0)
+        jj, cc = np.nonzero(cnt)
+        if len(jj):
+            yield pd.DataFrame(
+                {
+                    "subspace": jj.astype(np.int64),
+                    "cluster": cc.astype(np.int64),
+                    "_n": cnt[jj, cc],
+                    "_s": [sm[j, c].tolist() for j, c in zip(jj, cc)],
+                }
+            )
+
+    part = df.select("_v").mapInPandas(partials, part_schema)
+    rows = (
+        part.groupBy("subspace", "cluster")
+        .agg(
+            F.sum("_n").alias("n"),
+            F.array(*[F.sum(F.col("_s")[i]) for i in range(sub)]).alias("s"),
+        )
+        .collect()
+    )
+    new = books.copy()
+    for r in rows:
+        new[int(r["subspace"]), int(r["cluster"])] = np.array(
+            r["s"], dtype=np.float64
+        ) / float(r["n"])
+    return new
+
+
+def pq_encode(
+    df: DataFrame,
+    m: int = 4,
+    ks: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """PQ-encode every vector: ``(id, codes, dists, norm)`` where
+    ``codes[j]`` is the nearest codebook entry in subspace ``j`` (ties to
+    the lowest code, matching the oracle's ``(dist, code)`` rank),
+    ``dists[j]`` the euclidean distance to it (rounded to 6 dp), and
+    ``norm`` the exact L2 norm of the full vector (ADC cosine needs it).
+    One Arrow pass over the corpus against broadcast codebooks — a
+    ``d``-dim float64 row becomes ``m`` byte-sized codes plus one double,
+    the ~``4*d/m``-fold memory cut that makes 100 TB ANN fit in RAM."""
+    if codebooks is None:
+        codebooks = pq_train(
+            df, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
+    mm, _, sub = codebooks.shape
+    bc = df.sparkSession.sparkContext.broadcast(codebooks)
+
+    @F.pandas_udf("struct<codes: array<bigint>, dists: array<double>, norm: double>")
+    def enc(v: pd.Series) -> pd.DataFrame:
+        C = bc.value  # (m, ks, sub)
+        X = np.stack(v.to_numpy()).astype(np.float64)  # (n, d)
+        n = len(X)
+        codes = np.empty((n, mm), dtype=np.int64)
+        dists = np.empty((n, mm))
+        for j in range(mm):
+            Xj = X[:, j * sub : (j + 1) * sub]
+            # direct form — matches the oracle's LIST_DISTANCE evaluation
+            d2 = ((Xj[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            codes[:, j] = a
+            dists[:, j] = np.sqrt(d2[np.arange(n), a])
+        return pd.DataFrame(
+            {
+                "codes": list(codes),
+                "dists": list(np.round(dists, 6)),
+                "norm": np.linalg.norm(X, axis=1),
+            }
+        )
+
+    out = ensure_min_parallelism(df, id_col).select(
+        F.col(id_col), enc(F.col(vec_col).cast("array<double>")).alias("_e")
+    )
+    return out.select(
+        id_col,
+        F.col("_e.codes").alias("codes"),
+        F.col("_e.dists").alias("dists"),
+        F.col("_e.norm").alias("norm"),
+    )
+
+
+def cosine_topk_pq(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ks: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k by asymmetric distance computation (ADC):
+    codebooks train on the candidate corpus, candidates are PQ codes, and
+    each query precomputes an ``(m, ks)`` lookup table of subspace dot
+    products — scoring a candidate is ``m`` table gathers instead of a
+    ``d``-dim dot. Same output schema as ``cosine_topk_bruteforce``
+    (ties by neighbor_id ASC); the cosine denominator uses the EXACT
+    stored candidate norm, so only the numerator is approximated.
+
+    Scale shape: the code table streams through a per-partition partial
+    top-k (LUT gathers, no vector math), then a tiny global rank —
+    identical topology to the exact kernel but over ``m``-byte codes, so
+    the streamed bytes drop ~``4*d/m``-fold."""
+    books = pq_train(
+        candidates, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    enc = pq_encode(
+        candidates, id_col=id_col, vec_col=vec_col, codebooks=books
+    )
+    qrows = queries.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).collect()
+    spark = candidates.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], schema="query_id long, rank long, neighbor_id long, cosine double"
+        )
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["_v"] for r in qrows], dtype=np.float64)  # (nq, d)
+    q_norm = np.maximum(np.linalg.norm(q_mat, axis=1), 1e-12)
+    mm, _, sub = books.shape
+    # LUT[q, j, c] = <query_j, codebook_j[c]> — nq x m x ks doubles, tiny
+    lut = np.stack(
+        [q_mat[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(mm)], axis=1
+    )
+    bc = spark.sparkContext.broadcast((q_ids, q_norm, lut))
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("_score", DoubleType()),
+        ]
+    )
+
+    def partial_topk(batches):
+        ids_b, qn_b, lut_b = bc.value
+        nq = len(ids_b)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            cn = np.maximum(pdf["norm"].to_numpy().astype(np.float64), 1e-12)
+            nid = pdf[id_col].to_numpy().astype(np.int64)
+            # scores[q, i] = sum_j LUT[q, j, codes[i, j]]
+            s = np.zeros((nq, len(codes)))
+            for j in range(lut_b.shape[1]):
+                s += lut_b[:, j, codes[:, j]]
+            s /= qn_b[:, None] * cn[None, :]
+            kk = min(k + 1, s.shape[1])  # +1 absorbs a possible self-pair
+            part = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
+            qi = np.repeat(np.arange(nq), kk)
+            ci = part.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": ids_b[qi],
+                    "neighbor_id": nid[ci],
+                    "_score": s[qi, ci],
+                }
+            )
+
+    partial = enc.select(id_col, "codes", "norm").mapInPandas(partial_topk, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            F.round("_score", 6).alias("cosine"),
+        )
     )

@@ -3187,6 +3187,96 @@ def q_dsir_select(spark, sf_dir):
     return dsir_select(docs, docs.where(F.col("source") == "src0"), n=100)
 
 
+def _pq_cte_sql(m: int, ks: int, n_iter: int, d: int = 64) -> tuple[str, str]:
+    """Per-subspace unrolled deterministic-Lloyd CTE chains — the oracle
+    twin of ``pq_train`` + ``pq_encode`` (same construction as
+    ``_kmeans_cte_sql``, sliced to each subspace). Returns (ctes, body):
+    the body UNION ALLs each subspace's final assignment as
+    ``(vec_id, subspace, code, dist)``."""
+    sub = d // m
+    parts: list[str] = []
+    finals: list[str] = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        p = f"s{j}"
+
+        def assign(name: str, cent: str) -> str:
+            return (
+                f"{name} AS (SELECT vec_id, cl, dist FROM ("
+                f"SELECT e.vec_id, c.cl, LIST_DISTANCE(e.v, c.v) AS dist, "
+                f"ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+                f"ORDER BY LIST_DISTANCE(e.v, c.v), c.cl) AS rn "
+                f"FROM {p}e e CROSS JOIN {cent} c) WHERE rn = 1)"
+            )
+
+        parts.append(
+            f"{p}e AS (SELECT vec_id, (embedding[{lo}:{hi}])::DOUBLE[] AS v "
+            "FROM embeddings)"
+        )
+        parts.append(
+            f"{p}c0 AS (SELECT cl, v FROM (SELECT CAST(ROW_NUMBER() OVER "
+            f"(ORDER BY vec_id) - 1 AS BIGINT) AS cl, v FROM {p}e) WHERE cl < {ks})"
+        )
+        for it in range(1, n_iter + 1):
+            parts.append(assign(f"{p}a{it}", f"{p}c{it - 1}"))
+            parts.append(
+                f"{p}m{it} AS (SELECT a.cl, gs.i AS dim, AVG(e.v[gs.i]) AS m "
+                f"FROM {p}a{it} a JOIN {p}e e USING (vec_id), "
+                f"GENERATE_SERIES(1, {sub}) gs(i) GROUP BY a.cl, gs.i)"
+            )
+            parts.append(
+                f"{p}c{it} AS (SELECT z.cl, COALESCE(u.nv, z.v) AS v "
+                f"FROM {p}c{it - 1} z LEFT JOIN (SELECT cl, LIST(m ORDER BY dim) "
+                f"AS nv FROM {p}m{it} GROUP BY cl) u USING (cl))"
+            )
+        parts.append(assign(f"{p}af", f"{p}c{n_iter}"))
+        finals.append(
+            f"SELECT vec_id, CAST({j} AS BIGINT) AS subspace, cl AS code, "
+            f"ROUND(dist, 6) AS dist FROM {p}af"
+        )
+    return ",\n    ".join(parts), "\n    UNION ALL ".join(finals)
+
+
+_PQ_CTES, _PQ_BODY = _pq_cte_sql(m=4, ks=16, n_iter=2)
+
+
+@register(
+    "pq_encode",
+    f"""
+    WITH {_PQ_CTES}
+    {_PQ_BODY}
+    """,
+)
+def q_pq_encode(spark, sf_dir):
+    """Product-quantization codes (Jegou et al. 2011): 4 subspaces x 16
+    centroids, deterministic per-subspace Lloyd, flattened to
+    (vec_id, subspace, code, dist) rows for exact cross-engine hashing."""
+    from fdi_flow_spark.pipelines.quantization import pq_encode
+
+    enc = pq_encode(load_table(spark, sf_dir, "embeddings"), m=4, ks=16, n_iter=2)
+    z = enc.select("vec_id", F.posexplode(F.arrays_zip("codes", "dists")).alias("_p", "_z"))
+    return z.select(
+        "vec_id",
+        F.col("_p").cast("bigint").alias("subspace"),
+        F.col("_z.codes").alias("code"),
+        F.col("_z.dists").alias("dist"),
+    )
+
+
+@register("cosine_topk_pq")
+def q_cosine_topk_pq(spark, sf_dir):
+    """ADC top-5 over PQ codes for the same query set as ``cosine_topk`` —
+    approximate by construction (no SQL oracle); recall floors vs the exact
+    kernel are pinned in tests/test_quantization.py. m=32 (2-dim subspaces,
+    8x compression) because these near-isotropic synthetic embeddings need
+    fine subspace resolution: recall@5 measured 0.15 at m=4 vs 0.70 at m=32
+    on sf0.01 — on real clustered embeddings the standard m=4..8 suffices."""
+    from fdi_flow_spark.pipelines.quantization import cosine_topk_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_pq(emb.where(F.col("vec_id") % 25 == 0), emb, k=5, m=32, ks=16)
+
+
 # ------------------------------------------------------------ registry order
 # The correctness driver checks the FIRST 50 registered queries. Since r4
 # all 50 slots are oracle-backed AND kernel-diverse: every observer replay
@@ -3304,6 +3394,9 @@ _WINDOW_EXCLUDED_ORACLES = {
                            # window stage — swapped for dsir_weights (r5b)
     "dsir_select",  # top-n over the in-window dsir_weights table; the
                     # TakeOrdered kernel stays in-window via q3_top_orders
+    "pq_encode",  # same unrolled-Lloyd oracle family as in-window
+                  # embedding_kmeans (per-subspace slices); pytest-hash-
+                  # checked every run
 }
 
 

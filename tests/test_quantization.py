@@ -1,0 +1,100 @@
+"""Product-quantization tests: code validity, partitioning determinism,
+ADC score parity against explicit reconstruction, and recall floors vs the
+exact cosine kernel."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fdi_flow_spark.pipelines.quantization import (
+    cosine_topk_pq,
+    pq_encode,
+    pq_train,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_pq_codes_valid_and_deterministic(emb):
+    enc = pq_encode(emb, m=4, ks=16, n_iter=2).toPandas().sort_values("vec_id")
+    assert len(enc) == emb.count()
+    codes = np.stack(enc["codes"].to_numpy())
+    assert codes.shape[1] == 4
+    assert codes.min() >= 0 and codes.max() < 16
+    # repartitioning must not change training or codes (deterministic init,
+    # map-side partial sums)
+    enc2 = (
+        pq_encode(emb.repartition(7), m=4, ks=16, n_iter=2)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    assert np.array_equal(codes, np.stack(enc2["codes"].to_numpy()))
+
+
+def test_pq_train_reduces_distortion(emb):
+    """More Lloyd iterations can't increase total quantization distortion."""
+    d0 = (
+        pq_encode(emb, m=4, ks=16, n_iter=0)
+        .select(F.explode("dists").alias("d"))
+        .agg(F.sum(F.col("d") * F.col("d")))
+        .first()[0]
+    )
+    d2 = (
+        pq_encode(emb, m=4, ks=16, n_iter=2)
+        .select(F.explode("dists").alias("d"))
+        .agg(F.sum(F.col("d") * F.col("d")))
+        .first()[0]
+    )
+    assert d2 <= d0 + 1e-9
+
+
+def test_adc_score_matches_reconstruction(emb):
+    """The ADC cosine must equal dot(q, reconstructed)/(|q| * |x|) exactly
+    up to float association — verify on every (query, neighbor) the kernel
+    emitted."""
+    m, ks = 8, 16
+    books = pq_train(emb, m=m, ks=ks, n_iter=1)
+    enc = pq_encode(emb, codebooks=books).toPandas().set_index("vec_id")
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    out = cosine_topk_pq(q, emb, k=5, m=m, ks=ks, n_iter=1).toPandas()
+    qvecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in q.collect()
+    }
+    sub = books.shape[2]
+    for row in out.itertuples():
+        qv = qvecs[row.query_id]
+        codes = np.asarray(enc.loc[row.neighbor_id, "codes"])
+        recon = np.concatenate([books[j][codes[j]] for j in range(m)])
+        expect = (qv @ recon) / (
+            max(np.linalg.norm(qv), 1e-12)
+            * max(enc.loc[row.neighbor_id, "norm"], 1e-12)
+        )
+        assert abs(row.cosine - expect) < 1e-6
+
+
+def test_adc_recall_floor_vs_exact(emb):
+    from fdi_flow_spark.pipelines.similarity import cosine_topk_bruteforce
+
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk_bruteforce(q, emb, k=5).toPandas()
+    approx = cosine_topk_pq(q, emb, k=5, m=32, ks=16).toPandas()
+    ex = exact.groupby("query_id")["neighbor_id"].apply(set)
+    ap = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recall = np.mean([len(ex[i] & ap.get(i, set())) / 5 for i in ex.index])
+    assert recall >= 0.5  # measured 0.65 at sf0.001, 0.70 at sf0.01
+
+    # output contract: 5 ranked rows per query, no self-pairs
+    assert (approx.groupby("query_id")["rank"].max() == 5).all()
+    assert (approx["query_id"] != approx["neighbor_id"]).all()
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=2, ks=1, n_iter=0)
