@@ -294,3 +294,50 @@ def test_source_mix_single_window_over_data(spark):
     # one hashpartitioning Exchange on source for the rank window; the
     # quota aggregate adds its own tiny pre-broadcast exchanges only
     assert plan.count("Window") == 1, plan
+
+
+def test_span_dedup_joins_on_window_hashes(spark):
+    """Span dedup must shuffle 8-byte window hashes, never window strings;
+    the duplicated-occurrence join and the coverage join are the only
+    data-sized shuffles (plus the per-doc reassembly aggregate)."""
+    from fdi_flow_spark.pipelines.dedup import duplicated_spans, strip_duplicated_spans
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(strip_duplicated_spans(docs, k=8), "formatted")
+    assert "xxhash64" in plan, plan
+    # detection half: the lag and island-sum windows share ONE per-doc
+    # sort, and the span aggregate reuses the window's partitioning (no
+    # extra Exchange between Window and HashAggregate)
+    det = _plan(duplicated_spans(docs, k=8), "simple")
+    assert det.count("Sort") == 1, det
+
+
+def test_dsir_model_broadcasts_by_construction(spark):
+    """The DSIR scoring join must put the 1024-row model on the broadcast
+    side under Catalyst's own size estimate (no hint) — that the model side
+    is O(buckets), not O(corpus), is the algorithm's core scale property."""
+    from fdi_flow_spark.pipelines.selection import dsir_weights
+
+    docs = load_table(spark, SF, "documents")
+    tgt = docs.where(F.col("source") == "src0")
+    plan = _plan(dsir_weights(docs, tgt), "simple")
+    assert "BroadcastExchange" in plan, plan
+    opt = _plan(dsir_weights(docs, tgt, broadcast_model=True), "simple")
+    assert "BroadcastExchange" in opt, opt
+
+
+def test_pq_scoring_plan_is_one_arrow_stage(spark):
+    """ADC scoring must stream codes through a single Python/Arrow stage
+    (encode UDF + LUT gather) with the only Exchange being the global
+    top-k rank window — no join anywhere in the scoring path."""
+    from fdi_flow_spark.pipelines.quantization import cosine_topk_pq
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    plan = _plan(cosine_topk_pq(q, emb, k=5, m=4, ks=16, n_iter=0), "simple")
+    assert "Join" not in plan, plan
+    # the global rank is the single required Exchange (the other is the
+    # deliberate ensure_min_parallelism fan-out of the one-file scan), and
+    # Spark pushes the rank limit down as a partial WindowGroupLimit
+    assert plan.count("ENSURE_REQUIREMENTS") == 1, plan
+    assert plan.count("WindowGroupLimit") == 2, plan
