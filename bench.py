@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "dsir_select",
     "pq_encode",
     "cosine_topk_pq",
+    "text_normalize",
 ]
 
 

@@ -8,6 +8,7 @@ parquet at I/O speed with full column pruning.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from fdi_flow_spark.core.partitioning import ensure_min_parallelism
@@ -299,3 +300,52 @@ def bm25_rank(
 
     w = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
     return ranked.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def normalize_text(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode cleanup for ingest pipelines: NFC-normalize, strip control
+    characters (all C0 except newline, plus DEL — tabs included), collapse
+    space runs to a single space, and trim spaces/newlines at the doc
+    edges. Output is total — one row per doc:
+    ``(doc_id, n_raw_chars, n_clean_chars, clean_md5)`` with code-point
+    lengths and an md5 checksum of the cleaned text. Every step is pinned
+    to an exact DuckDB equivalent (``strip(' \\n')``, not Python's
+    unicode-whitespace ``strip()``), so the oracle needs no tolerance.
+
+    NFC composition needs real Unicode tables, so the row path is ONE
+    Arrow-batched pandas UDF (like the winnowing fingerprint kernel);
+    everything around it is a pure projection — zero shuffle at any scale.
+    The DuckDB oracle replays the identical steps with ``NFC_NORMALIZE`` +
+    ``REGEXP_REPLACE``, value-checked through lengths and the checksum."""
+    import re
+    import unicodedata
+
+    ctrl = re.compile(r"[\x00-\x09\x0b-\x1f\x7f]")
+    squash = re.compile(r" +")
+
+    @F.pandas_udf("struct<n_clean: bigint, clean_md5: string>")
+    def clean(s: pd.Series) -> pd.DataFrame:
+        import hashlib
+
+        outs, hashes = [], []
+        for t in s:
+            t = unicodedata.normalize("NFC", t or "")
+            t = ctrl.sub("", t)
+            t = squash.sub(" ", t).strip(" \n")
+            outs.append(len(t))
+            hashes.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+        return pd.DataFrame({"n_clean": outs, "clean_md5": hashes})
+
+    out = ensure_min_parallelism(docs, id_col).select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("bigint").alias("n_raw_chars"),
+        clean(F.col(text_col)).alias("_c"),
+    )
+    return out.select(
+        id_col,
+        "n_raw_chars",
+        F.col("_c.n_clean").alias("n_clean_chars"),
+        F.col("_c.clean_md5").alias("clean_md5"),
+    )

@@ -3263,6 +3263,55 @@ def q_pq_encode(spark, sf_dir):
     )
 
 
+@register(
+    "text_normalize",
+    """
+    WITH d2 AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'cafe' || CHR(769) || '  ' || CHR(7)
+             ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0 THEN 'u' || CHR(776) || 'ber' || CHR(9)
+             ELSE '' END ||
+        text ||
+        CASE WHEN doc_id % 7 = 0 THEN '  tail  ' ELSE '' END AS text
+      FROM documents),
+    cleaned AS (
+      SELECT doc_id, LENGTH(text) AS n_raw,
+             TRIM(REGEXP_REPLACE(REGEXP_REPLACE(NFC_NORMALIZE(text),
+                    '[\\x00-\\x09\\x0b-\\x1f\\x7f]', '', 'g'),
+                  ' +', ' ', 'g'),
+                  ' ' || CHR(10)) AS ct
+      FROM d2)
+    SELECT doc_id, CAST(n_raw AS BIGINT) AS n_raw_chars,
+           CAST(LENGTH(ct) AS BIGINT) AS n_clean_chars, MD5(ct) AS clean_md5
+    FROM cleaned
+    """,
+)
+def q_text_normalize(spark, sf_dir):
+    """Unicode cleanup proof: the corpus is ASCII, so the query plants a
+    decomposed accent + BEL on doc_id%3, a combining diaeresis + TAB on
+    doc_id%5, and padded tails on doc_id%7 — exercising NFC composition
+    (length shrinks), control stripping, space squashing, and edge trim,
+    value-checked through lengths and the md5 of the cleaned text."""
+    from fdi_flow_spark.pipelines.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs2 = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("cafe\u0301  \x07")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("u\u0308ber\t")).otherwise(
+                F.lit("")
+            ),
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("  tail  ")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return normalize_text(docs2)
+
+
 @register("cosine_topk_pq")
 def q_cosine_topk_pq(spark, sf_dir):
     """ADC top-5 over PQ codes for the same query set as ``cosine_topk`` —
@@ -3397,6 +3446,9 @@ _WINDOW_EXCLUDED_ORACLES = {
     "pq_encode",  # same unrolled-Lloyd oracle family as in-window
                   # embedding_kmeans (per-subspace slices); pytest-hash-
                   # checked every run
+    "text_normalize",  # Arrow-batched text kernel family as in-window
+                       # document_fingerprint; md5-reassembly contract as
+                       # in-window span_dedup — pytest-hash-checked
 }
 
 

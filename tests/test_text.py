@@ -18,3 +18,35 @@ def test_repetition_scores_hand_fixture(spark):
     assert got[2].top_bigram_frac == 0.6 and got[2].dup_bigram_frac == 1.0
     assert got[3].n_bigrams == 0
     assert got[3].top_bigram_frac == 0.0 and got[3].dup_bigram_frac == 0.0
+
+
+# ---------------------------------------------------- unicode normalization
+
+
+def test_normalize_text_nfc_and_cleanup(spark):
+    import hashlib
+
+    from fdi_flow_spark.pipelines.text import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cafe\u0301 au lait"),  # decomposed -> composed (len shrinks)
+            (2, "a\x07b\x00c"),  # control chars stripped
+            (3, "  lots   of\t spaces  "),  # squash + trim (tab is C0)
+            (4, "line1\nline2"),  # newline preserved
+            (5, ""),  # empty stays empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in normalize_text(docs).collect()}
+    exp = {
+        1: "caf\u00e9 au lait",
+        2: "abc",
+        3: "lots of spaces",
+        4: "line1\nline2",
+        5: "",
+    }
+    for i, want in exp.items():
+        assert out[i].clean_md5 == hashlib.md5(want.encode()).hexdigest(), i
+        assert out[i].n_clean_chars == len(want)
+    assert out[1].n_raw_chars == len("cafe\u0301 au lait")  # code points, pre-NFC
