@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "pq_encode",
     "cosine_topk_pq",
     "text_normalize",
+    "span_contamination",
 ]
 
 

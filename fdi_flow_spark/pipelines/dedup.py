@@ -663,3 +663,54 @@ def strip_duplicated_spans(
         )
         .select(F.col("id").alias(id_col), "n_tokens", "n_dropped", "clean_md5")
     )
+
+
+def span_contamination(
+    docs: DataFrame,
+    reference: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: str = "doc_id",
+    ref_text_col: str = "text",
+    broadcast_reference: bool = False,
+) -> DataFrame:
+    """Span-level contamination detector: for each document, how many of
+    its k-token windows appear verbatim ANYWHERE in a reference corpus
+    (the held-out-benchmark / already-trained-corpus overlap question, at
+    the same window granularity as ``strip_duplicated_spans``).
+
+    Output is total over docs with >= k tokens:
+    ``(doc_id, n_windows, n_contaminated, frac)`` with ``frac`` rounded
+    to 6 dp.
+
+    ``docs`` may be a STREAMING DataFrame: the reference hash set is
+    static, so the pipeline is one stream-static join (8-byte keys) plus a
+    per-doc aggregation — batch and stream produce identical rows (see
+    tests/test_streaming.py). ``broadcast_reference=True`` forces the
+    reference set broadcast; by default Catalyst's size estimate decides
+    (a web-scale reference degrades to a shuffle join automatically)."""
+    ref = (
+        _token_windows(reference, ref_id_col, ref_text_col, k)
+        .select("h")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    if broadcast_reference:
+        ref = F.broadcast(ref)
+    w = _token_windows(docs, id_col, text_col, k).join(ref, "h", "left")
+    return (
+        w.groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_windows"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(False)).cast("bigint")).alias(
+                "n_contaminated"
+            ),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_windows",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_windows"), 6).alias("frac"),
+        )
+    )

@@ -56,40 +56,39 @@ def _gram_stream(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def dsir_weights(
+def dsir_fit(
     raw_docs: DataFrame,
     target_docs: DataFrame,
     buckets: int = 1024,
     seed: int = 7,
     id_col: str = "doc_id",
     text_col: str = "text",
-    broadcast_model: bool = False,
 ) -> DataFrame:
-    """Per-document DSIR log importance weight.
-
-    Bucket ``b`` gets Laplace-smoothed probabilities under each corpus,
-    ``p(b) = (count_b + 1) / (N + buckets)``; a document's log weight is
-    the sum over its gram OCCURRENCES of ``ln p_target(b) - ln p_raw(b)``
-    — the log of the importance ratio under the hashed bag-of-n-grams
-    model. Output is total over docs with >= 1 token:
-    ``(doc_id, n_grams, log_weight)`` with ``log_weight`` rounded to 6 dp
-    for cross-engine hash parity.
-
-    ``broadcast_model=True`` forces the model-side broadcast; by default
-    Catalyst's size estimate decides (the model is ``buckets`` rows, so it
-    broadcasts in practice)."""
-    raw_g = _gram_stream(raw_docs, id_col, text_col).withColumn(
-        "b", _hash_bucket(F.col("gram"), seed, buckets)
+    """Fit the DSIR model OFFLINE: one ``buckets``-row table ``(b, logr)``
+    over the FULL bucket domain (buckets unseen in either corpus carry the
+    pure-Laplace ratio), so ``dsir_score`` can inner-join any document
+    stream — including grams the raw pool never produced — without
+    dropping rows. Bucket ``b`` gets Laplace-smoothed probabilities,
+    ``p(b) = (count_b + 1) / (N + buckets)``, and
+    ``logr = ln p_target(b) - ln p_raw(b)``."""
+    raw_c = (
+        _gram_stream(raw_docs, id_col, text_col)
+        .withColumn("b", _hash_bucket(F.col("gram"), seed, buckets))
+        .groupBy("b")
+        .agg(F.count("*").alias("cr"))
     )
-    tgt_g = _gram_stream(target_docs, id_col, text_col).withColumn(
-        "b", _hash_bucket(F.col("gram"), seed, buckets)
+    tgt_c = (
+        _gram_stream(target_docs, id_col, text_col)
+        .withColumn("b", _hash_bucket(F.col("gram"), seed, buckets))
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
     )
-    raw_c = raw_g.groupBy("b").agg(F.count("*").alias("cr"))
-    tgt_c = tgt_g.groupBy("b").agg(F.count("*").alias("ct"))
-    raw_n = raw_c.agg(F.sum("cr").alias("nr"))
-    tgt_n = tgt_c.agg(F.sum("ct").alias("nt"))
-    model = (
-        raw_c.join(tgt_c, "b", "full_outer")
+    raw_n = raw_c.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
+    tgt_n = tgt_c.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    domain = raw_docs.sparkSession.range(buckets).select(F.col("id").alias("b"))
+    return (
+        domain.join(raw_c, "b", "left")
+        .join(tgt_c, "b", "left")
         .crossJoin(raw_n)
         .crossJoin(tgt_n)
         .select(
@@ -102,16 +101,70 @@ def dsir_weights(
             ).alias("logr"),
         )
     )
+
+
+def dsir_score(
+    docs: DataFrame,
+    model: DataFrame,
+    buckets: int = 1024,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Score documents against a fitted DSIR model (``dsir_fit`` output —
+    must share ``buckets``/``seed``): the sum over gram OCCURRENCES of the
+    bucket log ratio. Output is total over docs with >= 1 token:
+    ``(doc_id, n_grams, log_weight)``, ``log_weight`` rounded to 6 dp.
+
+    The join is gram-stream x ``buckets`` rows; ``broadcast_model=True``
+    forces the broadcast, otherwise Catalyst's size estimate decides.
+    ``docs`` may be a STREAMING DataFrame — the model is static, so this
+    is a stream-static join plus one per-doc aggregation (the production
+    deployment shape; see tests/test_streaming.py)."""
+    g = _gram_stream(docs, id_col, text_col).withColumn(
+        "b", _hash_bucket(F.col("gram"), seed, buckets)
+    )
     if broadcast_model:
         model = F.broadcast(model)
     return (
-        raw_g.join(model, "b")
+        g.join(model, "b")
         .groupBy("id")
         .agg(
             F.count("*").cast("bigint").alias("n_grams"),
             F.round(F.sum("logr"), 6).alias("log_weight"),
         )
         .select(F.col("id").alias(id_col), "n_grams", "log_weight")
+    )
+
+
+def dsir_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    buckets: int = 1024,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Per-document DSIR log importance weight of the raw pool itself:
+    ``dsir_score(raw, dsir_fit(raw, target))``. See those for semantics."""
+    model = dsir_fit(
+        raw_docs,
+        target_docs,
+        buckets=buckets,
+        seed=seed,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    return dsir_score(
+        raw_docs,
+        model,
+        buckets=buckets,
+        seed=seed,
+        id_col=id_col,
+        text_col=text_col,
+        broadcast_model=broadcast_model,
     )
 
 

@@ -3117,6 +3117,33 @@ def q_duplicated_spans(spark, sf_dir):
     return duplicated_spans(load_table(spark, sf_dir, "documents"), k=8)
 
 
+@register(
+    "span_contamination",
+    f"""
+    WITH {_SPAN_CTE},
+    ref AS (SELECT DISTINCT gram FROM w WHERE doc_id % 4 = 0),
+    cand AS (SELECT doc_id, gram FROM w WHERE doc_id % 4 <> 0),
+    j AS (SELECT c.doc_id, (r.gram IS NOT NULL) AS hit
+          FROM cand c LEFT JOIN ref r ON c.gram = r.gram)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(*) FILTER (WHERE hit) AS BIGINT) AS n_contaminated,
+           ROUND(COUNT(*) FILTER (WHERE hit) * 1.0 / COUNT(*), 6) AS frac
+    FROM j GROUP BY doc_id
+    """,
+)
+def q_span_contamination(spark, sf_dir):
+    """Span-level contamination of the doc_id%4!=0 corpus slice against the
+    doc_id%4=0 reference slice — the benchmark-overlap question at 8-token
+    window granularity; stream-ready (static reference hash set)."""
+    from fdi_flow_spark.pipelines.dedup import span_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_contamination(
+        docs.where(F.col("doc_id") % 4 != 0), docs.where(F.col("doc_id") % 4 == 0)
+    )
+
+
 _DSIR_CTE = """
     toks AS (
       SELECT doc_id, source,
@@ -3449,6 +3476,9 @@ _WINDOW_EXCLUDED_ORACLES = {
     "text_normalize",  # Arrow-batched text kernel family as in-window
                        # document_fingerprint; md5-reassembly contract as
                        # in-window span_dedup — pytest-hash-checked
+    "span_contamination",  # same _token_windows kernel as in-window
+                           # span_dedup; the stream-static overlap join is
+                           # streaming-parity-tested + pytest-hash-checked
 }
 
 

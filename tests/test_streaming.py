@@ -418,3 +418,175 @@ def test_streaming_lm_scoring_equals_batch(spark):
         spark.catalog.dropTempView("lm_sink")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_r5b_stateless_ops_equal_batch(spark):
+    """normalize_text and pq_encode (pretrained codebooks) are stateless
+    Arrow projections — they run unchanged as Structured Streaming stages
+    and must emit exactly the batch rows in append mode."""
+    import shutil
+    import tempfile
+
+    from fdi_flow_spark.pipelines.quantization import pq_encode, pq_train
+    from fdi_flow_spark.pipelines.text import normalize_text
+
+    rows = [(i, f"doc  {i}\twith\x07 text  nr {i}") for i in range(30)]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    d = tempfile.mkdtemp(prefix="fdi_r5b_stream_")
+    try:
+        batch.where("doc_id < 15").coalesce(1).write.mode("append").parquet(d)
+        batch.where("doc_id >= 15").coalesce(1).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            normalize_text(stream)
+            .writeStream.format("memory")
+            .queryName("norm_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.table("norm_sink").collect())
+        expect = sorted(tuple(r) for r in normalize_text(batch).collect())
+        assert got == expect and len(got) == 30
+        spark.catalog.dropTempView("norm_sink")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    emb_batch = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_train(emb_batch, m=4, ks=16, n_iter=1)
+    d = tempfile.mkdtemp(prefix="fdi_pq_stream_")
+    try:
+        emb_batch.where("vec_id < 250").coalesce(1).write.mode("append").parquet(d)
+        emb_batch.where("vec_id >= 250").coalesce(1).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>, label int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            pq_encode(stream, codebooks=books)
+            .writeStream.format("memory")
+            .queryName("pq_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.vec_id: (tuple(r.codes), r.norm)
+            for r in spark.table("pq_sink").collect()
+        }
+        expect = {
+            r.vec_id: (tuple(r.codes), r.norm)
+            for r in pq_encode(emb_batch, codebooks=books).collect()
+        }
+        assert got == expect
+        spark.catalog.dropTempView("pq_sink")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_dsir_scoring_equals_batch(spark):
+    """Production DSIR shape: the model is fitted OFFLINE (dsir_fit on
+    static corpora); arriving documents score via a stream-static join +
+    per-doc aggregation. Scores must equal batch bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from fdi_flow_spark.pipelines.selection import dsir_fit, dsir_score
+
+    raw = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta" if i % 2 else "zork quux blarg frotz")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(200 + i, "alpha beta gamma epsilon") for i in range(5)],
+        "doc_id long, text string",
+    )
+    model = dsir_fit(raw, tgt, buckets=256)
+    score_rows = [
+        (0, "alpha beta gamma"),
+        (1, "zork quux"),
+        (2, "totally unseen words here"),
+        (3, "alpha zork mixed bag"),
+    ]
+    batch = spark.createDataFrame(score_rows, "doc_id long, text string")
+    d = tempfile.mkdtemp(prefix="fdi_dsir_stream_")
+    try:
+        batch.where("doc_id < 2").coalesce(1).write.mode("append").parquet(d)
+        batch.where("doc_id >= 2").coalesce(1).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            dsir_score(stream, model, buckets=256)
+            .writeStream.format("memory")
+            .queryName("dsir_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.table("dsir_sink").collect())
+        expect = sorted(tuple(r) for r in dsir_score(batch, model, buckets=256).collect())
+        assert got == expect and len(got) == 4
+        spark.catalog.dropTempView("dsir_sink")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_span_contamination_equals_batch(spark):
+    """Span-level contamination of an arriving stream against a static
+    reference hash set — one stream-static join + per-doc aggregation."""
+    import shutil
+    import tempfile
+
+    from fdi_flow_spark.pipelines.dedup import span_contamination
+
+    ref = spark.createDataFrame(
+        [(900, "r1 r2 r3 r4 r5 r6 r7 r8 r9")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (0, "r1 r2 r3 r4 r5 r6 r7 r8 tail0 tail1"),  # contaminated head
+            (1, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),  # clean
+            (2, "x0 r2 r3 r4 r5 r6 r7 r8 r9 x1"),  # contaminated middle
+        ],
+        "doc_id long, text string",
+    )
+    d = tempfile.mkdtemp(prefix="fdi_spanc_stream_")
+    try:
+        batch.where("doc_id < 2").coalesce(1).write.mode("append").parquet(d)
+        batch.where("doc_id >= 2").coalesce(1).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            span_contamination(stream, ref, k=8)
+            .writeStream.format("memory")
+            .queryName("spanc_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.table("spanc_sink").collect())
+        expect = sorted(tuple(r) for r in span_contamination(batch, ref, k=8).collect())
+        assert got == expect and len(got) == 3
+        by_doc = {t[0]: t for t in got}
+        assert by_doc[1][2] == 0  # clean doc: zero contaminated windows
+        assert by_doc[0][2] >= 1 and by_doc[2][2] >= 1
+        spark.catalog.dropTempView("spanc_sink")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
