@@ -357,3 +357,82 @@ def test_strip_duplicated_spans_short_docs_pass_through(spark):
     out = {r.doc_id: r for r in strip_duplicated_spans(docs, k=8).collect()}
     assert out[1].n_dropped == 0 and out[2].n_dropped == 0
     assert out[1].n_tokens == 3
+
+
+def _ref_span_state(rows, k):
+    """Pure-Python reference for the span ops: token lists, duplicated
+    window occurrences, and foreign-covered positions (1-based)."""
+    toks = {i: [t for t in text.lower().split() if t] for i, text in rows}
+    occ_by_gram = {}
+    for i, tk in toks.items():
+        for s in range(len(tk) - k + 1):
+            occ_by_gram.setdefault(" ".join(tk[s : s + k]), []).append((i, s + 1))
+    covered = {i: set() for i in toks}
+    dup_starts = {i: set() for i in toks}
+    for occ in occ_by_gram.values():
+        if len(occ) < 2:
+            continue
+        owner = min(i for i, _ in occ)
+        for i, s in occ:
+            dup_starts[i].add(s)
+            if i > owner:
+                covered[i].update(range(s, s + k))
+    return toks, covered, dup_starts
+
+
+def test_span_ops_match_python_reference_fuzz(spark):
+    """Seeded fuzz: corpora assembled from shared phrase pools (rich span
+    structure) must match a brute-force Python reference exactly — strip
+    counts, checksums, and maximal-span boundaries."""
+    import hashlib
+
+    from fdi_flow_spark.pipelines.dedup import duplicated_spans, strip_duplicated_spans
+
+    k = 8
+    rng = np.random.default_rng(20260814)
+    vocab = [f"w{i}" for i in range(40)]
+    for trial in range(4):
+        phrases = [
+            " ".join(rng.choice(vocab, size=rng.integers(k, k + 5)))
+            for _ in range(5)
+        ]
+        rows = []
+        for i in range(14):
+            parts = [
+                phrases[j]
+                for j in rng.choice(5, size=rng.integers(0, 4), replace=False)
+            ]
+            filler = " ".join(rng.choice(vocab, size=rng.integers(0, 12)))
+            text = " ".join(p for p in (parts + [filler]) if p)
+            rows.append((i, text if text else "solo"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        toks, covered, dup_starts = _ref_span_state(rows, k)
+
+        got = {r.doc_id: r for r in strip_duplicated_spans(docs, k=k).collect()}
+        for i, tk in toks.items():
+            if not tk:
+                continue
+            kept = [t for p, t in enumerate(tk, start=1) if p not in covered[i]]
+            assert got[i].n_tokens == len(tk), (trial, i)
+            assert got[i].n_dropped == len(tk) - len(kept), (trial, i)
+            want_md5 = hashlib.md5(" ".join(kept).encode()).hexdigest()
+            assert got[i].clean_md5 == want_md5, (trial, i)
+
+        spans = {}
+        for r in duplicated_spans(docs, k=k).collect():
+            spans.setdefault(r.doc_id, []).append(
+                (r.span_start, r.span_end, r.n_windows)
+            )
+        for i, starts in dup_starts.items():
+            # the operator's merge rule: extend the island iff
+            # start <= prev_start + k (overlap or exact adjacency)
+            want2, prev = [], None
+            for s in sorted(starts):
+                if prev is not None and s <= prev + k:
+                    lo, hi, n = want2[-1]
+                    want2[-1] = (lo, s + k - 1, n + 1)
+                else:
+                    want2.append((s, s + k - 1, 1))
+                prev = s
+            assert sorted(spans.get(i, [])) == want2, (trial, i)
