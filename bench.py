@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "cosine_topk_pq",
     "text_normalize",
     "span_contamination",
+    "bpe_tokenize",
 ]
 
 

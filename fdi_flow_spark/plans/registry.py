@@ -3339,6 +3339,20 @@ def q_text_normalize(spark, sf_dir):
     return normalize_text(docs2)
 
 
+@register("bpe_tokenize")
+def q_bpe_tokenize(spark, sf_dir):
+    """Train a 40-merge BPE on the corpus word histogram (one corpus scan;
+    the merge loop runs over word TYPES) and tokenize every document —
+    rows-only by design (iterative training is not SQL-expressible); the
+    merge selection and application are golden-tested against hand-derived
+    sequences in tests/test_tokenizer.py."""
+    from fdi_flow_spark.pipelines.tokenizer import bpe_tokenize, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=40)
+    return bpe_tokenize(docs, merges)
+
+
 @register("cosine_topk_pq")
 def q_cosine_topk_pq(spark, sf_dir):
     """ADC top-5 over PQ codes for the same query set as ``cosine_topk`` —
