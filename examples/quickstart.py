@@ -163,6 +163,39 @@ def main() -> None:
         "distributed predictions:", scored.count(),
     )
 
+    # 8. Round-5b curation additions: exact span-level dedup
+    # (first-occurrence-wins), DSIR importance selection toward a target
+    # slice, PQ/ADC similarity over byte codes, a trainable BPE tokenizer,
+    # and unicode ingest cleanup.
+    import pyspark.sql.functions as F
+
+    from fdi_flow_spark.pipelines.dedup import span_contamination, strip_duplicated_spans
+    from fdi_flow_spark.pipelines.quantization import cosine_topk_pq
+    from fdi_flow_spark.pipelines.selection import dsir_select
+    from fdi_flow_spark.pipelines.text import normalize_text
+    from fdi_flow_spark.pipelines.tokenizer import bpe_tokenize, bpe_train
+
+    stripped = strip_duplicated_spans(docs, k=8)
+    n_dropped = stripped.agg(F.sum("n_dropped")).first()[0]
+    contam = span_contamination(
+        docs.where(F.col("doc_id") % 4 != 0), docs.where(F.col("doc_id") % 4 == 0)
+    )
+    hit_docs = contam.where(F.col("n_contaminated") > 0).count()
+    picked = dsir_select(docs, docs.where(F.col("source") == "src0"), n=20)
+    merges = bpe_train(docs, n_merges=30)
+    toks = bpe_tokenize(docs, merges)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    adc = cosine_topk_pq(emb.where(F.col("vec_id") % 25 == 0), emb, k=3, m=32)
+    print(
+        "span-dedup dropped tokens:", int(n_dropped),
+        "| contaminated docs:", hit_docs,
+        "| DSIR picks:", picked.count(),
+        "| BPE merges:", len(merges),
+        "| BPE token rows:", toks.count(),
+        "| ADC neighbor rows:", adc.count(),
+        "| normalized docs:", normalize_text(docs).count(),
+    )
+
     spark.stop()
 
 
