@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "text_normalize",
     "span_contamination",
     "bpe_tokenize",
+    "ngram_counts",
+    "tfidf_vectors",
 ]
 
 

@@ -349,3 +349,85 @@ def normalize_text(
         F.col("_c.n_clean").alias("n_clean_chars"),
         F.col("_c.clean_md5").alias("clean_md5"),
     )
+
+
+def ngram_counts(
+    docs: DataFrame,
+    n: int = 2,
+    top: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level n-gram statistics: the ``top`` most frequent lowercase
+    word n-grams with occurrence and document frequencies, ordered by
+    ``(count DESC, gram ASC)`` for a deterministic cut. One explode + one
+    map-side-combinable aggregate + a TakeOrdered — never a full sort."""
+    docs = ensure_min_parallelism(docs, id_col)
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    grams = F.expr(
+        f"""
+        transform(sequence(1, size(_t) - {n - 1}),
+                  i -> array_join(slice(_t, i, {n}), ' '))
+        """
+    )
+    stream = (
+        docs.select(F.col(id_col).alias("id"), toks.alias("_t"))
+        .where(F.size("_t") >= n)
+        .select("id", F.explode(grams).alias("gram"))
+    )
+    return (
+        stream.groupBy("gram")
+        .agg(
+            F.count("*").cast("bigint").alias("count"),
+            F.countDistinct("id").cast("bigint").alias("doc_freq"),
+        )
+        .orderBy(F.col("count").desc(), F.col("gram").asc())
+        .limit(top)
+    )
+
+
+def tfidf_vectors(
+    docs: DataFrame,
+    buckets: int = 1024,
+    seed: int = 11,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed TF-IDF document vectors (the HashingTF + IDF recipe, exact
+    and engine-portable): lowercase word unigrams hash into ``buckets``
+    slots with the md5-bridge hash; ``tf`` is the per-doc bucket count and
+    ``idf = ln((N + 1) / (df + 1)) + 1`` (the sklearn/MLlib smooth-idf
+    form). Output is sparse, one row per non-zero slot:
+    ``(doc_id, bucket, tf, tfidf)`` with ``tfidf`` rounded to 6 dp.
+
+    Scale shape: one gram scan -> per-(doc, bucket) counts (map-side
+    combinable); the idf side aggregates the SAME count table (never a
+    second corpus scan) down to <= ``buckets`` rows, which Catalyst
+    broadcasts back. The doc total N is a 1-row broadcast."""
+    from fdi_flow_spark.pipelines.curation import _hash_bucket
+
+    docs = ensure_min_parallelism(docs, id_col)
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    stream = (
+        docs.select(F.col(id_col).alias("id"), toks.alias("_t"))
+        .where(F.size("_t") >= 1)
+        .select("id", F.explode("_t").alias("w"))
+        .select("id", _hash_bucket(F.col("w"), seed, buckets).alias("b"))
+    )
+    tf = stream.groupBy("id", "b").agg(F.count("*").cast("bigint").alias("tf"))
+    df_t = tf.groupBy("b").agg(F.count("*").alias("df"))
+    n_docs = tf.select("id").distinct().agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(df_t, "b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("b").alias("bucket"),
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )

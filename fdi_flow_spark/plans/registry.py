@@ -3339,6 +3339,63 @@ def q_text_normalize(spark, sf_dir):
     return normalize_text(docs2)
 
 
+@register(
+    "ngram_counts",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'),
+                         t -> LENGTH(t) > 0) AS tk
+      FROM documents),
+    g AS (SELECT doc_id,
+                 UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i + 1])) AS gram
+          FROM toks WHERE LEN(tk) >= 2)
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS count,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM g GROUP BY gram ORDER BY count DESC, gram ASC LIMIT 50
+    """,
+)
+def q_ngram_counts(spark, sf_dir):
+    """Corpus-level top-50 bigram statistics — the n-gram stats line of the
+    SURVEY 2.9 planned text surface. Deterministic cut: (count DESC, gram
+    ASC); TakeOrdered, never a full sort."""
+    from fdi_flow_spark.pipelines.text import ngram_counts
+
+    return ngram_counts(load_table(spark, sf_dir, "documents"), n=2, top=50)
+
+
+@register(
+    "tfidf_vectors",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'),
+                         t -> LENGTH(t) > 0) AS tk
+      FROM documents),
+    w AS (SELECT doc_id, UNNEST(tk) AS w FROM toks WHERE LEN(tk) >= 1),
+    hb AS (SELECT doc_id,
+                  ('0x' || SUBSTR(MD5('11:' || w), 1, 8))::BIGINT % 1024 AS b
+           FROM w),
+    tf AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM hb GROUP BY doc_id, b),
+    dft AS (SELECT b, COUNT(*) AS df FROM tf GROUP BY b),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf)
+    SELECT tf.doc_id, tf.b AS bucket, tf.tf,
+           ROUND(tf.tf * (LN((nd.n_docs + 1.0) / (dft.df + 1.0)) + 1.0), 6)
+             AS tfidf
+    FROM tf JOIN dft USING (b) CROSS JOIN nd
+    """,
+)
+def q_tfidf_vectors(spark, sf_dir):
+    """Hashed TF-IDF document vectors (HashingTF + smooth IDF) — the
+    HashingTF/IDF line of the SURVEY 2.9 planned text surface, sparse
+    (doc_id, bucket, tf, tfidf) rows with the md5-bridge bucket hash."""
+    from fdi_flow_spark.pipelines.text import tfidf_vectors
+
+    return tfidf_vectors(load_table(spark, sf_dir, "documents"), buckets=1024)
+
+
 @register("bpe_tokenize")
 def q_bpe_tokenize(spark, sf_dir):
     """Train a 40-merge BPE on the corpus word histogram (one corpus scan;
@@ -3493,6 +3550,11 @@ _WINDOW_EXCLUDED_ORACLES = {
     "span_contamination",  # same _token_windows kernel as in-window
                            # span_dedup; the stream-static overlap join is
                            # streaming-parity-tested + pytest-hash-checked
+    "ngram_counts",   # explode+agg+TakeOrdered kernel family as in-window
+                      # token_counts/bm25_search — pytest-hash-checked
+    "tfidf_vectors",  # md5-bridge bucket hash + count-table stats, same
+                      # family as in-window dsir_weights — pytest-hash-
+                      # checked
 }
 
 

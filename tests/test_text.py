@@ -50,3 +50,56 @@ def test_normalize_text_nfc_and_cleanup(spark):
         assert out[i].clean_md5 == hashlib.md5(want.encode()).hexdigest(), i
         assert out[i].n_clean_chars == len(want)
     assert out[1].n_raw_chars == len("cafe\u0301 au lait")  # code points, pre-NFC
+
+
+# ---------------------------------------------------- tf-idf / n-gram stats
+
+
+def test_tfidf_semantics(spark):
+    import math
+
+    from fdi_flow_spark.pipelines.text import tfidf_vectors
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry"),
+            (3, "banana banana banana"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_vectors(docs, buckets=4096).collect()
+    # no hash collisions expected at 3 words / 4096 buckets
+    by_doc_bucket = {(r.doc_id, r.bucket): r for r in rows}
+    buckets_of = {}
+    for r in rows:
+        buckets_of.setdefault(r.doc_id, set()).add(r.bucket)
+    assert len(buckets_of[1]) == 2 and len(buckets_of[2]) == 2 and len(buckets_of[3]) == 1
+    apple_b = (buckets_of[1] & buckets_of[2]).pop()
+    banana_b = (buckets_of[1] & buckets_of[3]).pop()
+    assert by_doc_bucket[(1, apple_b)].tf == 2
+    assert by_doc_bucket[(3, banana_b)].tf == 3
+    # smooth idf: ln((N+1)/(df+1)) + 1 with N=3
+    idf_apple = math.log(4 / 3) + 1  # df=2
+    assert abs(by_doc_bucket[(1, apple_b)].tfidf - round(2 * idf_apple, 6)) < 1e-9
+    idf_banana = math.log(4 / 3) + 1  # df=2
+    assert abs(by_doc_bucket[(3, banana_b)].tfidf - round(3 * idf_banana, 6)) < 1e-9
+
+
+def test_ngram_counts_order_and_df(spark):
+    from fdi_flow_spark.pipelines.text import ngram_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),
+            (2, "a b c"),
+            (3, "z z"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = ngram_counts(docs, n=2, top=3).collect()
+    assert [(r.gram, r["count"], r.doc_freq) for r in rows] == [
+        ("a b", 3, 2),  # twice in doc 1, once in doc 2
+        ("b a", 1, 1),
+        ("b c", 1, 1),
+    ]
