@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "bpe_tokenize",
     "ngram_counts",
     "tfidf_vectors",
+    "cosine_topk_ivfpq",
 ]
 
 

@@ -341,3 +341,138 @@ def cosine_topk_pq(
             F.round("_score", 6).alias("cosine"),
         )
     )
+
+
+def cosine_topk_ivfpq(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    m: int = 32,
+    ks: int = 16,
+    n_iter: int = 2,
+    nlist: int = 32,
+    nprobe: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the canonical billion-scale ANN layout (Jegou et al. 2011):
+    a spherical-k-means coarse quantizer prunes the search to ``nprobe`` of
+    ``nlist`` cells, and PQ codes + per-query ADC lookup tables score the
+    survivors. Composes the existing IVF coarse quantizer with ``pq_train``;
+    cell assignment and PQ encoding run in ONE fused Arrow pass, so the
+    candidate side streams exactly once and what shuffles afterwards is
+    ``(cell, codes, norm)`` — ~4*d/m-fold fewer bytes than vectors.
+
+    PQ here quantizes the raw vectors (no residual encoding — simpler and
+    deterministic; the residual variant is the accuracy upgrade at equal
+    code size). Same output schema as ``cosine_topk_bruteforce``; recall
+    floors are pinned in tests/test_quantization.py."""
+    from fdi_flow_spark.pipelines.similarity import _train_spherical_centroids
+
+    C = _train_spherical_centroids(candidates, vec_col, nlist, seed)  # normalized
+    books = pq_train(
+        candidates, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    spark = candidates.sparkSession
+    mm, _, sub = books.shape
+    bc_enc = spark.sparkContext.broadcast((C, books))
+
+    @F.pandas_udf("struct<cell: bigint, codes: array<bigint>, norm: double>")
+    def enc2(v: pd.Series) -> pd.DataFrame:
+        Cn, B = bc_enc.value
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        n = len(X)
+        norms = np.linalg.norm(X, axis=1)
+        Xn = X / np.maximum(norms[:, None], 1e-12)
+        cells = np.argmax(Xn @ Cn.T, axis=1).astype(np.int64)
+        codes = np.empty((n, mm), dtype=np.int64)
+        for j in range(mm):
+            Xj = X[:, j * sub : (j + 1) * sub]
+            d2 = ((Xj[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.DataFrame({"cell": cells, "codes": list(codes), "norm": norms})
+
+    cand = (
+        ensure_min_parallelism(candidates, id_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            enc2(F.col(vec_col).cast("array<double>")).alias("_e"),
+        )
+        .select(
+            "neighbor_id",
+            F.col("_e.cell").alias("cell"),
+            F.col("_e.codes").alias("codes"),
+            F.col("_e.norm").alias("norm"),
+        )
+    )
+
+    qrows = queries.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], schema="query_id long, rank long, neighbor_id long, cosine double"
+        )
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["_v"] for r in qrows], dtype=np.float64)
+    q_norm = np.maximum(np.linalg.norm(q_mat, axis=1), 1e-12)
+    qn_mat = q_mat / q_norm[:, None]
+    lut = np.stack(
+        [q_mat[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(mm)], axis=1
+    )
+    order = np.argsort(-(qn_mat @ C.T), axis=1)[:, : min(nprobe, nlist)]
+    probes = spark.createDataFrame(
+        [(int(q), int(c)) for q, cs in zip(q_ids, order) for c in cs],
+        schema="query_id long, cell long",
+    )
+    bc_score = spark.sparkContext.broadcast(
+        ({int(q): i for i, q in enumerate(q_ids)}, q_norm, lut)
+    )
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("_score", DoubleType()),
+        ]
+    )
+
+    def adc_score(batches):
+        qpos, qn_b, lut_b = bc_score.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qi = pdf["query_id"].map(qpos).to_numpy().astype(np.int64)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            cn = np.maximum(pdf["norm"].to_numpy().astype(np.float64), 1e-12)
+            s = np.zeros(len(codes))
+            for j in range(lut_b.shape[1]):
+                s += lut_b[qi, j, codes[:, j]]
+            s /= qn_b[qi] * cn
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "_score": s,
+                }
+            )
+
+    joined = cand.join(F.broadcast(probes), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = joined.select("query_id", "neighbor_id", "codes", "norm").mapInPandas(
+        adc_score, schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            F.round("_score", 6).alias("cosine"),
+        )
+    )

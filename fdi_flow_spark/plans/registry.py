@@ -3396,6 +3396,20 @@ def q_tfidf_vectors(spark, sf_dir):
     return tfidf_vectors(load_table(spark, sf_dir, "documents"), buckets=1024)
 
 
+@register("cosine_topk_ivfpq")
+def q_cosine_topk_ivfpq(spark, sf_dir):
+    """IVF-PQ top-5 (coarse-cell pruning + ADC over PQ codes, one fused
+    encode pass) for the same query set as ``cosine_topk`` — approximate
+    by construction (no SQL oracle); recall floor and determinism pinned
+    in tests/test_quantization.py."""
+    from fdi_flow_spark.pipelines.quantization import cosine_topk_ivfpq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivfpq(
+        emb.where(F.col("vec_id") % 25 == 0), emb, k=5, m=32, ks=16, nlist=16, nprobe=8
+    )
+
+
 @register("bpe_tokenize")
 def q_bpe_tokenize(spark, sf_dir):
     """Train a 40-merge BPE on the corpus word histogram (one corpus scan;

@@ -98,3 +98,29 @@ def test_pq_rejects_indivisible_dim(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(df, m=2, ks=1, n_iter=0)
+
+
+def test_ivfpq_recall_floor_and_contract(emb):
+    from pyspark.sql import functions as F
+
+    from fdi_flow_spark.pipelines.quantization import cosine_topk_ivfpq
+    from fdi_flow_spark.pipelines.similarity import cosine_topk_bruteforce
+
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk_bruteforce(q, emb, k=5).toPandas()
+    approx = cosine_topk_ivfpq(
+        q, emb, k=5, m=32, ks=16, nlist=16, nprobe=8
+    ).toPandas()
+    ex = exact.groupby("query_id")["neighbor_id"].apply(set)
+    ap = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recall = np.mean([len(ex[i] & ap.get(i, set())) / 5 for i in ex.index])
+    assert recall >= 0.45  # measured 0.63 at sf0.001, 0.62 at sf0.01
+    assert (approx.groupby("query_id")["rank"].max() == 5).all()
+    assert (approx["query_id"] != approx["neighbor_id"]).all()
+    # determinism: coarse quantizer, codebooks, and ranks are all seeded
+    again = cosine_topk_ivfpq(
+        q, emb, k=5, m=32, ks=16, nlist=16, nprobe=8
+    ).toPandas()
+    assert again.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
+        approx.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
