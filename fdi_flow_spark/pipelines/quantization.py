@@ -343,37 +343,12 @@ def cosine_topk_pq(
     )
 
 
-def cosine_topk_ivfpq(
-    queries: DataFrame,
-    candidates: DataFrame,
-    k: int = 5,
-    m: int = 32,
-    ks: int = 16,
-    n_iter: int = 2,
-    nlist: int = 32,
-    nprobe: int = 8,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _ivfpq_encode(
+    candidates: DataFrame, C: np.ndarray, books: np.ndarray, id_col: str, vec_col: str
 ) -> DataFrame:
-    """IVF-PQ — the canonical billion-scale ANN layout (Jegou et al. 2011):
-    a spherical-k-means coarse quantizer prunes the search to ``nprobe`` of
-    ``nlist`` cells, and PQ codes + per-query ADC lookup tables score the
-    survivors. Composes the existing IVF coarse quantizer with ``pq_train``;
-    cell assignment and PQ encoding run in ONE fused Arrow pass, so the
-    candidate side streams exactly once and what shuffles afterwards is
-    ``(cell, codes, norm)`` — ~4*d/m-fold fewer bytes than vectors.
-
-    PQ here quantizes the raw vectors (no residual encoding — simpler and
-    deterministic; the residual variant is the accuracy upgrade at equal
-    code size). Same output schema as ``cosine_topk_bruteforce``; recall
-    floors are pinned in tests/test_quantization.py."""
-    from fdi_flow_spark.pipelines.similarity import _train_spherical_centroids
-
-    C = _train_spherical_centroids(candidates, vec_col, nlist, seed)  # normalized
-    books = pq_train(
-        candidates, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
-    )
+    """ONE fused Arrow pass: coarse-cell assignment + PQ codes + exact
+    norm — the candidate side streams exactly once and everything
+    downstream carries ``(cell, codes, norm)``."""
     spark = candidates.sparkSession
     mm, _, sub = books.shape
     bc_enc = spark.sparkContext.broadcast((C, books))
@@ -393,7 +368,7 @@ def cosine_topk_ivfpq(
             codes[:, j] = d2.argmin(axis=1)
         return pd.DataFrame({"cell": cells, "codes": list(codes), "norm": norms})
 
-    cand = (
+    return (
         ensure_min_parallelism(candidates, id_col)
         .select(
             F.col(id_col).alias("neighbor_id"),
@@ -407,13 +382,18 @@ def cosine_topk_ivfpq(
         )
     )
 
+
+def _ivfpq_probe_plan(queries, C, books, nprobe, id_col, vec_col):
+    """Driver-side probe planning: collect the query matrix, pick each
+    query's ``nprobe`` nearest cells, and precompute the per-query ADC
+    lookup tables. Returns None when there are no queries."""
+    spark = queries.sparkSession
     qrows = queries.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     ).collect()
     if not qrows:
-        return spark.createDataFrame(
-            [], schema="query_id long, rank long, neighbor_id long, cosine double"
-        )
+        return None
+    mm, _, sub = books.shape
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["_v"] for r in qrows], dtype=np.float64)
     q_norm = np.maximum(np.linalg.norm(q_mat, axis=1), 1e-12)
@@ -421,11 +401,19 @@ def cosine_topk_ivfpq(
     lut = np.stack(
         [q_mat[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(mm)], axis=1
     )
-    order = np.argsort(-(qn_mat @ C.T), axis=1)[:, : min(nprobe, nlist)]
+    order = np.argsort(-(qn_mat @ C.T), axis=1)[:, : min(nprobe, len(C))]
     probes = spark.createDataFrame(
         [(int(q), int(c)) for q, cs in zip(q_ids, order) for c in cs],
         schema="query_id long, cell long",
     )
+    probed_cells = sorted({int(c) for cs in order for c in cs})
+    return q_ids, q_norm, lut, probes, probed_cells
+
+
+def _ivfpq_adc_rank(cand, probes, q_ids, q_norm, lut, k) -> DataFrame:
+    """Probe join (broadcast) + ADC scoring (per-query LUT gathers) + the
+    single global rank Exchange."""
+    spark = cand.sparkSession
     bc_score = spark.sparkContext.broadcast(
         ({int(q): i for i, q in enumerate(q_ids)}, q_norm, lut)
     )
@@ -476,3 +464,128 @@ def cosine_topk_ivfpq(
             F.round("_score", 6).alias("cosine"),
         )
     )
+
+
+def cosine_topk_ivfpq(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    m: int = 32,
+    ks: int = 16,
+    n_iter: int = 2,
+    nlist: int = 32,
+    nprobe: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the canonical billion-scale ANN layout (Jegou et al. 2011):
+    a spherical-k-means coarse quantizer prunes the search to ``nprobe`` of
+    ``nlist`` cells, and PQ codes + per-query ADC lookup tables score the
+    survivors. Composes the existing IVF coarse quantizer with ``pq_train``;
+    cell assignment and PQ encoding run in ONE fused Arrow pass, so the
+    candidate side streams exactly once and what shuffles afterwards is
+    ``(cell, codes, norm)`` — ~4*d/m-fold fewer bytes than vectors.
+
+    PQ here quantizes the raw vectors (no residual encoding — simpler and
+    deterministic; the residual variant is the accuracy upgrade at equal
+    code size). Same output schema as ``cosine_topk_bruteforce``; recall
+    floors are pinned in tests/test_quantization.py."""
+    from fdi_flow_spark.pipelines.similarity import _train_spherical_centroids
+
+    C = _train_spherical_centroids(candidates, vec_col, nlist, seed)  # normalized
+    books = pq_train(
+        candidates, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    spark = candidates.sparkSession
+    plan = _ivfpq_probe_plan(queries, C, books, nprobe, id_col, vec_col)
+    if plan is None:
+        return spark.createDataFrame(
+            [], schema="query_id long, rank long, neighbor_id long, cosine double"
+        )
+    q_ids, q_norm, lut, probes, _ = plan
+    cand = _ivfpq_encode(candidates, C, books, id_col, vec_col)
+    return _ivfpq_adc_rank(cand, probes, q_ids, q_norm, lut, k)
+
+
+def ivfpq_build_index(
+    candidates: DataFrame,
+    path: str,
+    m: int = 32,
+    ks: int = 16,
+    n_iter: int = 2,
+    nlist: int = 32,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF-PQ index: ``{path}/centroids`` (nlist tiny
+    rows), ``{path}/codebooks`` (m x ks tiny rows), and
+    ``{path}/postings`` — ``(neighbor_id, codes, norm)`` written
+    ``partitionBy(cell)``. The postings hold PQ codes INSTEAD of vectors,
+    so the persisted index is ~4*d/m-fold smaller than the float IVF
+    postings of ``ivf_build_index`` — at 100 TB that is the difference
+    between an in-memory probe and a spilling one. One full fused-encode
+    pass over the corpus; the quantizers retrain only on drift."""
+    from fdi_flow_spark.pipelines.similarity import _train_spherical_centroids
+
+    C = _train_spherical_centroids(candidates, vec_col, nlist, seed)
+    books = pq_train(
+        candidates, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    spark = candidates.sparkSession
+    spark.createDataFrame(
+        [(int(j), [float(x) for x in C[j]]) for j in range(len(C))],
+        schema="cell long, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    mm, kk, _ = books.shape
+    spark.createDataFrame(
+        [
+            (int(j), int(c), [float(x) for x in books[j, c]])
+            for j in range(mm)
+            for c in range(kk)
+        ],
+        schema="subspace long, code long, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    _ivfpq_encode(candidates, C, books, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/postings")
+
+
+def ivfpq_query_index(
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index: probe cells are chosen against the
+    tiny centroid table, the postings scan is filtered to the probed cells
+    (partition-pruned read — I/O scales with ``nprobe/nlist`` of the
+    index), and scoring is ADC over the stored codes. Same output schema
+    as ``cosine_topk_bruteforce``; plan-asserted pruning in
+    tests/test_quantization.py."""
+    spark = queries.sparkSession
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    C = np.zeros((len(crows), len(crows[0]["centroid"])))
+    for r in crows:
+        C[int(r["cell"])] = r["centroid"]
+    brows = spark.read.parquet(f"{path}/codebooks").collect()
+    mm = 1 + max(int(r["subspace"]) for r in brows)
+    kk = 1 + max(int(r["code"]) for r in brows)
+    sub = len(brows[0]["centroid"])
+    books = np.zeros((mm, kk, sub))
+    for r in brows:
+        books[int(r["subspace"]), int(r["code"])] = r["centroid"]
+
+    plan = _ivfpq_probe_plan(queries, C, books, nprobe, id_col, vec_col)
+    if plan is None:
+        return spark.createDataFrame(
+            [], schema="query_id long, rank long, neighbor_id long, cosine double"
+        )
+    q_ids, q_norm, lut, probes, probed_cells = plan
+    postings = spark.read.parquet(f"{path}/postings").where(
+        F.col("cell").isin(probed_cells)  # partition filter -> pruned read
+    )
+    return _ivfpq_adc_rank(postings, probes, q_ids, q_norm, lut, k)

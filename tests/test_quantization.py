@@ -124,3 +124,45 @@ def test_ivfpq_recall_floor_and_contract(emb):
     assert again.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
         approx.sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
+
+
+def test_ivfpq_index_roundtrip_and_pruned_scan(spark, emb, tmp_path_factory):
+    """The persisted IVF-PQ index must return EXACTLY the in-flight
+    cosine_topk_ivfpq results (same seeds -> same quantizers), and the
+    postings probe must be a partition-pruned parquet scan."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from fdi_flow_spark.pipelines.quantization import (
+        cosine_topk_ivfpq,
+        ivfpq_build_index,
+        ivfpq_query_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfpq_idx"))
+    ivfpq_build_index(emb, path, m=8, ks=16, n_iter=1, nlist=16)
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    from_index = ivfpq_query_index(q, path, k=5, nprobe=4)
+    inflight = cosine_topk_ivfpq(
+        q, emb, k=5, m=8, ks=16, n_iter=1, nlist=16, nprobe=4
+    )
+    a = from_index.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = inflight.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 0
+
+    # one query + nprobe=4 over nlist=16: the postings read must carry a
+    # 4-cell INSET partition filter -> only those directories are scanned
+    one = ivfpq_query_index(emb.where(F.col("vec_id") == 0), path, k=5, nprobe=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    m = re.search(r"IN(?:SET)? \(?([\d, ]+)\)?", pf)
+    assert m, pf
+    assert len([c for c in m.group(1).split(",") if c.strip()]) == 4, pf
