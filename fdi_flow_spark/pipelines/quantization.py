@@ -344,26 +344,33 @@ def cosine_topk_pq(
 
 
 def _ivfpq_encode(
-    candidates: DataFrame, C: np.ndarray, books: np.ndarray, id_col: str, vec_col: str
+    candidates: DataFrame,
+    C: np.ndarray,
+    books: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    M: np.ndarray | None = None,
 ) -> DataFrame:
     """ONE fused Arrow pass: coarse-cell assignment + PQ codes + exact
     norm — the candidate side streams exactly once and everything
-    downstream carries ``(cell, codes, norm)``."""
+    downstream carries ``(cell, codes, norm)``. With an anchor ``M`` the
+    PQ codes quantize ``x - M[cell]`` (residual IVFPQ)."""
     spark = candidates.sparkSession
     mm, _, sub = books.shape
-    bc_enc = spark.sparkContext.broadcast((C, books))
+    bc_enc = spark.sparkContext.broadcast((C, books, M))
 
     @F.pandas_udf("struct<cell: bigint, codes: array<bigint>, norm: double>")
     def enc2(v: pd.Series) -> pd.DataFrame:
-        Cn, B = bc_enc.value
+        Cn, B, Mn = bc_enc.value
         X = np.stack(v.to_numpy()).astype(np.float64)
         n = len(X)
         norms = np.linalg.norm(X, axis=1)
         Xn = X / np.maximum(norms[:, None], 1e-12)
         cells = np.argmax(Xn @ Cn.T, axis=1).astype(np.int64)
+        T = X - Mn[cells] if Mn is not None else X
         codes = np.empty((n, mm), dtype=np.int64)
         for j in range(mm):
-            Xj = X[:, j * sub : (j + 1) * sub]
+            Xj = T[:, j * sub : (j + 1) * sub]
             d2 = ((Xj[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
             codes[:, j] = d2.argmin(axis=1)
         return pd.DataFrame({"cell": cells, "codes": list(codes), "norm": norms})
@@ -380,6 +387,86 @@ def _ivfpq_encode(
             F.col("_e.codes").alias("codes"),
             F.col("_e.norm").alias("norm"),
         )
+    )
+
+
+def _cell_means(candidates, C, vec_col):
+    """True (unnormalized) per-cell means under the spherical assignment —
+    the residual anchor. The spherical centroids themselves are UNIT
+    vectors, so ``x - C[cell]`` is not centered (residual-PQ against them
+    measured WORSE than raw PQ: 0.54 vs 0.63 recall@5); anchoring at the
+    actual cell means recenters the residuals. One mapInPandas pass
+    reducing to ``#partitions x nlist`` partial rows; empty cells fall
+    back to the unit centroid."""
+    nlist, d = C.shape
+    bc = candidates.sparkSession.sparkContext.broadcast(C)
+    part_schema = StructType(
+        [
+            StructField("cell", LongType()),
+            StructField("_n", LongType()),
+            StructField("_s", ArrayType(DoubleType())),
+        ]
+    )
+
+    def partials(batches):
+        Cn = bc.value
+        cnt = np.zeros(nlist, dtype=np.int64)
+        sm = np.zeros((nlist, d))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            cells = np.argmax(Xn @ Cn.T, axis=1)
+            cnt += np.bincount(cells, minlength=nlist)
+            for c in range(nlist):
+                msk = cells == c
+                if msk.any():
+                    sm[c] += X[msk].sum(axis=0)
+        hit = np.nonzero(cnt)[0]
+        if len(hit):
+            yield pd.DataFrame(
+                {
+                    "cell": hit.astype(np.int64),
+                    "_n": cnt[hit],
+                    "_s": [sm[c].tolist() for c in hit],
+                }
+            )
+
+    part = candidates.select(
+        F.col(vec_col).cast("array<double>").alias("_v")
+    ).mapInPandas(partials, part_schema)
+    rows = (
+        part.groupBy("cell")
+        .agg(
+            F.sum("_n").alias("n"),
+            F.array(*[F.sum(F.col("_s")[i]) for i in range(d)]).alias("s"),
+        )
+        .collect()
+    )
+    M = C.copy()
+    for r in rows:
+        M[int(r["cell"])] = np.array(r["s"], dtype=np.float64) / float(r["n"])
+    return M
+
+
+def _residual_df(candidates, C, M, id_col, vec_col):
+    """Residual stream ``x - M[cell(x)]`` for residual-PQ training (lazy —
+    pq_train's passes recompute it, trading one extra UDF evaluation per
+    pass for never materializing a second corpus). Assignment is by the
+    spherical centroids ``C``; the anchor is the true cell mean ``M``."""
+    bc = candidates.sparkSession.sparkContext.broadcast((C, M))
+
+    @F.pandas_udf("array<double>")
+    def resid(v: pd.Series) -> pd.Series:
+        Cn, Mn = bc.value
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        cells = np.argmax(Xn @ Cn.T, axis=1)
+        return pd.Series(list(X - Mn[cells]))
+
+    return ensure_min_parallelism(candidates, id_col).select(
+        F.col(id_col), resid(F.col(vec_col).cast("array<double>")).alias(vec_col)
     )
 
 
@@ -407,15 +494,16 @@ def _ivfpq_probe_plan(queries, C, books, nprobe, id_col, vec_col):
         schema="query_id long, cell long",
     )
     probed_cells = sorted({int(c) for cs in order for c in cs})
-    return q_ids, q_norm, lut, probes, probed_cells
+    return q_ids, q_norm, lut, probes, probed_cells, q_mat
 
 
-def _ivfpq_adc_rank(cand, probes, q_ids, q_norm, lut, k) -> DataFrame:
+def _ivfpq_adc_rank(cand, probes, q_ids, q_norm, lut, k, qc=None) -> DataFrame:
     """Probe join (broadcast) + ADC scoring (per-query LUT gathers) + the
-    single global rank Exchange."""
+    single global rank Exchange. With ``qc`` (residual mode) the score
+    adds the exact ``<q, C[cell]>`` coarse term back."""
     spark = cand.sparkSession
     bc_score = spark.sparkContext.broadcast(
-        ({int(q): i for i, q in enumerate(q_ids)}, q_norm, lut)
+        ({int(q): i for i, q in enumerate(q_ids)}, q_norm, lut, qc)
     )
     schema = StructType(
         [
@@ -426,7 +514,7 @@ def _ivfpq_adc_rank(cand, probes, q_ids, q_norm, lut, k) -> DataFrame:
     )
 
     def adc_score(batches):
-        qpos, qn_b, lut_b = bc_score.value
+        qpos, qn_b, lut_b, qc_b = bc_score.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -436,6 +524,9 @@ def _ivfpq_adc_rank(cand, probes, q_ids, q_norm, lut, k) -> DataFrame:
             s = np.zeros(len(codes))
             for j in range(lut_b.shape[1]):
                 s += lut_b[qi, j, codes[:, j]]
+            if qc_b is not None:
+                cells = pdf["cell"].to_numpy().astype(np.int64)
+                s += qc_b[qi, cells]
             s /= qn_b[qi] * cn
             yield pd.DataFrame(
                 {
@@ -448,9 +539,9 @@ def _ivfpq_adc_rank(cand, probes, q_ids, q_norm, lut, k) -> DataFrame:
     joined = cand.join(F.broadcast(probes), "cell").where(
         F.col("query_id") != F.col("neighbor_id")
     )
-    scored = joined.select("query_id", "neighbor_id", "codes", "norm").mapInPandas(
-        adc_score, schema
-    )
+    scored = joined.select(
+        "query_id", "neighbor_id", "cell", "codes", "norm"
+    ).mapInPandas(adc_score, schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("_score").desc(), F.col("neighbor_id").asc()
     )
@@ -478,6 +569,7 @@ def cosine_topk_ivfpq(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ — the canonical billion-scale ANN layout (Jegou et al. 2011):
     a spherical-k-means coarse quantizer prunes the search to ``nprobe`` of
@@ -487,15 +579,21 @@ def cosine_topk_ivfpq(
     candidate side streams exactly once and what shuffles afterwards is
     ``(cell, codes, norm)`` — ~4*d/m-fold fewer bytes than vectors.
 
-    PQ here quantizes the raw vectors (no residual encoding — simpler and
-    deterministic; the residual variant is the accuracy upgrade at equal
-    code size). Same output schema as ``cosine_topk_bruteforce``; recall
-    floors are pinned in tests/test_quantization.py."""
+    ``residual=True`` is the FAISS IVFPQ layout: PQ quantizes
+    ``x - C[cell]`` and ADC adds the exact ``<q, C[cell]>`` coarse term
+    back — higher recall at the same code size for one extra training
+    UDF per pass. Same output schema as ``cosine_topk_bruteforce``;
+    recall floors for both modes are pinned in
+    tests/test_quantization.py."""
     from fdi_flow_spark.pipelines.similarity import _train_spherical_centroids
 
     C = _train_spherical_centroids(candidates, vec_col, nlist, seed)  # normalized
+    M = _cell_means(candidates, C, vec_col) if residual else None
+    train_src = (
+        _residual_df(candidates, C, M, id_col, vec_col) if residual else candidates
+    )
     books = pq_train(
-        candidates, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        train_src, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )
     spark = candidates.sparkSession
     plan = _ivfpq_probe_plan(queries, C, books, nprobe, id_col, vec_col)
@@ -503,9 +601,10 @@ def cosine_topk_ivfpq(
         return spark.createDataFrame(
             [], schema="query_id long, rank long, neighbor_id long, cosine double"
         )
-    q_ids, q_norm, lut, probes, _ = plan
-    cand = _ivfpq_encode(candidates, C, books, id_col, vec_col)
-    return _ivfpq_adc_rank(cand, probes, q_ids, q_norm, lut, k)
+    q_ids, q_norm, lut, probes, _, q_mat = plan
+    cand = _ivfpq_encode(candidates, C, books, id_col, vec_col, M=M)
+    qc = (q_mat @ M.T) if residual else None
+    return _ivfpq_adc_rank(cand, probes, q_ids, q_norm, lut, k, qc=qc)
 
 
 def ivfpq_build_index(
@@ -518,6 +617,7 @@ def ivfpq_build_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> None:
     """Materialize an IVF-PQ index: ``{path}/centroids`` (nlist tiny
     rows), ``{path}/codebooks`` (m x ks tiny rows), and
@@ -530,13 +630,24 @@ def ivfpq_build_index(
     from fdi_flow_spark.pipelines.similarity import _train_spherical_centroids
 
     C = _train_spherical_centroids(candidates, vec_col, nlist, seed)
+    M = _cell_means(candidates, C, vec_col) if residual else None
+    train_src = (
+        _residual_df(candidates, C, M, id_col, vec_col) if residual else candidates
+    )
     books = pq_train(
-        candidates, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        train_src, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )
     spark = candidates.sparkSession
     spark.createDataFrame(
-        [(int(j), [float(x) for x in C[j]]) for j in range(len(C))],
-        schema="cell long, centroid array<double>",
+        [(bool(residual),)], schema="residual boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    anchor = M if M is not None else C
+    spark.createDataFrame(
+        [
+            (int(j), [float(x) for x in C[j]], [float(x) for x in anchor[j]])
+            for j in range(len(C))
+        ],
+        schema="cell long, centroid array<double>, anchor array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     mm, kk, _ = books.shape
     spark.createDataFrame(
@@ -547,7 +658,7 @@ def ivfpq_build_index(
         ],
         schema="subspace long, code long, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-    _ivfpq_encode(candidates, C, books, id_col, vec_col).write.mode(
+    _ivfpq_encode(candidates, C, books, id_col, vec_col, M=M).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(f"{path}/postings")
 
@@ -567,10 +678,13 @@ def ivfpq_query_index(
     as ``cosine_topk_bruteforce``; plan-asserted pruning in
     tests/test_quantization.py."""
     spark = queries.sparkSession
+    residual = bool(spark.read.parquet(f"{path}/meta").first()["residual"])
     crows = spark.read.parquet(f"{path}/centroids").collect()
     C = np.zeros((len(crows), len(crows[0]["centroid"])))
+    A = np.zeros_like(C)
     for r in crows:
         C[int(r["cell"])] = r["centroid"]
+        A[int(r["cell"])] = r["anchor"]
     brows = spark.read.parquet(f"{path}/codebooks").collect()
     mm = 1 + max(int(r["subspace"]) for r in brows)
     kk = 1 + max(int(r["code"]) for r in brows)
@@ -584,8 +698,9 @@ def ivfpq_query_index(
         return spark.createDataFrame(
             [], schema="query_id long, rank long, neighbor_id long, cosine double"
         )
-    q_ids, q_norm, lut, probes, probed_cells = plan
+    q_ids, q_norm, lut, probes, probed_cells, q_mat = plan
     postings = spark.read.parquet(f"{path}/postings").where(
         F.col("cell").isin(probed_cells)  # partition filter -> pruned read
     )
-    return _ivfpq_adc_rank(postings, probes, q_ids, q_norm, lut, k)
+    qc = (q_mat @ A.T) if residual else None
+    return _ivfpq_adc_rank(postings, probes, q_ids, q_norm, lut, k, qc=qc)

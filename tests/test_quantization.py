@@ -166,3 +166,47 @@ def test_ivfpq_index_roundtrip_and_pruned_scan(spark, emb, tmp_path_factory):
     m = re.search(r"IN(?:SET)? \(?([\d, ]+)\)?", pf)
     assert m, pf
     assert len([c for c in m.group(1).split(",") if c.strip()]) == 4, pf
+
+
+def test_ivfpq_residual_mode_recall_and_roundtrip(spark, emb, tmp_path_factory):
+    """Residual IVFPQ (codes quantize x - mean[cell], ADC adds the exact
+    <q, mean[cell]> term back) must hold the same recall floor, and the
+    persisted residual index must reproduce the in-flight path exactly.
+    On this near-isotropic corpus residual measures ~parity with raw PQ
+    (0.62-0.63 both) — the anchoring matters on clustered data."""
+    from pyspark.sql import functions as F
+
+    from fdi_flow_spark.pipelines.quantization import (
+        cosine_topk_ivfpq,
+        ivfpq_build_index,
+        ivfpq_query_index,
+    )
+    from fdi_flow_spark.pipelines.similarity import cosine_topk_bruteforce
+
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk_bruteforce(q, emb, k=5).toPandas()
+    approx = cosine_topk_ivfpq(
+        q, emb, k=5, m=32, ks=16, nlist=16, nprobe=8, residual=True
+    ).toPandas()
+    ex = exact.groupby("query_id")["neighbor_id"].apply(set)
+    ap = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recall = np.mean([len(ex[i] & ap.get(i, set())) / 5 for i in ex.index])
+    assert recall >= 0.45  # measured 0.62 at sf0.001
+
+    path = str(tmp_path_factory.mktemp("ivfpq_res_idx"))
+    ivfpq_build_index(emb, path, m=8, ks=16, n_iter=1, nlist=16, residual=True)
+    from_index = (
+        ivfpq_query_index(q, path, k=5, nprobe=4)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    inflight = (
+        cosine_topk_ivfpq(
+            q, emb, k=5, m=8, ks=16, n_iter=1, nlist=16, nprobe=4, residual=True
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert from_index.equals(inflight) and len(from_index) > 0
