@@ -386,6 +386,90 @@ def ngram_counts(
     )
 
 
+def _bucket_stream(docs, buckets, seed, id_col, text_col):
+    """Per-occurrence lowercase word unigrams hashed into md5-bridge
+    buckets: ``(id, b)``."""
+    from fdi_flow_spark.pipelines.curation import _hash_bucket
+
+    docs = ensure_min_parallelism(docs, id_col)
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    return (
+        docs.select(F.col(id_col).alias("id"), toks.alias("_t"))
+        .where(F.size("_t") >= 1)
+        .select("id", F.explode("_t").alias("w"))
+        .select("id", _hash_bucket(F.col("w"), seed, buckets).alias("b"))
+    )
+
+
+def tfidf_fit(
+    docs: DataFrame,
+    buckets: int = 1024,
+    seed: int = 11,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fit the idf model OFFLINE: one ``buckets``-row table ``(b, idf)``
+    over the FULL bucket domain (buckets unseen in the fit corpus carry
+    the pure-smoothed ``ln(N + 1) + 1``), so ``tfidf_score`` can
+    inner-join any document stream without dropping grams.
+    ``idf = ln((N + 1) / (df + 1)) + 1`` — the sklearn/MLlib smooth-idf
+    form. One gram scan; df aggregates the per-(doc, bucket) count table,
+    never a second corpus scan."""
+    stream = _bucket_stream(docs, buckets, seed, id_col, text_col)
+    tf = stream.groupBy("id", "b").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("b").agg(F.count("*").alias("df"))
+    n_docs = tf.select("id").distinct().agg(F.count("*").alias("n_docs"))
+    domain = docs.sparkSession.range(buckets).select(F.col("id").alias("b"))
+    return (
+        domain.join(df_t, "b", "left")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.col("n_docs") + 1)
+                    / (F.coalesce(F.col("df"), F.lit(0)) + 1)
+                )
+                + F.lit(1.0)
+            ).alias("idf"),
+        )
+    )
+
+
+def tfidf_score(
+    docs: DataFrame,
+    model: DataFrame,
+    buckets: int = 1024,
+    seed: int = 11,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Score documents against a fitted idf model (``tfidf_fit`` output —
+    must share ``buckets``/``seed``). Output is sparse, one row per
+    non-zero slot: ``(doc_id, bucket, tf, tfidf)`` with ``tfidf`` rounded
+    to 6 dp.
+
+    ``docs`` may be a STREAMING DataFrame: the model join runs BEFORE the
+    per-(doc, bucket) aggregation, so the pipeline is one stream-static
+    join plus one aggregation (complete-mode parity test in
+    tests/test_streaming.py)."""
+    g = _bucket_stream(docs, buckets, seed, id_col, text_col)
+    if broadcast_model:
+        model = F.broadcast(model)
+    return (
+        g.join(model, "b")
+        .groupBy("id", "b")
+        .agg(
+            F.count("*").cast("bigint").alias("tf"),
+            F.round(F.count("*") * F.first("idf"), 6).alias("tfidf"),
+        )
+        .select(
+            F.col("id").alias(id_col), F.col("b").alias("bucket"), "tf", "tfidf"
+        )
+    )
+
+
 def tfidf_vectors(
     docs: DataFrame,
     buckets: int = 1024,
@@ -393,41 +477,10 @@ def tfidf_vectors(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Hashed TF-IDF document vectors (the HashingTF + IDF recipe, exact
-    and engine-portable): lowercase word unigrams hash into ``buckets``
-    slots with the md5-bridge hash; ``tf`` is the per-doc bucket count and
-    ``idf = ln((N + 1) / (df + 1)) + 1`` (the sklearn/MLlib smooth-idf
-    form). Output is sparse, one row per non-zero slot:
-    ``(doc_id, bucket, tf, tfidf)`` with ``tfidf`` rounded to 6 dp.
-
-    Scale shape: one gram scan -> per-(doc, bucket) counts (map-side
-    combinable); the idf side aggregates the SAME count table (never a
-    second corpus scan) down to <= ``buckets`` rows, which Catalyst
-    broadcasts back. The doc total N is a 1-row broadcast."""
-    from fdi_flow_spark.pipelines.curation import _hash_bucket
-
-    docs = ensure_min_parallelism(docs, id_col)
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
-    stream = (
-        docs.select(F.col(id_col).alias("id"), toks.alias("_t"))
-        .where(F.size("_t") >= 1)
-        .select("id", F.explode("_t").alias("w"))
-        .select("id", _hash_bucket(F.col("w"), seed, buckets).alias("b"))
-    )
-    tf = stream.groupBy("id", "b").agg(F.count("*").cast("bigint").alias("tf"))
-    df_t = tf.groupBy("b").agg(F.count("*").alias("df"))
-    n_docs = tf.select("id").distinct().agg(F.count("*").alias("n_docs"))
-    return (
-        tf.join(df_t, "b")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            F.col("id").alias(id_col),
-            F.col("b").alias("bucket"),
-            "tf",
-            F.round(
-                F.col("tf")
-                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
-                6,
-            ).alias("tfidf"),
-        )
+    """Hashed TF-IDF document vectors of the corpus itself (the
+    HashingTF + IDF recipe, exact and engine-portable):
+    ``tfidf_score(docs, tfidf_fit(docs))``. See those for semantics."""
+    model = tfidf_fit(docs, buckets=buckets, seed=seed, id_col=id_col, text_col=text_col)
+    return tfidf_score(
+        docs, model, buckets=buckets, seed=seed, id_col=id_col, text_col=text_col
     )

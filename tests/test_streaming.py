@@ -590,3 +590,53 @@ def test_streaming_span_contamination_equals_batch(spark):
         spark.catalog.dropTempView("spanc_sink")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_tfidf_scoring_equals_batch(spark):
+    """TF-IDF deployment shape: idf is fitted OFFLINE (tfidf_fit on a
+    static corpus); arriving documents score via a stream-static join
+    BEFORE the per-(doc, bucket) aggregation. Rows must equal batch."""
+    import shutil
+    import tempfile
+
+    from fdi_flow_spark.pipelines.text import tfidf_fit, tfidf_score
+
+    fit_docs = spark.createDataFrame(
+        [(100 + i, "apple banana cherry date " + ("apple " * (i % 3))) for i in range(8)],
+        "doc_id long, text string",
+    )
+    model = tfidf_fit(fit_docs, buckets=512)
+    batch = spark.createDataFrame(
+        [
+            (0, "apple apple banana"),
+            (1, "cherry unseen words"),
+            (2, "date date date apple"),
+        ],
+        "doc_id long, text string",
+    )
+    d = tempfile.mkdtemp(prefix="fdi_tfidf_stream_")
+    try:
+        batch.where("doc_id < 2").coalesce(1).write.mode("append").parquet(d)
+        batch.where("doc_id >= 2").coalesce(1).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            tfidf_score(stream, model, buckets=512)
+            .writeStream.format("memory")
+            .queryName("tfidf_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.table("tfidf_sink").collect())
+        expect = sorted(
+            tuple(r) for r in tfidf_score(batch, model, buckets=512).collect()
+        )
+        assert got == expect and len(got) > 0
+        spark.catalog.dropTempView("tfidf_sink")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
