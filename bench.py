@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "ngram_counts",
     "tfidf_vectors",
     "cosine_topk_ivfpq",
+    "gopher_filter",
 ]
 
 

@@ -484,3 +484,93 @@ def tfidf_vectors(
     return tfidf_score(
         docs, model, buckets=buckets, seed=seed, id_col=id_col, text_col=text_col
     )
+
+
+GOPHER_STOPWORDS = LANG_MARKERS["en"]
+
+
+def gopher_filter(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    max_top_bigram_frac: float = 0.2,
+    max_dup_bigram_frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The Gopher quality-rule set (Rae et al. 2021, Appendix A1.1) as ONE
+    keep/drop operator: word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio (hash + ellipsis), alphabetic-word fraction,
+    stopword requirement, and the repetition caps from
+    ``repetition_scores``. Output is total — one row per doc:
+    ``(doc_id, n_words, keep, failed_rules)`` where ``failed_rules`` is
+    the comma-joined alphabetical list of violated rule names (empty
+    string when the doc passes).
+
+    Shape: one pure-projection stats pass + the repetition aggregate
+    (explode + two map-side-combinable aggs) joined back on the id — two
+    corpus scans total, everything JVM-side."""
+    docs = ensure_min_parallelism(docs, id_col)
+    toks = _tokens(F.lower(F.col(text_col)))
+    n_words = F.size(toks)
+    mean_wlen = F.when(
+        n_words > 0,
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t))
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), r"#", ""))
+    n_ellipsis = (
+        F.length(text_col)
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = F.when(n_words > 0, (n_hash + n_ellipsis) / n_words).otherwise(
+        F.lit(0.0)
+    )
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n_words,
+    ).otherwise(F.lit(0.0))
+    stops = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.filter(stops, lambda s: F.array_contains(toks, s)))
+
+    stats = docs.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        mean_wlen.alias("_mwl"),
+        symbol_ratio.alias("_sym"),
+        alpha_frac.alias("_alpha"),
+        stop_hits.alias("_stops"),
+    )
+    rep = repetition_scores(docs, id_col=id_col, text_col=text_col).select(
+        F.col(id_col), "top_bigram_frac", "dup_bigram_frac"
+    )
+    j = stats.join(rep, id_col)
+    fails = [
+        ("alpha_words", F.col("_alpha") < min_alpha_word_frac),
+        ("dup_bigram", F.col("dup_bigram_frac") > max_dup_bigram_frac),
+        (
+            "mean_word_length",
+            (F.col("_mwl") < min_mean_word_len) | (F.col("_mwl") > max_mean_word_len),
+        ),
+        ("stopwords", F.col("_stops") < min_stop_hits),
+        ("symbol_ratio", F.col("_sym") > max_symbol_ratio),
+        ("top_bigram", F.col("top_bigram_frac") > max_top_bigram_frac),
+        (
+            "word_count",
+            (F.col("n_words") < min_words) | (F.col("n_words") > max_words),
+        ),
+    ]
+    failed = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in fails]
+    )
+    return j.select(
+        F.col(id_col),
+        "n_words",
+        (failed == "").alias("keep"),
+        failed.alias("failed_rules"),
+    )

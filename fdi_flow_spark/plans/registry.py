@@ -3410,6 +3410,95 @@ def q_cosine_topk_ivfpq(spark, sf_dir):
     )
 
 
+_SPAM24 = " ".join(["spam"] * 24)
+
+
+@register(
+    "gopher_filter",
+    f"""
+    WITH d2 AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0 THEN 'tiny doc'
+             ELSE text
+               || CASE WHEN doc_id % 7 = 0 THEN ' # # # # # # # #' ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN ' {_SPAM24}' ELSE '' END
+        END AS text
+      FROM documents),
+    toks AS (SELECT doc_id, text,
+                    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'),
+                                t -> LENGTH(t) > 0) AS tk
+             FROM d2),
+    stats AS (SELECT doc_id, LEN(tk) AS n_words,
+      CASE WHEN LEN(tk) > 0
+           THEN LIST_SUM(LIST_TRANSFORM(tk, t -> LENGTH(t))) / LEN(tk)
+           ELSE 0.0 END AS mwl,
+      CASE WHEN LEN(tk) > 0
+           THEN ((LENGTH(text) - LENGTH(REPLACE(text, '#', '')))
+                 + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3)
+                / LEN(tk)
+           ELSE 0.0 END AS sym,
+      CASE WHEN LEN(tk) > 0
+           THEN LEN(LIST_FILTER(tk, t -> REGEXP_MATCHES(t, '[a-z]'))) / LEN(tk)
+           ELSE 0.0 END AS alpha,
+      LEN(LIST_FILTER(['the','and','of','to','is','in','that','it'],
+                      s -> LIST_CONTAINS(tk, s))) AS stops
+      FROM toks),
+    bg AS (SELECT doc_id,
+                  UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 1),
+                         i -> tk[i] || ' ' || tk[i + 1])) AS b
+           FROM toks WHERE LEN(tk) >= 2),
+    bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+    rep0 AS (SELECT doc_id, ROUND(MAX(c) / SUM(c), 6) AS topf,
+                    ROUND(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) / SUM(c), 6)
+                      AS dupf
+             FROM bc GROUP BY doc_id),
+    r AS (SELECT s.doc_id, s.n_words,
+      CONCAT_WS(',',
+        CASE WHEN alpha < 0.8 THEN 'alpha_words' END,
+        CASE WHEN COALESCE(dupf, 0.0) > 0.5 THEN 'dup_bigram' END,
+        CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 'mean_word_length' END,
+        CASE WHEN stops < 1 THEN 'stopwords' END,
+        CASE WHEN sym > 0.1 THEN 'symbol_ratio' END,
+        CASE WHEN COALESCE(topf, 0.0) > 0.2 THEN 'top_bigram' END,
+        CASE WHEN n_words < 30 OR n_words > 100000 THEN 'word_count' END
+      ) AS failed_rules
+      FROM stats s LEFT JOIN rep0 USING (doc_id))
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           (failed_rules = '') AS keep, failed_rules
+    FROM r
+    """,
+)
+def q_gopher_filter(spark, sf_dir):
+    """The Gopher rule set as one keep/drop operator, exercised on planted
+    violations: symbol spam on doc_id%7 (symbol ratio + alpha fraction),
+    a 24x repeated word on doc_id%5 (repetition caps), and a 2-word doc on
+    doc_id%11 (word count + stopwords). The failed-rule list is
+    value-checked verbatim."""
+    from fdi_flow_spark.pipelines.text import gopher_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs2 = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.lit("tiny doc"))
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 7 == 0, F.lit(" # # # # # # # #")).otherwise(
+                    F.lit("")
+                ),
+                F.when(F.col("doc_id") % 5 == 0, F.lit(" " + _SPAM24)).otherwise(
+                    F.lit("")
+                ),
+            )
+        )
+        .alias("text"),
+    )
+    # min_stop_hits=1: the synthetic vocabulary holds at most one of the
+    # English markers per doc, so the paper's >=2 would fail every row and
+    # the keep column would prove nothing
+    return gopher_filter(docs2, min_words=30, min_stop_hits=1)
+
+
 @register("bpe_tokenize")
 def q_bpe_tokenize(spark, sf_dir):
     """Train a 40-merge BPE on the corpus word histogram (one corpus scan;
@@ -3566,6 +3655,9 @@ _WINDOW_EXCLUDED_ORACLES = {
                            # streaming-parity-tested + pytest-hash-checked
     "ngram_counts",   # explode+agg+TakeOrdered kernel family as in-window
                       # token_counts/bm25_search — pytest-hash-checked
+    "gopher_filter",  # composition of in-window token_counts-family
+                      # projections + the text_repetition aggregate —
+                      # pytest-hash-checked (failed-rule lists verbatim)
     "tfidf_vectors",  # md5-bridge bucket hash + count-table stats, same
                       # family as in-window dsir_weights — pytest-hash-
                       # checked

@@ -103,3 +103,36 @@ def test_ngram_counts_order_and_df(spark):
         ("b a", 1, 1),
         ("b c", 1, 1),
     ]
+
+
+# ---------------------------------------------------- gopher quality rules
+
+
+def test_gopher_filter_rule_semantics(spark):
+    from fdi_flow_spark.pipelines.text import gopher_filter
+
+    good = (
+        "the quick brown fox jumps over one lazy sleeping dog while birds "
+        "sing and children play near the quiet river bank under warm skies"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),  # passes everything
+            (2, "tiny doc"),  # word_count + stopwords
+            (3, good + " # # # # # # # # # #"),  # symbol_ratio (+ alpha drift)
+            (4, good + " " + "spam " * 40),  # repetition caps
+            (5, "the " + "12345 67890 " * 20),  # alpha_words + mean length ok
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_filter(docs, min_words=10).collect()}
+    assert out[1].keep and out[1].failed_rules == ""
+    assert not out[2].keep
+    assert "word_count" in out[2].failed_rules and "stopwords" in out[2].failed_rules
+    assert "symbol_ratio" in out[3].failed_rules
+    assert "top_bigram" in out[4].failed_rules and "dup_bigram" in out[4].failed_rules
+    assert "alpha_words" in out[5].failed_rules
+    # failed_rules is alphabetical and comma-joined
+    for r in out.values():
+        parts = r.failed_rules.split(",") if r.failed_rules else []
+        assert parts == sorted(parts)
