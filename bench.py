@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "tfidf_vectors",
     "cosine_topk_ivfpq",
     "gopher_filter",
+    "domain_filter",
 ]
 
 

@@ -345,3 +345,34 @@ def decontaminate(
         broadcast_benchmark=broadcast_benchmark,
     ).select(F.col("corpus_id").alias(id_col)).distinct()
     return corpus.join(hits, id_col, "left_anti")
+
+
+URL_HOST_PATTERN = r"https?://([a-z0-9.-]+)(/[^ ]*)?"
+
+
+def domain_filter(
+    df: DataFrame,
+    blocklist: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style URL/domain filtering: extract every URL host in the text
+    (RE2-and-java.util.regex-compatible pattern shared with the oracle,
+    lowercase match) and drop documents citing a blocklisted domain.
+    Output is total — one row per doc:
+    ``(doc_id, n_urls, n_blocked, keep)``.
+
+    Pure JVM projection (regexp_extract_all + array ops against a literal
+    blocklist) — zero shuffle at any scale; a corpus-scale blocklist is
+    the point to switch to a broadcast anti-join on the host instead."""
+    hosts = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(URL_HOST_PATTERN), F.lit(1)
+    )
+    bl = F.array(*[F.lit(b.lower()) for b in blocklist])
+    n_blocked = F.size(F.filter(hosts, lambda h: F.array_contains(bl, h)))
+    return ensure_min_parallelism(df, id_col).select(
+        F.col(id_col),
+        F.size(hosts).cast("bigint").alias("n_urls"),
+        n_blocked.cast("bigint").alias("n_blocked"),
+        (n_blocked == 0).alias("keep"),
+    )

@@ -3410,6 +3410,56 @@ def q_cosine_topk_ivfpq(spark, sf_dir):
     )
 
 
+@register(
+    "domain_filter",
+    """
+    WITH d2 AS (
+      SELECT doc_id,
+        text
+          || CASE WHEN doc_id % 6 = 0
+                  THEN ' see https://spam.example.com/offer now' ELSE '' END
+          || CASE WHEN doc_id % 9 = 0
+                  THEN ' ref http://docs.example.org/guide here' ELSE '' END
+          AS text
+      FROM documents),
+    h AS (SELECT doc_id,
+                 REGEXP_EXTRACT_ALL(LOWER(text),
+                     'https?://([a-z0-9.-]+)(/[^ ]*)?', 1) AS hosts
+          FROM d2)
+    SELECT doc_id,
+           CAST(LEN(hosts) AS BIGINT) AS n_urls,
+           CAST(LEN(LIST_FILTER(hosts,
+                x -> LIST_CONTAINS(['spam.example.com'], x))) AS BIGINT)
+             AS n_blocked,
+           (LEN(LIST_FILTER(hosts,
+                x -> LIST_CONTAINS(['spam.example.com'], x))) = 0) AS keep
+    FROM h
+    """,
+)
+def q_domain_filter(spark, sf_dir):
+    """C4-style domain blocklist filtering on planted URLs: a blocklisted
+    host on doc_id%6 (dropped), a benign one on doc_id%9 (kept, counted) —
+    URL extraction, host matching, and the keep verdict all value-checked."""
+    from fdi_flow_spark.pipelines.curation import domain_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs2 = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.lit(" see https://spam.example.com/offer now"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.lit(" ref http://docs.example.org/guide here"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return domain_filter(docs2, blocklist=["spam.example.com"])
+
+
 _SPAM24 = " ".join(["spam"] * 24)
 
 
@@ -3658,6 +3708,8 @@ _WINDOW_EXCLUDED_ORACLES = {
     "gopher_filter",  # composition of in-window token_counts-family
                       # projections + the text_repetition aggregate —
                       # pytest-hash-checked (failed-rule lists verbatim)
+    "domain_filter",  # pure regexp projection, same kernel family as
+                      # in-window pii_redact — pytest-hash-checked
     "tfidf_vectors",  # md5-bridge bucket hash + count-table stats, same
                       # family as in-window dsir_weights — pytest-hash-
                       # checked

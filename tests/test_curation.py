@@ -251,3 +251,24 @@ def test_source_mix_quota_caps_at_source_size(spark):
     out = source_mix(df, budget=200, temperature=0.5)
     got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
     assert got["tiny"] == 5  # capped at n_source, not its raw quota
+
+
+def test_domain_filter_semantics(spark):
+    from fdi_flow_spark.pipelines.curation import domain_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean doc no urls at all"),
+            (2, "see https://spam.example.com/offer?x=1 today"),
+            (3, "both http://ok.example.org/a and https://spam.example.com/b"),
+            (4, "benign https://docs.example.org/guide only"),
+            (5, "case HTTPS://SPAM.EXAMPLE.COM/UP matches lowercased"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in domain_filter(docs, ["spam.example.com"]).collect()}
+    assert (out[1].n_urls, out[1].n_blocked, out[1].keep) == (0, 0, True)
+    assert (out[2].n_urls, out[2].n_blocked, out[2].keep) == (1, 1, False)
+    assert (out[3].n_urls, out[3].n_blocked, out[3].keep) == (2, 1, False)
+    assert (out[4].n_urls, out[4].n_blocked, out[4].keep) == (1, 0, True)
+    assert out[5].keep is False  # lowercase match
