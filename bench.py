@@ -129,6 +129,17 @@ BENCH_QUERIES = [
     "cosine_topk_ivfpq",
     "gopher_filter",
     "domain_filter",
+    # r5c: drift detection + series analytics
+    "cusum_drift",
+    "page_hinkley_drift",
+    "changepoint_scan",
+    "mad_outliers",
+    "series_acf",
+    "cross_corr",
+    "gap_fill",
+    "time_bucket_rollup",
+    "seasonal_decompose",
+    "quality_classifier",
 ]
 
 

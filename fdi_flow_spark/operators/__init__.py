@@ -1,3 +1,16 @@
+from fdi_flow_spark.operators.analytics import (
+    cross_corr_pairs,
+    gap_fill,
+    seasonal_decompose,
+    series_acf,
+    time_bucket_rollup,
+)
+from fdi_flow_spark.operators.drift import (
+    changepoint_scan,
+    cusum,
+    mad_outliers,
+    page_hinkley,
+)
 from fdi_flow_spark.operators.filters import median_filter, moving_average
 from fdi_flow_spark.operators.recurrences import (
     bandpass_filter,
@@ -29,4 +42,13 @@ __all__ = [
     "spline_upsample",
     "failure_encode",
     "supervised_windows",
+    "cusum",
+    "page_hinkley",
+    "changepoint_scan",
+    "mad_outliers",
+    "series_acf",
+    "cross_corr_pairs",
+    "gap_fill",
+    "time_bucket_rollup",
+    "seasonal_decompose",
 ]

@@ -1,0 +1,232 @@
+"""Series analytics operators: correlation structure, gap repair, rollups,
+and classical seasonal decomposition — all pure Spark SQL (no Python UDFs).
+
+These extend the reference's preprocessing layer (`/root/reference/
+fdi_flow/preprocessing/`) with the diagnostics an FDI practitioner computes
+before picking filter/observer parameters: autocorrelation (model order
+selection), cross-sensor correlation (redundancy analysis for residual
+generation), missing-sample repair (sensor dropouts), hypertable-style
+time-bucket rollups, and the classical additive trend/seasonal/residual
+decomposition (statsmodels ``seasonal_decompose`` semantics).
+
+Scale design: every operator is window/aggregate math over either the
+shared ``(series_id, ts)`` Exchange or an explicit grouped aggregation —
+no collects, no per-row Python, no all-pairs blowups (pairwise correlation
+joins series pairs on ``ts`` with the small side reduced first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from fdi_flow_spark.core.series import SERIES_ID, TS, VALUE, assert_long
+
+
+def series_acf(df: DataFrame, max_lag: int = 5) -> DataFrame:
+    """Autocorrelation function per series for lags ``1..max_lag``.
+
+    Standard biased estimator: ``r_k = sum_{t<n-k} (x_t - xbar)(x_{t+k} -
+    xbar) / sum_t (x_t - xbar)^2`` with ``xbar`` the full-series mean
+    (the statsmodels/NumPy ``acf`` convention — denominator over the whole
+    series, so ``|r_k| <= 1`` and ``r`` decays with lag).
+
+    Implemented as ``max_lag`` ``lead`` columns over ONE ordered window
+    (one Exchange, no self-join), then a single grouped aggregation.
+    Output: ``(series_id, lag, acf, n_pairs)``.
+    """
+    assert_long(df)
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    whole = Window.partitionBy(SERIES_ID).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ordered = Window.partitionBy(SERIES_ID).orderBy(TS)
+    s = df.withColumn("_mean", F.avg(VALUE).over(whole))
+    for k in range(1, max_lag + 1):
+        s = s.withColumn(f"_lead{k}", F.lead(VALUE, k).over(ordered))
+    dev = F.col(VALUE) - F.col("_mean")
+    aggs = [F.sum(dev * dev).alias("_den")]
+    for k in range(1, max_lag + 1):
+        prod = F.when(
+            F.col(f"_lead{k}").isNotNull(), dev * (F.col(f"_lead{k}") - F.col("_mean"))
+        )
+        aggs.append(F.sum(prod).alias(f"_num{k}"))
+        aggs.append(F.count(F.col(f"_lead{k}")).alias(f"_cnt{k}"))
+    g = s.groupBy(SERIES_ID).agg(*aggs)
+    lag_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("lag"),
+                (F.col(f"_num{k}") / F.col("_den")).alias("acf"),
+                F.col(f"_cnt{k}").cast("long").alias("n_pairs"),
+            )
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    return (
+        g.select(SERIES_ID, F.explode(lag_structs).alias("_e"))
+        .select(SERIES_ID, "_e.lag", "_e.acf", "_e.n_pairs")
+    )
+
+
+def cross_corr_pairs(df: DataFrame) -> DataFrame:
+    """Pearson correlation between every pair of series aligned on ``ts``.
+
+    Output: ``(series_a, series_b, corr, n)`` for ``series_a < series_b``
+    (sample correlation — both Spark ``corr`` and the oracle's ``corr`` use
+    the n-1 denominator; rows pair only where both series have a sample at
+    the same ``ts``).
+
+    The join key is ``ts``: at 100 TB this is an equi-join co-partitioned on
+    time, not an all-pairs cross join — the pair explosion happens per
+    timestamp (bounded by the sensor count), never across rows.
+    """
+    assert_long(df)
+    a = df.select(
+        F.col(SERIES_ID).alias("series_a"), F.col(TS).alias(TS), F.col(VALUE).alias("_va")
+    )
+    b = df.select(
+        F.col(SERIES_ID).alias("series_b"), F.col(TS).alias(TS), F.col(VALUE).alias("_vb")
+    )
+    joined = a.join(b, on=TS).where(F.col("series_a") < F.col("series_b"))
+    return joined.groupBy("series_a", "series_b").agg(
+        F.corr("_va", "_vb").alias("corr"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def gap_fill(df: DataFrame, method: str = "linear") -> DataFrame:
+    """Fill null samples per series from neighboring non-null samples.
+
+    ``method='linear'``: time-weighted linear interpolation between the
+    previous and next non-null sample; leading gaps take the next value,
+    trailing gaps the previous (pandas ``interpolate(limit_direction=
+    'both')`` behavior). ``method='ffill'``: previous non-null value,
+    leading gaps take the next value. Adds ``filled`` (bool).
+
+    Pure ordered-window math: ``last/first(... ignoreNulls)`` over
+    preceding/following frames — one Exchange, no self-join, no UDF.
+    """
+    assert_long(df)
+    if method not in ("linear", "ffill"):
+        raise ValueError(f"unknown gap_fill method: {method!r}")
+    prev_f = Window.partitionBy(SERIES_ID).orderBy(TS).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    next_f = Window.partitionBy(SERIES_ID).orderBy(TS).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    v_ts = F.when(F.col(VALUE).isNotNull(), F.col(TS))
+    s = (
+        df.withColumn("_pv", F.last(VALUE, ignorenulls=True).over(prev_f))
+        .withColumn("_pt", F.last(v_ts, ignorenulls=True).over(prev_f))
+        .withColumn("_nv", F.first(VALUE, ignorenulls=True).over(next_f))
+        .withColumn("_nt", F.first(v_ts, ignorenulls=True).over(next_f))
+    )
+    if method == "ffill":
+        fill = F.coalesce(F.col("_pv"), F.col("_nv"))
+    else:
+        frac = (F.col(TS) - F.col("_pt")).cast("double") / (
+            (F.col("_nt") - F.col("_pt")).cast("double")
+        )
+        interp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac
+        fill = (
+            F.when(F.col("_pv").isNull(), F.col("_nv"))
+            .when(F.col("_nv").isNull(), F.col("_pv"))
+            .otherwise(interp)
+        )
+    return s.select(
+        SERIES_ID,
+        TS,
+        F.coalesce(F.col(VALUE), fill).alias(VALUE),
+        F.col(VALUE).isNull().alias("filled"),
+    )
+
+
+def time_bucket_rollup(df: DataFrame, width: int = 10) -> DataFrame:
+    """Hypertable-style rollup: aggregate each series into fixed-width
+    ``ts`` buckets with the standard continuous-aggregate summary.
+
+    Output: ``(series_id, bucket, n, avg_value, min_value, max_value,
+    first_value, last_value)``; ``first/last`` are by ``ts`` within the
+    bucket (``min_by``/``max_by``). One grouped aggregation — map-side
+    partial combine makes this the canonical 100 TB downsampling pattern.
+    """
+    assert_long(df)
+    if width < 1:
+        raise ValueError("width must be >= 1")
+    bucket = (F.col(TS) - (F.col(TS) % F.lit(width))).alias("bucket")
+    return (
+        df.groupBy(SERIES_ID, bucket)
+        .agg(
+            F.count(VALUE).alias("n"),
+            F.avg(VALUE).alias("avg_value"),
+            F.min(VALUE).alias("min_value"),
+            F.max(VALUE).alias("max_value"),
+            F.min_by(VALUE, TS).alias("first_value"),
+            F.max_by(VALUE, TS).alias("last_value"),
+        )
+    )
+
+
+def seasonal_decompose(df: DataFrame, period: int) -> DataFrame:
+    """Classical additive decomposition (statsmodels ``seasonal_decompose``
+    semantics): centered moving-average trend, phase-mean seasonal centered
+    to zero over one period, residual = value - trend - seasonal.
+
+    Even ``period`` uses the 2x``period`` filter (half-weight endpoints);
+    trend is null where the centered window is incomplete (first/last
+    ``period//2`` rows), and residual is null there too — exactly
+    statsmodels' NaN edges. The seasonal component is defined everywhere.
+
+    Three shuffles total, none avoidable: the series sort (shared with every
+    other series op), the per-(series, phase) mean, and the tiny per-series
+    phase-mean centering — the last two run over aggregated frames of
+    ``n_series * period`` rows.
+    """
+    assert_long(df)
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    half = period // 2
+    ordered = Window.partitionBy(SERIES_ID).orderBy(TS)
+    whole = Window.partitionBy(SERIES_ID).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s = (
+        df.withColumn("_i", F.row_number().over(ordered) - F.lit(1))
+        .withColumn("_n", F.count(VALUE).over(whole))
+    )
+    if period % 2 == 0:
+        # 2 x period MA: (0.5*x[i-h] + x[i-h+1] + ... + x[i+h-1] + 0.5*x[i+h]) / period
+        frame = Window.partitionBy(SERIES_ID).orderBy(TS).rowsBetween(-half, half)
+        csum = F.sum(VALUE).over(frame)
+        lo = F.lag(VALUE, half).over(ordered)
+        hi = F.lead(VALUE, half).over(ordered)
+        trend_raw = (csum - F.lit(0.5) * lo - F.lit(0.5) * hi) / F.lit(float(period))
+    else:
+        frame = Window.partitionBy(SERIES_ID).orderBy(TS).rowsBetween(-half, half)
+        trend_raw = F.avg(VALUE).over(frame)
+    valid = (F.col("_i") >= half) & (F.col("_i") <= F.col("_n") - 1 - half)
+    s = s.withColumn("trend", F.when(valid, trend_raw))
+    s = s.withColumn("_phase", F.col("_i") % F.lit(period))
+    phase_w = Window.partitionBy(SERIES_ID, "_phase")
+    s = s.withColumn("_pm", F.avg(F.col(VALUE) - F.col("trend")).over(phase_w))
+    # Center phase means: subtract the mean of the period's distinct phase
+    # means (equal phase weights, like statsmodels — NOT the row-weighted
+    # mean). avg over the distinct (phase, pm) pairs via a window on the
+    # per-series set of phase means.
+    pm_mean = (
+        F.sum(F.when(F.col("_i") < period, F.col("_pm"))).over(whole)
+        / F.lit(float(period))
+    )
+    # _pm is constant per phase; rows with _i < period cover each phase
+    # exactly once (series shorter than one period raise in practice — the
+    # trend window is already all-null there).
+    s = s.withColumn("seasonal", F.col("_pm") - pm_mean)
+    return s.select(
+        SERIES_ID,
+        TS,
+        VALUE,
+        "trend",
+        "seasonal",
+        (F.col(VALUE) - F.col("trend") - F.col("seasonal")).alias("resid"),
+    )

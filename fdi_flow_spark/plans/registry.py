@@ -3577,6 +3577,395 @@ def q_cosine_topk_pq(spark, sf_dir):
     return cosine_topk_pq(emb.where(F.col("vec_id") % 25 == 0), emb, k=5, m=32, ks=16)
 
 
+# ============================== NB quality classifier (r5c, SURVEY §2.9)
+
+
+@register(
+    "quality_classifier",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS label,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'),
+                         t -> LENGTH(t) > 0) AS tk
+      FROM documents),
+    g AS (
+      SELECT doc_id, label,
+             UNNEST(LIST_CONCAT(tk,
+               CASE WHEN LEN(tk) >= 2
+                    THEN LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 1),
+                                        i -> tk[i] || ' ' || tk[i + 1])
+                    ELSE CAST([] AS VARCHAR[]) END)) AS gram
+      FROM toks WHERE LEN(tk) >= 1),
+    gb AS (SELECT doc_id, label,
+                  ('0x' || SUBSTR(MD5('7:' || gram), 1, 8))::BIGINT % 1024 AS b
+           FROM g),
+    cnt AS (SELECT b,
+                   CAST(COUNT(*) FILTER (WHERE label) AS BIGINT) AS c1,
+                   CAST(COUNT(*) FILTER (WHERE NOT label) AS BIGINT) AS c0
+            FROM gb GROUP BY b),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c0) AS BIGINT) AS n0
+            FROM cnt),
+    dp AS (SELECT CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS d1,
+                  CAST(COUNT(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS d0
+           FROM documents),
+    model AS (
+      SELECT cnt.b,
+             LN(c1 + 1) - LN(n1 + 1024) - LN(c0 + 1) + LN(n0 + 1024) AS w,
+             LN(d1 + 1) - LN(d0 + 1) AS prior
+      FROM cnt CROSS JOIN tot CROSS JOIN dp),
+    scored AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             SUM(w) + ANY_VALUE(prior) AS s
+      FROM gb JOIN model USING (b) GROUP BY doc_id)
+    SELECT doc_id, n_grams, ROUND(s, 6) AS score, s > 0 AS pred FROM scored
+    """,
+)
+def q_quality_classifier(spark, sf_dir):
+    """Hashed-ngram NB log-odds quality classifier (``pipelines
+    .quality_model``) fit on the ``lang = 'en'`` label and scoring the same
+    corpus — the deterministic closed-form analog of the fastText quality
+    filters (DCLM / FineWeb-Edu): ONE gram scan fits both classes, the
+    model is a single 1024-row broadcastable table, scoring is
+    stream-static joinable."""
+    from fdi_flow_spark.pipelines.quality_model import nb_quality_classify
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_en", F.col("lang") == "en"
+    )
+    return nb_quality_classify(docs, "is_en")
+
+
+# ==================================== drift / series analytics (r5c)
+# Sequential change-detection and diagnostics layer over the events series
+# (SURVEY §2.8 extension; operators in operators/drift.py, analytics.py).
+# Every one is pure window/aggregate SQL in BOTH engines — the recursions
+# are rewritten as prefix-sum identities, so the oracle is a literal twin.
+
+
+@register(
+    "cusum_drift",
+    f"""
+    WITH s AS ({SERIES_SQL}),
+    m AS (SELECT series_id, ts, value,
+                 AVG(value) OVER (PARTITION BY series_id) AS tgt
+          FROM s),
+    c AS (SELECT series_id, ts, value,
+                 SUM(value - tgt - 10.0) OVER w AS cp,
+                 SUM(tgt - value - 10.0) OVER w AS cn
+          FROM m
+          WINDOW w AS (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)),
+    r AS (SELECT series_id, ts, value,
+                 cp - LEAST(0, MIN(cp) OVER w) AS spos,
+                 cn - LEAST(0, MIN(cn) OVER w) AS sneg
+          FROM c
+          WINDOW w AS (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING))
+    SELECT series_id, ts, value,
+           ROUND(spos, 6) AS cusum_pos, ROUND(sneg, 6) AS cusum_neg,
+           (spos > 400.0 OR sneg > 400.0) AS alarm
+    FROM r
+    """,
+)
+def q_cusum_drift(spark, sf_dir):
+    """Two-sided CUSUM over the events series (``operators.drift.cusum``):
+    the max(0, .)-recursion evaluated as a reflected prefix sum — SUM OVER +
+    MIN OVER, zero UDFs. Extends the reference's FDI mission
+    (``/root/reference/README.md:3``) with the classical sequential drift
+    detector its observers feed in practice."""
+    from fdi_flow_spark.operators import cusum
+
+    out = cusum(events_series(spark, sf_dir), k=10.0, h=400.0)
+    return out.withColumn("cusum_pos", F.round("cusum_pos", 6)).withColumn(
+        "cusum_neg", F.round("cusum_neg", 6)
+    )
+
+
+@register(
+    "page_hinkley_drift",
+    f"""
+    WITH s AS ({SERIES_SQL}),
+    m AS (SELECT series_id, ts, value,
+                 AVG(value) OVER w AS rm
+          FROM s
+          WINDOW w AS (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)),
+    c AS (SELECT series_id, ts, value,
+                 SUM(value - rm - 1.0) OVER w AS mt
+          FROM m
+          WINDOW w AS (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING))
+    SELECT series_id, ts, value,
+           ROUND(mt - MIN(mt) OVER w, 6) AS ph_stat,
+           (mt - MIN(mt) OVER w) > 500.0 AS alarm
+    FROM c
+    WINDOW w AS (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def q_page_hinkley(spark, sf_dir):
+    """Page–Hinkley mean-shift test (``operators.drift.page_hinkley``):
+    running mean -> cumulative deviation -> running minimum, all over the
+    one shared series Exchange."""
+    from fdi_flow_spark.operators import page_hinkley
+
+    out = page_hinkley(events_series(spark, sf_dir), delta=1.0, lam=500.0)
+    return out.withColumn("ph_stat", F.round("ph_stat", 6))
+
+
+@register(
+    "changepoint_scan",
+    f"""
+    WITH s AS ({SERIES_SQL}),
+    p AS (SELECT series_id, ts,
+                 SUM(value) OVER (PARTITION BY series_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS pre,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY series_id ORDER BY ts) AS DOUBLE) AS t,
+                 CAST(COUNT(*) OVER (PARTITION BY series_id) AS DOUBLE) AS n,
+                 SUM(value) OVER (PARTITION BY series_id) AS tot
+          FROM s),
+    c AS (SELECT series_id, ts AS cp_ts,
+                 SQRT(t * (n - t) / n) * ABS(pre / t - (tot - pre) / (n - t)) AS stat,
+                 pre / t AS mean_left,
+                 (tot - pre) / (n - t) AS mean_right
+          FROM p WHERE t >= 10 AND t <= n - 10),
+    r AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY series_id
+                                    ORDER BY ROUND(stat, 9) DESC, cp_ts ASC) AS rk
+          FROM c)
+    SELECT series_id, cp_ts, ROUND(stat, 6) AS stat,
+           ROUND(mean_left, 6) AS mean_left, ROUND(mean_right, 6) AS mean_right
+    FROM r WHERE rk = 1
+    """,
+)
+def q_changepoint(spark, sf_dir):
+    """AMOC mean-shift change-point scan (``operators.drift
+    .changepoint_scan``): every split scored from ONE prefix-sum pass, argmax
+    by a pinned (round(stat,9) DESC, ts ASC) rank so the winner is
+    deterministic across engines and accumulation orders."""
+    from fdi_flow_spark.operators import changepoint_scan
+
+    out = changepoint_scan(events_series(spark, sf_dir), min_size=10)
+    return out.select(
+        "series_id",
+        "cp_ts",
+        F.round("stat", 6).alias("stat"),
+        F.round("mean_left", 6).alias("mean_left"),
+        F.round("mean_right", 6).alias("mean_right"),
+    )
+
+
+@register(
+    "mad_outliers",
+    f"""
+    WITH s AS ({SERIES_SQL}),
+    med AS (SELECT series_id, quantile_cont(value, 0.5) AS med
+            FROM s GROUP BY series_id),
+    j AS (SELECT s.series_id, s.ts, s.value, med.med
+          FROM s JOIN med USING (series_id)),
+    mad AS (SELECT series_id, quantile_cont(ABS(value - med), 0.5) AS mad
+            FROM j GROUP BY series_id),
+    r AS (SELECT j.series_id, j.ts, j.value,
+                 CASE WHEN mad.mad = 0 THEN 0.0
+                      ELSE 0.6745 * (j.value - j.med) / mad.mad END AS z
+          FROM j JOIN mad USING (series_id))
+    SELECT series_id, ts, value, ROUND(z, 6) AS mod_z, ABS(z) > 3.5 AS outlier
+    FROM r
+    """,
+)
+def q_mad_outliers(spark, sf_dir):
+    """Modified z-score outlier flags (``operators.drift.mad_outliers``):
+    exact medians (the robust_scale percentile contract), tiny stats frames
+    broadcast back — the robust alternative to 3-sigma flags on the skewed
+    events distribution."""
+    from fdi_flow_spark.operators import mad_outliers
+
+    out = mad_outliers(events_series(spark, sf_dir), threshold=3.5)
+    return out.withColumn("mod_z", F.round("mod_z", 6))
+
+
+def _acf_oracle_sql(max_lag: int = 5) -> str:
+    leads = ",\n                 ".join(
+        f"LEAD(value, {k}) OVER w AS l{k}" for k in range(1, max_lag + 1)
+    )
+    aggs = ",\n                 ".join(
+        f"SUM(CASE WHEN l{k} IS NOT NULL THEN (value - mu) * (l{k} - mu) END) AS n{k},"
+        f" COUNT(l{k}) AS c{k}"
+        for k in range(1, max_lag + 1)
+    )
+    arms = "\n    UNION ALL\n".join(
+        f"    SELECT series_id, CAST({k} AS BIGINT) AS lag,"
+        f" ROUND(n{k} / den, 6) AS acf, CAST(c{k} AS BIGINT) AS n_pairs FROM g"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+    WITH s AS ({SERIES_SQL}),
+    m AS (SELECT series_id, ts, value,
+                 AVG(value) OVER (PARTITION BY series_id) AS mu,
+                 {leads}
+          FROM s WINDOW w AS (PARTITION BY series_id ORDER BY ts)),
+    g AS (SELECT series_id,
+                 SUM((value - mu) * (value - mu)) AS den,
+                 {aggs}
+          FROM m GROUP BY series_id)
+{arms}
+    """
+
+
+@register("series_acf", _acf_oracle_sql(5))
+def q_series_acf(spark, sf_dir):
+    """Per-series autocorrelation, lags 1..5 (``operators.analytics
+    .series_acf``): max_lag lead columns over ONE ordered window, one
+    grouped aggregation — the model-order diagnostic an FDI user runs
+    before choosing filter/observer parameters."""
+    from fdi_flow_spark.operators import series_acf
+
+    out = series_acf(events_series(spark, sf_dir), max_lag=5)
+    return out.withColumn("acf", F.round("acf", 6))
+
+
+@register(
+    "cross_corr",
+    f"""
+    WITH s AS ({SERIES_SQL})
+    SELECT a.series_id AS series_a, b.series_id AS series_b,
+           ROUND(CORR(a.value, b.value), 6) AS corr,
+           COUNT(*) AS n
+    FROM s a JOIN s b ON a.ts = b.ts AND a.series_id < b.series_id
+    GROUP BY a.series_id, b.series_id
+    """,
+)
+def q_cross_corr(spark, sf_dir):
+    """Pairwise Pearson correlation between sensors aligned on ts
+    (``operators.analytics.cross_corr_pairs``): equi-join on time, pair
+    explosion bounded by the sensor count — the redundancy analysis behind
+    observer-based residual generation."""
+    from fdi_flow_spark.operators import cross_corr_pairs
+
+    out = cross_corr_pairs(events_series(spark, sf_dir))
+    return out.withColumn("corr", F.round("corr", 6))
+
+
+_GAP_MASK_SQL = (
+    "('0x' || SUBSTR(MD5('77:' || series_id || ':' || CAST(ts AS VARCHAR)), 1, 8))::BIGINT % 10 = 0"
+)
+
+
+@register(
+    "gap_fill",
+    f"""
+    WITH s0 AS ({SERIES_SQL}),
+    s AS (SELECT series_id, ts,
+                 CASE WHEN {_GAP_MASK_SQL} THEN NULL ELSE value END AS value
+          FROM s0),
+    f AS (SELECT series_id, ts, value,
+                 LAST_VALUE(value IGNORE NULLS) OVER wp AS pv,
+                 LAST_VALUE(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS) OVER wp AS pt,
+                 FIRST_VALUE(value IGNORE NULLS) OVER wn AS nv,
+                 FIRST_VALUE(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS) OVER wn AS nt
+          FROM s
+          WINDOW wp AS (PARTITION BY series_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY series_id ORDER BY ts
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT series_id, ts,
+           ROUND(COALESCE(value,
+                 CASE WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) * CAST(ts - pt AS DOUBLE)
+                                          / CAST(nt - pt AS DOUBLE) END), 6) AS value,
+           value IS NULL AS filled
+    FROM f
+    """,
+)
+def q_gap_fill(spark, sf_dir):
+    """Linear gap repair over a deterministically masked events series
+    (``operators.analytics.gap_fill``): 10% of samples are nulled by the
+    md5 bridge hash shared with the oracle, then rebuilt by time-weighted
+    interpolation — pure ordered-window math, the sensor-dropout story."""
+    from fdi_flow_spark.operators import gap_fill as gap_fill_op
+
+    s = events_series(spark, sf_dir)
+    mask = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("77"), F.col("series_id"), F.col("ts"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+        == 0
+    )
+    masked = s.withColumn("value", F.when(mask, F.lit(None)).otherwise(F.col("value")))
+    out = gap_fill_op(masked, method="linear")
+    return out.withColumn("value", F.round("value", 6))
+
+
+@register(
+    "time_bucket_rollup",
+    f"""
+    WITH s AS ({SERIES_SQL})
+    SELECT series_id, ts - ts % 100 AS bucket,
+           COUNT(value) AS n,
+           ROUND(AVG(value), 6) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           MIN_BY(value, ts) AS first_value,
+           MAX_BY(value, ts) AS last_value
+    FROM s GROUP BY series_id, bucket
+    """,
+)
+def q_time_bucket(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup (``operators.analytics
+    .time_bucket_rollup``): one grouped aggregation with map-side combine —
+    the canonical 100 TB downsampling shape."""
+    from fdi_flow_spark.operators import time_bucket_rollup
+
+    out = time_bucket_rollup(events_series(spark, sf_dir), width=100)
+    return out.withColumn("avg_value", F.round("avg_value", 6))
+
+
+@register(
+    "seasonal_decompose",
+    f"""
+    WITH s AS ({SERIES_SQL}),
+    b AS (SELECT series_id, ts, value,
+                 ROW_NUMBER() OVER w0 - 1 AS i,
+                 COUNT(*) OVER (PARTITION BY series_id) AS n,
+                 SUM(value) OVER (PARTITION BY series_id ORDER BY ts
+                                  ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS csum,
+                 LAG(value, 6) OVER w0 AS lo,
+                 LEAD(value, 6) OVER w0 AS hi
+          FROM s WINDOW w0 AS (PARTITION BY series_id ORDER BY ts)),
+    t AS (SELECT *, CASE WHEN i >= 6 AND i <= n - 1 - 6
+                         THEN (csum - 0.5 * lo - 0.5 * hi) / 12.0 END AS trend
+          FROM b),
+    p AS (SELECT *, AVG(value - trend)
+                    OVER (PARTITION BY series_id, i % 12) AS pm
+          FROM t),
+    q AS (SELECT *, SUM(CASE WHEN i < 12 THEN pm END)
+                    OVER (PARTITION BY series_id) / 12.0 AS pmm
+          FROM p)
+    SELECT series_id, ts, value,
+           ROUND(trend, 6) AS trend,
+           ROUND(pm - pmm, 6) AS seasonal,
+           ROUND(value - trend - (pm - pmm), 6) AS resid
+    FROM q
+    """,
+)
+def q_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition, period 12 (``operators.analytics
+    .seasonal_decompose``): statsmodels semantics — 2x12 centered-MA trend
+    (half-weight endpoints, null edges), phase means centered over one
+    period, residual remainder — as three window passes."""
+    from fdi_flow_spark.operators import seasonal_decompose
+
+    out = seasonal_decompose(events_series(spark, sf_dir), period=12)
+    return (
+        out.withColumn("trend", F.round("trend", 6))
+        .withColumn("seasonal", F.round("seasonal", 6))
+        .withColumn("resid", F.round("resid", 6))
+    )
+
+
 # ------------------------------------------------------------ registry order
 # The correctness driver checks the FIRST 50 registered queries. Since r4
 # all 50 slots are oracle-backed AND kernel-diverse: every observer replay
@@ -3593,7 +3982,7 @@ _WINDOW_PRIORITY = [
     "q6_revenue_change", "sales_rollup", "events_stats_salted",
     "semi_join_urgent_customers", "anti_join_quiet_customers",
     "orders_above_customer_avg",
-    "top_orders_per_customer", "set_ops_customer_cohorts",
+    "set_ops_customer_cohorts",
     "min_cost_supplier", "distinct_counts_by_status",
     # filters / scalers / segmenters / recurrences
     "moving_average_valid", "median_filter_edge",
@@ -3601,14 +3990,13 @@ _WINDOW_PRIORITY = [
     "ewma_closed_form", "failure_encoder",
     "segment_windows", "forecast_prep",
     "resample_linear", "asof_join_purchase",
-    "kalman1d_filter",
     # model / observer event streams
     "observer_luenberger_events",
     "simulate_euler_events", "video_frame_features",
     # SURVEY §2.9 LLM-pipeline operators
-    "dedup_exact", "dedup_components", "ngram_jaccard_pairs", "minhash_dedup_pairs",
+    "dedup_components", "ngram_jaccard_pairs", "minhash_dedup_pairs",
     "simhash_fingerprints", "document_fingerprint",
-    "cosine_topk", "knn_classify", "embedding_near_dup",
+    "cosine_topk", "knn_classify",
     "multimodal_image_features", "token_counts", "language_id",
     "quota_sample", "pii_redact",
     "token_pack", "curation_pipeline",
@@ -3619,6 +4007,11 @@ _WINDOW_PRIORITY = [
     # r5b: exact span-level dedup (first-occurrence-wins strip, total output)
     # and DSIR hashed-ngram importance weighting
     "span_dedup", "dsir_weights",
+    # r5c: sequential drift detection + series analytics — four NEW kernel
+    # shapes: reflected prefix sum (CUSUM), prefix-sum argmax scan
+    # (changepoint), multi-window additive decomposition (seasonal), and
+    # lead-column grouped-ratio correlation (ACF)
+    "cusum_drift", "changepoint_scan", "seasonal_decompose", "series_acf",
 ]
 
 
@@ -3713,6 +4106,37 @@ _WINDOW_EXCLUDED_ORACLES = {
     "tfidf_vectors",  # md5-bridge bucket hash + count-table stats, same
                       # family as in-window dsir_weights — pytest-hash-
                       # checked
+    # --- r5c rotations: slots freed for the four new drift/analytics kernels
+    "kalman1d_filter",  # same per-series recursive-CTE recurrence family as
+                        # in-window ewma_closed_form (the holt_smoothing
+                        # precedent); its chunked twin is also pytest-checked
+                        # — swapped for cusum_drift (r5c)
+    "embedding_near_dup",  # same cosine-threshold pair kernel as in-window
+                           # semantic_dedup (the cluster-bounded variant of
+                           # the identical math) — swapped for
+                           # changepoint_scan (r5c)
+    "dedup_exact",  # 16-byte digest hash-agg, same groupBy kernel family as
+                    # in-window q1_pricing_summary/distinct_counts_by_status
+                    # — swapped for seasonal_decompose (r5c)
+    "top_orders_per_customer",  # rank-window top-k per group, same
+                                # WindowGroupLimit kernel as in-window
+                                # cosine_topk (and q3's TakeOrdered) —
+                                # swapped for series_acf (r5c)
+    # --- r5c same-family analytics queries, pytest-hash-checked every run
+    "page_hinkley_drift",  # same reflected-prefix-sum kernel as in-window
+                           # cusum_drift (running mean added)
+    "mad_outliers",  # exact-percentile stats + broadcast-back, same family
+                     # as in-window standard_scaler / excluded robust_scaler
+    "cross_corr",    # ts equi-join + corr aggregate, join+agg family of
+                     # in-window q5_nation_volume
+    "gap_fill",      # neighbor-interpolation gather, same math family as
+                     # in-window resample_linear (ignore-nulls window form)
+    "time_bucket_rollup",  # plain grouped rollup with min_by/max_by, family
+                           # of in-window q1/failure_encoder
+    "quality_classifier",  # hashed-gram count tables + per-doc log-sum
+                           # scoring, same kernel family as in-window
+                           # dsir_weights (supervised conditional-count
+                           # variant) — pytest-hash-checked every run
 }
 
 

@@ -1,0 +1,272 @@
+"""Drift/change-detection and series-analytics operator tests.
+
+Golden twins are sequential NumPy recursions written from the published
+definitions (Page 1954 CUSUM, Page-Hinkley, Iglewicz & Hoaglin modified
+z-score, statsmodels seasonal_decompose semantics) — NOT the closed forms
+the Spark operators use, so each test also proves the prefix-sum identity
+the distributed rewrite relies on.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fdi_flow_spark.operators import (
+    changepoint_scan,
+    cross_corr_pairs,
+    cusum,
+    gap_fill,
+    mad_outliers,
+    page_hinkley,
+    seasonal_decompose,
+    series_acf,
+    time_bucket_rollup,
+)
+from tests.conftest import make_long
+
+
+# ------------------------------------------------------- sequential twins
+
+def seq_cusum(x, k, target):
+    sp = sn = 0.0
+    out = []
+    for v in x:
+        sp = max(0.0, sp + (v - target - k))
+        sn = max(0.0, sn + (target - v - k))
+        out.append((sp, sn))
+    return np.array(out)
+
+
+def seq_page_hinkley(x, delta):
+    m = 0.0
+    mmin = np.inf
+    csum = 0.0
+    out = []
+    for i, v in enumerate(x):
+        csum += v
+        rm = csum / (i + 1)
+        m += v - rm - delta
+        mmin = min(mmin, m)
+        out.append(m - mmin)
+    return np.array(out)
+
+
+def seq_changepoint(x, min_size):
+    n = len(x)
+    best = (-1.0, None)
+    for t in range(min_size, n - min_size + 1):  # prefix length
+        ml, mr = x[:t].mean(), x[t:].mean()
+        stat = np.sqrt(t * (n - t) / n) * abs(ml - mr)
+        if stat > best[0] + 1e-15:
+            best = (stat, t - 1)  # 0-based last row of left segment
+    return best
+
+
+def collect_sorted(df, cols):
+    return df.toPandas().sort_values(cols).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- cusum
+
+def test_cusum_matches_sequential_recursion(spark):
+    rng = np.random.default_rng(7)
+    x = np.concatenate([rng.normal(0, 1, 60), rng.normal(3, 1, 40)])
+    df = make_long(spark, {"s": x})
+    out = collect_sorted(cusum(df, k=0.5, h=8.0, target=0.0), ["ts"])
+    ref = seq_cusum(x, 0.5, 0.0)
+    np.testing.assert_allclose(out["cusum_pos"].to_numpy(), ref[:, 0], atol=1e-9)
+    np.testing.assert_allclose(out["cusum_neg"].to_numpy(), ref[:, 1], atol=1e-9)
+    # The shift at i=60 must alarm on the positive side and stay quiet before
+    # (this seed's noise walks the negative side up to ~5.9, hence h=8).
+    alarms = out["alarm"].to_numpy()
+    assert not alarms[:55].any()
+    assert alarms[65:].all()
+
+
+def test_cusum_default_target_is_series_mean(spark):
+    rng = np.random.default_rng(3)
+    x = rng.normal(5, 1, 80)
+    df = make_long(spark, {"s": x})
+    out = collect_sorted(cusum(df, k=0.5, h=4.0), ["ts"])
+    ref = seq_cusum(x, 0.5, x.mean())
+    np.testing.assert_allclose(out["cusum_pos"].to_numpy(), ref[:, 0], atol=1e-9)
+
+
+def test_cusum_two_series_independent(spark):
+    rng = np.random.default_rng(11)
+    xs = {"a": rng.normal(0, 1, 50), "b": np.concatenate([np.zeros(25), np.ones(25) * 9])}
+    df = make_long(spark, xs)
+    out = cusum(df, k=0.5, h=5.0, target=0.0).toPandas()
+    for sid, x in xs.items():
+        g = out[out.series_id == sid].sort_values("ts")
+        ref = seq_cusum(x, 0.5, 0.0)
+        np.testing.assert_allclose(g["cusum_pos"].to_numpy(), ref[:, 0], atol=1e-9)
+
+
+# --------------------------------------------------------- page-hinkley
+
+def test_page_hinkley_matches_sequential(spark):
+    rng = np.random.default_rng(5)
+    x = np.concatenate([rng.normal(0, 1, 70), rng.normal(4, 1, 30)])
+    df = make_long(spark, {"s": x})
+    out = collect_sorted(page_hinkley(df, delta=0.005, lam=20.0), ["ts"])
+    ref = seq_page_hinkley(x, 0.005)
+    np.testing.assert_allclose(out["ph_stat"].to_numpy(), ref, atol=1e-9)
+    assert out["alarm"].to_numpy()[-1]
+    assert not out["alarm"].to_numpy()[:60].any()
+
+
+# ----------------------------------------------------- changepoint scan
+
+def test_changepoint_finds_planted_shift(spark):
+    rng = np.random.default_rng(9)
+    x = np.concatenate([rng.normal(0, 0.5, 40), rng.normal(2.5, 0.5, 60)])
+    df = make_long(spark, {"s": x})
+    row = changepoint_scan(df, min_size=5).collect()[0]
+    stat, cp = seq_changepoint(x, 5)
+    assert row["cp_ts"] == cp
+    assert abs(row["stat"] - stat) < 1e-9
+    assert 35 <= row["cp_ts"] <= 43  # the plant is at index 39
+
+
+def test_changepoint_tie_breaks_earliest(spark):
+    # Symmetric two-level square wave: scan stat has plateaus; earliest wins.
+    x = np.array([0.0] * 10 + [1.0] * 10)
+    df = make_long(spark, {"s": x})
+    row = changepoint_scan(df, min_size=2).collect()[0]
+    stat, cp = seq_changepoint(x, 2)
+    assert row["cp_ts"] == cp == 9
+
+
+# --------------------------------------------------------- mad outliers
+
+def test_mad_outliers_matches_numpy(spark):
+    rng = np.random.default_rng(13)
+    x = rng.normal(0, 1, 101)
+    x[17] = 30.0
+    x[60] = -25.0
+    df = make_long(spark, {"s": x})
+    out = collect_sorted(mad_outliers(df, threshold=3.5), ["ts"])
+    med = np.median(x)
+    mad = np.median(np.abs(x - med))
+    z = 0.6745 * (x - med) / mad
+    np.testing.assert_allclose(out["mod_z"].to_numpy(), z, atol=1e-9)
+    flagged = set(out[out["outlier"]]["ts"])
+    assert {17, 60} <= flagged
+
+
+def test_mad_constant_series_no_outliers(spark):
+    df = make_long(spark, {"s": np.full(20, 3.0)})
+    out = mad_outliers(df).toPandas()
+    assert (out["mod_z"] == 0).all()
+    assert not out["outlier"].any()
+
+
+# ------------------------------------------------------------------ acf
+
+def test_acf_matches_numpy_estimator(spark):
+    rng = np.random.default_rng(21)
+    t = np.arange(200)
+    x = np.sin(2 * np.pi * t / 20) + rng.normal(0, 0.2, 200)
+    df = make_long(spark, {"s": x})
+    out = collect_sorted(series_acf(df, max_lag=6), ["lag"])
+    xc = x - x.mean()
+    den = (xc * xc).sum()
+    for _, r in out.iterrows():
+        k = int(r["lag"])
+        num = (xc[:-k] * xc[k:]).sum()
+        assert abs(r["acf"] - num / den) < 1e-9
+        assert r["n_pairs"] == 200 - k
+    # A 20-sample sine has strong positive acf near lag 1..3.
+    assert out.loc[out["lag"] == 1, "acf"].iloc[0] > 0.8
+
+
+# ------------------------------------------------------- cross correlation
+
+def test_cross_corr_pairs(spark):
+    rng = np.random.default_rng(31)
+    base = rng.normal(0, 1, 150)
+    xs = {"a": base, "b": base * 2 + rng.normal(0, 0.1, 150), "c": rng.normal(0, 1, 150)}
+    df = make_long(spark, xs)
+    out = cross_corr_pairs(df).toPandas().set_index(["series_a", "series_b"])
+    ab = out.loc[("a", "b")]
+    assert ab["n"] == 150
+    assert abs(ab["corr"] - np.corrcoef(xs["a"], xs["b"])[0, 1]) < 1e-9
+    assert abs(out.loc[("a", "c")]["corr"]) < 0.3
+    # pairs are ordered and unique
+    assert len(out) == 3
+
+
+# --------------------------------------------------------------- gap fill
+
+def test_gap_fill_linear_matches_pandas(spark):
+    x = np.array([1.0, np.nan, np.nan, 4.0, 5.0, np.nan, 7.0])
+    rows = [("s", i, None if np.isnan(v) else float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, schema="series_id string, ts long, value double")
+    out = collect_sorted(gap_fill(df, "linear"), ["ts"])
+    ref = pd.Series(x).interpolate(limit_direction="both").to_numpy()
+    np.testing.assert_allclose(out["value"].to_numpy(), ref, atol=1e-12)
+    assert list(out["filled"]) == [False, True, True, False, False, True, False]
+
+
+def test_gap_fill_edges_and_ffill(spark):
+    x = [None, None, 2.0, None, 6.0, None]
+    rows = [("s", i, v) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, schema="series_id string, ts long, value double")
+    lin = collect_sorted(gap_fill(df, "linear"), ["ts"])["value"].to_numpy()
+    np.testing.assert_allclose(lin, [2.0, 2.0, 2.0, 4.0, 6.0, 6.0])
+    ff = collect_sorted(gap_fill(df, "ffill"), ["ts"])["value"].to_numpy()
+    np.testing.assert_allclose(ff, [2.0, 2.0, 2.0, 2.0, 6.0, 6.0])
+
+
+# ------------------------------------------------------------ time bucket
+
+def test_time_bucket_rollup(spark):
+    x = np.arange(25, dtype=float)
+    df = make_long(spark, {"s": x})
+    out = collect_sorted(time_bucket_rollup(df, width=10), ["bucket"])
+    assert list(out["bucket"]) == [0, 10, 20]
+    assert list(out["n"]) == [10, 10, 5]
+    np.testing.assert_allclose(out["avg_value"], [4.5, 14.5, 22.0])
+    np.testing.assert_allclose(out["first_value"], [0.0, 10.0, 20.0])
+    np.testing.assert_allclose(out["last_value"], [9.0, 19.0, 24.0])
+
+
+# ----------------------------------------------------- seasonal decompose
+
+def naive_seasonal_decompose(x, period):
+    """statsmodels.seasonal_decompose(model='additive') re-derived."""
+    n = len(x)
+    half = period // 2
+    trend = np.full(n, np.nan)
+    for i in range(half, n - half):
+        if period % 2 == 0:
+            w = np.ones(period + 1)
+            w[0] = w[-1] = 0.5
+            trend[i] = (x[i - half : i + half + 1] * w).sum() / period
+        else:
+            trend[i] = x[i - half : i + half + 1].mean()
+    detrended = x - trend
+    pm = np.array([np.nanmean(detrended[p::period]) for p in range(period)])
+    seasonal_base = pm - pm.mean()
+    seasonal = np.array([seasonal_base[i % period] for i in range(n)])
+    return trend, seasonal, x - trend - seasonal
+
+
+@pytest.mark.parametrize("period", [4, 7])
+def test_seasonal_decompose_matches_statsmodels_semantics(spark, period):
+    rng = np.random.default_rng(17)
+    t = np.arange(90)
+    x = 0.05 * t + np.tile(rng.normal(0, 1, period), 90 // period + 1)[:90]
+    df = make_long(spark, {"s": x})
+    out = collect_sorted(seasonal_decompose(df, period), ["ts"])
+    trend, seasonal, resid = naive_seasonal_decompose(x, period)
+    np.testing.assert_allclose(
+        out["trend"].to_numpy(dtype=float), trend, atol=1e-9, equal_nan=True
+    )
+    np.testing.assert_allclose(out["seasonal"].to_numpy(), seasonal, atol=1e-9)
+    np.testing.assert_allclose(
+        out["resid"].to_numpy(dtype=float), resid, atol=1e-9, equal_nan=True
+    )
+    # The seasonal component sums to ~0 over one period.
+    assert abs(out["seasonal"].to_numpy()[:period].sum()) < 1e-9
