@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "time_bucket_rollup",
     "seasonal_decompose",
     "quality_classifier",
+    "fdi_pipeline",
 ]
 
 

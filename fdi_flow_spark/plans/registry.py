@@ -3635,6 +3635,114 @@ def q_quality_classifier(spark, sf_dir):
     return nb_quality_classify(docs, "is_en")
 
 
+# ========================= composed FDI pipeline (r5c): the headline story
+
+
+def _fdi_pipeline_oracle_sql() -> str:
+    """The reference's whole mission as ONE query: Luenberger observer
+    replay over the measurement stream -> residual -> two-sided CUSUM ->
+    fault alarms. Recursive CTE (observer recursion) feeding the reflected
+    prefix sum (CUSUM closed form) — end-to-end value-checkable."""
+    import numpy as np
+
+    from fdi_flow_spark.observers.linalg import place_observer_gain
+
+    A = np.array([[-2.0, 1.0], [1.0, -1.0]])
+    C = np.array([[1.0, 0.0]])
+    L = place_observer_gain(A, C, [-3.0, -4.0])
+    dt = 0.1
+    a00, a01, a10, a11 = (repr(float(v)) for v in A.ravel())
+    c00, c01 = (repr(float(v)) for v in C.ravel())
+    l0, l1 = (repr(float(v)) for v in L.ravel())
+    step1 = (
+        f"rec.x1 + (({a00}*rec.x1 + {a01}*rec.x2) + 0.0 - "
+        f"{l0}*(({c00}*rec.x1 + {c01}*rec.x2) - s.y)) * {dt}"
+    )
+    step2 = (
+        f"rec.x2 + (({a10}*rec.x1 + {a11}*rec.x2) + 0.0 - "
+        f"{l1}*(({c00}*rec.x1 + {c01}*rec.x2) - s.y)) * {dt}"
+    )
+    a1 = f"(0.0 + (0.0 + 0.0 - {l0}*(0.0 - y)) * {dt})"
+    a2 = f"(0.0 + (0.0 + 0.0 - {l1}*(0.0 - y)) * {dt})"
+    return f"""
+    WITH RECURSIVE base AS ({SERIES_SQL}),
+    s AS (SELECT series_id, ts, value AS y FROM base WHERE ts < 150),
+    rec AS (
+      SELECT series_id, ts, CAST({a1} AS DOUBLE) AS x1, CAST({a2} AS DOUBLE) AS x2
+      FROM s WHERE ts = 0
+      UNION ALL
+      SELECT s.series_id, s.ts, {step1} AS x1, {step2} AS x2
+      FROM rec JOIN s ON s.series_id = rec.series_id AND s.ts = rec.ts + 1),
+    res AS (
+      SELECT rec.series_id, rec.ts, s.y - rec.x1 AS residual
+      FROM rec JOIN s ON s.series_id = rec.series_id AND s.ts = rec.ts),
+    c AS (
+      SELECT series_id, ts, residual,
+             SUM(residual - 0.0 - 5.0) OVER w AS cp,
+             SUM(0.0 - residual - 5.0) OVER w AS cn
+      FROM res
+      WINDOW w AS (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING)),
+    r AS (
+      SELECT series_id, ts, residual,
+             cp - LEAST(0, MIN(cp) OVER w2) AS spos,
+             cn - LEAST(0, MIN(cn) OVER w2) AS sneg
+      FROM c
+      WINDOW w2 AS (PARTITION BY series_id ORDER BY ts ROWS UNBOUNDED PRECEDING))
+    SELECT series_id, ts AS step, ROUND(residual, 6) AS residual,
+           ROUND(spos, 6) AS cusum_pos, ROUND(sneg, 6) AS cusum_neg,
+           (spos > 300.0 OR sneg > 300.0) AS alarm
+    FROM r
+    """
+
+
+@register("fdi_pipeline", _fdi_pipeline_oracle_sql())
+def q_fdi_pipeline(spark, sf_dir):
+    """The reference's end-to-end FDI loop as one composed Spark plan:
+    Luenberger observer replay over the events measurement stream (u = 0,
+    ``observers.observer_replay``), post-update output residual
+    ``y - C x_hat``, then the two-sided CUSUM fault detector
+    (``operators.drift.cusum``, explicit target 0 — the online deployment
+    contract) raising alarms. Chains the reference's state-observer stage
+    (``/root/reference/fdi_flow/state_observers/luenberger.py:77-102``)
+    into the classical sequential detector its docs leave to the user —
+    each stage oracle-checked on its own, and here the composition too."""
+    import numpy as np
+
+    from fdi_flow_spark.observers import LuenbergerObserver, observer_replay
+    from fdi_flow_spark.operators import cusum as cusum_op
+
+    A = np.array([[-2.0, 1.0], [1.0, -1.0]])
+    B = np.array([[-1.0], [1.0]])
+    C = np.array([[1.0, 0.0]])
+    s = events_series(spark, sf_dir).where(F.col("ts") < 150)
+    obs_in = s.select(
+        "series_id",
+        F.col("ts").alias("step"),
+        F.array(F.lit(0.0)).alias("u"),
+        F.array(F.col("value")).alias("y"),
+    )
+    factory = lambda: LuenbergerObserver(A, B, C, 0.1, desired_poles=[-3.0, -4.0])  # noqa: E731
+    est = observer_replay(obs_in, factory)
+    resid = (
+        est.join(s.select("series_id", F.col("ts").alias("step"), "value"),
+                 ["series_id", "step"])
+        .select(
+            "series_id",
+            F.col("step").alias("ts"),
+            (F.col("value") - F.col("x_hat")[0]).alias("value"),
+        )
+    )
+    out = cusum_op(resid, k=5.0, h=300.0, target=0.0)
+    return out.select(
+        "series_id",
+        F.col("ts").alias("step"),
+        F.round("value", 6).alias("residual"),
+        F.round("cusum_pos", 6).alias("cusum_pos"),
+        F.round("cusum_neg", 6).alias("cusum_neg"),
+        "alarm",
+    )
+
+
 # ==================================== drift / series analytics (r5c)
 # Sequential change-detection and diagnostics layer over the events series
 # (SURVEY §2.8 extension; operators in operators/drift.py, analytics.py).
@@ -4137,6 +4245,10 @@ _WINDOW_EXCLUDED_ORACLES = {
                            # scoring, same kernel family as in-window
                            # dsir_weights (supervised conditional-count
                            # variant) — pytest-hash-checked every run
+    "fdi_pipeline",  # composition of two in-window kernels (the
+                     # observer_luenberger_events recursive replay + the
+                     # cusum_drift reflected prefix sum) — the composed
+                     # plan is pytest-hash-checked end-to-end every run
 }
 
 

@@ -1,4 +1,5 @@
 from fdi_flow_spark.streaming.stateful import (
+    streaming_cusum,
     streaming_dedup_exact,
     streaming_ewma,
     streaming_holt,
@@ -8,6 +9,7 @@ from fdi_flow_spark.streaming.stateful import (
 )
 
 __all__ = [
+    "streaming_cusum",
     "streaming_dedup_exact",
     "streaming_ewma",
     "streaming_holt",

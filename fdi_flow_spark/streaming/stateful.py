@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -170,6 +171,67 @@ def streaming_holt(df: DataFrame, alpha: float = 0.3, beta: float = 0.1) -> Data
 
     return df.groupBy("series_id").applyInPandasWithState(
         fn, _OUT, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+_CUSUM_OUT = StructType(
+    [
+        StructField("series_id", StringType()),
+        StructField("ts", LongType()),
+        StructField("value", DoubleType()),
+        StructField("cusum_pos", DoubleType()),
+        StructField("cusum_neg", DoubleType()),
+        StructField("alarm", BooleanType()),
+    ]
+)
+
+
+def streaming_cusum(
+    df: DataFrame, k: float, h: float, target: float
+) -> DataFrame:
+    """Two-sided CUSUM over a stream of (series_id, ts, value) — the online
+    deployment of ``operators.drift.cusum``. State: the pair (S+, S-) —
+    exactly the O(1) recursion state, so batch (reflected prefix sum) ≡
+    streaming (textbook recursion) bit-for-bit; the parity test doubles as
+    a proof of the reflection identity the batch rewrite relies on.
+
+    ``target`` must be explicit here: the batch default (per-series mean)
+    is a two-pass statistic a stream cannot know. Fit it offline, deploy it
+    online — the scaler/TF-IDF fit/score pattern."""
+    state_schema = StructType(
+        [StructField("sp", DoubleType()), StructField("sn", DoubleType())]
+    )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        sp, sn = state.get if state.exists else (0.0, 0.0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            pos = np.empty(len(vals))
+            neg = np.empty(len(vals))
+            for i, x in enumerate(vals):
+                sp = max(0.0, sp + (x - target - k))
+                sn = max(0.0, sn + (target - x - k))
+                pos[i] = sp
+                neg[i] = sn
+            out.append(
+                pd.DataFrame(
+                    {
+                        "series_id": key[0],
+                        "ts": pdf["ts"].to_numpy(),
+                        "value": vals,
+                        "cusum_pos": pos,
+                        "cusum_neg": neg,
+                        "alarm": (pos > h) | (neg > h),
+                    }
+                )
+            )
+        state.update((float(sp), float(sn)))
+        yield pd.concat(out)
+
+    return df.groupBy("series_id").applyInPandasWithState(
+        fn, _CUSUM_OUT, state_schema, "append", GroupStateTimeout.NoTimeout
     )
 
 

@@ -640,3 +640,28 @@ def test_streaming_tfidf_scoring_equals_batch(spark):
         spark.catalog.dropTempView("tfidf_sink")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_cusum_equals_batch(spark, chunked_stream_dir):
+    """The streaming CUSUM runs the textbook max(0, .) recursion; the batch
+    operator the reflected-prefix-sum rewrite — their agreement across a
+    chunk boundary proves both the state carry and the reflection identity
+    (up to float accumulation order, hence atol instead of bit-equality)."""
+    from fdi_flow_spark.operators import cusum
+    from fdi_flow_spark.streaming import streaming_cusum
+
+    d, batch_df = chunked_stream_dir
+    got = _run_stream(
+        spark, d, lambda s: streaming_cusum(s, k=0.2, h=1.5, target=0.5)
+    ).reset_index(drop=True)
+    exp = (
+        cusum(batch_df, k=0.2, h=1.5, target=0.5)
+        .toPandas()
+        .sort_values(["series_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert list(got["series_id"]) == list(exp["series_id"])
+    np.testing.assert_allclose(got["cusum_pos"], exp["cusum_pos"], atol=1e-9)
+    np.testing.assert_allclose(got["cusum_neg"], exp["cusum_neg"], atol=1e-9)
+    assert list(got["alarm"]) == list(exp["alarm"])
+    spark.catalog.dropTempView("sink_tbl")
