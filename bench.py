@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "seasonal_decompose",
     "quality_classifier",
     "fdi_pipeline",
+    "series_profile",
 ]
 
 

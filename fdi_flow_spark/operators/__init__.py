@@ -3,6 +3,7 @@ from fdi_flow_spark.operators.analytics import (
     gap_fill,
     seasonal_decompose,
     series_acf,
+    series_profile,
     time_bucket_rollup,
 )
 from fdi_flow_spark.operators.drift import (
@@ -47,6 +48,7 @@ __all__ = [
     "changepoint_scan",
     "mad_outliers",
     "series_acf",
+    "series_profile",
     "cross_corr_pairs",
     "gap_fill",
     "time_bucket_rollup",

@@ -168,6 +168,53 @@ def time_bucket_rollup(df: DataFrame, width: int = 10) -> DataFrame:
     )
 
 
+def series_profile(df: DataFrame) -> DataFrame:
+    """One-pass distributional profile per series: ``(series_id, n,
+    n_distinct, mean, std_pop, skewness, kurtosis, min_value, max_value)``.
+
+    Skewness/kurtosis are the population moment ratios ``m3 / m2^1.5`` and
+    ``m4 / m2^2`` (Pearson; kurtosis NOT excess), computed from raw power
+    sums ``S1..S4`` so the arithmetic is identical, engine to engine —
+    Spark's and DuckDB's built-in ``skewness``/``kurtosis`` disagree on
+    bias correction, so neither is used. Constant series (``m2 = 0``) yield
+    null skewness/kurtosis. One grouped aggregation with map-side combine +
+    an exact distinct count (the only Expand in the plan).
+    """
+    assert_long(df)
+    v = F.col(VALUE)
+    g = df.groupBy(SERIES_ID).agg(
+        F.count(VALUE).alias("n"),
+        F.count_distinct(VALUE).alias("n_distinct"),
+        F.sum(v).alias("_s1"),
+        F.sum(v * v).alias("_s2"),
+        F.sum(v * v * v).alias("_s3"),
+        F.sum(v * v * v * v).alias("_s4"),
+        F.min(VALUE).alias("min_value"),
+        F.max(VALUE).alias("max_value"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("_s1") / n
+    m2 = F.col("_s2") / n - mu * mu
+    m3 = F.col("_s3") / n - 3 * mu * F.col("_s2") / n + 2 * mu * mu * mu
+    m4 = (
+        F.col("_s4") / n
+        - 4 * mu * F.col("_s3") / n
+        + 6 * mu * mu * F.col("_s2") / n
+        - 3 * mu * mu * mu * mu
+    )
+    return g.select(
+        SERIES_ID,
+        "n",
+        "n_distinct",
+        mu.alias("mean"),
+        F.sqrt(m2).alias("std_pop"),
+        F.when(m2 > 0, m3 / F.pow(m2, F.lit(1.5))).alias("skewness"),
+        F.when(m2 > 0, m4 / (m2 * m2)).alias("kurtosis"),
+        "min_value",
+        "max_value",
+    )
+
+
 def seasonal_decompose(df: DataFrame, period: int) -> DataFrame:
     """Classical additive decomposition (statsmodels ``seasonal_decompose``
     semantics): centered moving-average trend, phase-mean seasonal centered

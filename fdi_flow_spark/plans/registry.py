@@ -4074,6 +4074,47 @@ def q_seasonal_decompose(spark, sf_dir):
     )
 
 
+@register(
+    "series_profile",
+    f"""
+    WITH s AS ({SERIES_SQL}),
+    g AS (SELECT series_id, CAST(COUNT(value) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct,
+                 SUM(value) AS s1, SUM(value*value) AS s2,
+                 SUM(value*value*value) AS s3,
+                 SUM(value*value*value*value) AS s4,
+                 MIN(value) AS min_value, MAX(value) AS max_value
+          FROM s GROUP BY series_id),
+    m AS (SELECT *, s1 / n AS mu FROM g),
+    mm AS (SELECT *, s2/n - mu*mu AS m2,
+                  s3/n - 3*mu*s2/n + 2*mu*mu*mu AS m3,
+                  s4/n - 4*mu*s3/n + 6*mu*mu*s2/n - 3*mu*mu*mu*mu AS m4
+           FROM m)
+    SELECT series_id, n, n_distinct, ROUND(mu, 6) AS mean,
+           ROUND(SQRT(m2), 6) AS std_pop,
+           ROUND(CASE WHEN m2 > 0 THEN m3 / POWER(m2, 1.5) END, 6) AS skewness,
+           ROUND(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END, 6) AS kurtosis,
+           min_value, max_value
+    FROM mm
+    """,
+)
+def q_series_profile(spark, sf_dir):
+    """One-pass distributional profile (``operators.analytics
+    .series_profile``): count / exact distinct / mean / population std /
+    skewness / kurtosis from raw power sums (identical arithmetic in both
+    engines — the built-in skewness/kurtosis disagree on bias correction),
+    min/max. One grouped aggregation, map-side combinable."""
+    from fdi_flow_spark.operators import series_profile
+
+    out = series_profile(events_series(spark, sf_dir))
+    return (
+        out.withColumn("mean", F.round("mean", 6))
+        .withColumn("std_pop", F.round("std_pop", 6))
+        .withColumn("skewness", F.round("skewness", 6))
+        .withColumn("kurtosis", F.round("kurtosis", 6))
+    )
+
+
 # ------------------------------------------------------------ registry order
 # The correctness driver checks the FIRST 50 registered queries. Since r4
 # all 50 slots are oracle-backed AND kernel-diverse: every observer replay
@@ -4249,6 +4290,10 @@ _WINDOW_EXCLUDED_ORACLES = {
                      # observer_luenberger_events recursive replay + the
                      # cusum_drift reflected prefix sum) — the composed
                      # plan is pytest-hash-checked end-to-end every run
+    "series_profile",  # power-sum groupBy aggregate, same hash-agg kernel
+                       # family as in-window q1_pricing_summary (+ the
+                       # distinct_counts_by_status Expand) — pytest-hash-
+                       # checked every run
 }
 
 

@@ -270,3 +270,68 @@ def test_seasonal_decompose_matches_statsmodels_semantics(spark, period):
     )
     # The seasonal component sums to ~0 over one period.
     assert abs(out["seasonal"].to_numpy()[:period].sum()) < 1e-9
+
+
+# --------------------------------------------------------- series profile
+
+def test_series_profile_matches_scipy_free_numpy(spark):
+    rng = np.random.default_rng(41)
+    x = rng.gamma(2.0, 10.0, 300)  # right-skewed on purpose
+    from fdi_flow_spark.operators import series_profile
+
+    df = make_long(spark, {"s": x, "const": np.full(10, 2.0)})
+    out = series_profile(df).toPandas().set_index("series_id")
+    r = out.loc["s"]
+    mu = x.mean()
+    m2 = ((x - mu) ** 2).mean()
+    m3 = ((x - mu) ** 3).mean()
+    m4 = ((x - mu) ** 4).mean()
+    assert r["n"] == 300 and r["n_distinct"] == len(np.unique(x))
+    assert abs(r["mean"] - mu) < 1e-9
+    assert abs(r["std_pop"] - np.sqrt(m2)) < 1e-9
+    assert abs(r["skewness"] - m3 / m2**1.5) < 1e-8
+    assert abs(r["kurtosis"] - m4 / m2**2) < 1e-8
+    assert r["skewness"] > 0.5  # gamma(2) is right-skewed
+    c = out.loc["const"]
+    assert c["std_pop"] == 0.0
+    assert c["skewness"] is None or np.isnan(c["skewness"])
+    assert c["n_distinct"] == 1
+
+
+# ----------------------------------------------- structural invariants
+
+def test_cusum_invariants_random(spark):
+    """CUSUM statistics are nonnegative; alarms are monotone in h; the
+    reflection identity holds on adversarial (heavily negative) input."""
+    rng = np.random.default_rng(99)
+    x = np.concatenate([rng.normal(-5, 3, 50), rng.normal(5, 3, 50)])
+    df = make_long(spark, {"s": x})
+    lo = cusum(df, k=0.1, h=2.0, target=0.0).toPandas().sort_values("ts")
+    hi = cusum(df, k=0.1, h=20.0, target=0.0).toPandas().sort_values("ts")
+    assert (lo["cusum_pos"] >= -1e-12).all() and (lo["cusum_neg"] >= -1e-12).all()
+    # same statistics regardless of h; alarms only shrink as h grows
+    np.testing.assert_array_equal(lo["cusum_pos"].to_numpy(), hi["cusum_pos"].to_numpy())
+    assert (hi["alarm"] <= lo["alarm"]).all()
+    ref = seq_cusum(x, 0.1, 0.0)
+    np.testing.assert_allclose(lo["cusum_pos"].to_numpy(), ref[:, 0], atol=1e-9)
+    np.testing.assert_allclose(lo["cusum_neg"].to_numpy(), ref[:, 1], atol=1e-9)
+
+
+def test_gap_fill_identity_on_complete_series(spark):
+    rng = np.random.default_rng(55)
+    x = rng.normal(0, 1, 60)
+    df = make_long(spark, {"s": x})
+    out = collect_sorted(gap_fill(df, "linear"), ["ts"])
+    np.testing.assert_array_equal(out["value"].to_numpy(), x)
+    assert not out["filled"].any()
+
+
+def test_seasonal_decompose_reconstructs_value(spark):
+    rng = np.random.default_rng(77)
+    x = rng.normal(10, 2, 80)
+    df = make_long(spark, {"s": x})
+    out = collect_sorted(seasonal_decompose(df, 8), ["ts"])
+    mid = out.dropna(subset=["trend"])
+    np.testing.assert_allclose(
+        mid["trend"] + mid["seasonal"] + mid["resid"], mid["value"], atol=1e-9
+    )
