@@ -5,6 +5,7 @@ from fdi_flow_spark.streaming.stateful import (
     streaming_holt,
     streaming_kalman_1d,
     streaming_observer,
+    streaming_page_hinkley,
     streaming_segment_windows,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "streaming_holt",
     "streaming_kalman_1d",
     "streaming_observer",
+    "streaming_page_hinkley",
     "streaming_segment_windows",
 ]

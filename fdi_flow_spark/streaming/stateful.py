@@ -235,6 +235,63 @@ def streaming_cusum(
     )
 
 
+_PH_OUT = StructType(
+    [
+        StructField("series_id", StringType()),
+        StructField("ts", LongType()),
+        StructField("value", DoubleType()),
+        StructField("ph_stat", DoubleType()),
+        StructField("alarm", BooleanType()),
+    ]
+)
+
+
+def streaming_page_hinkley(df: DataFrame, delta: float, lam: float) -> DataFrame:
+    """Page–Hinkley over a stream — the online twin of
+    ``operators.drift.page_hinkley``. State: (count, running sum, m, min m)
+    — O(1) per series; the running mean continues exactly where the last
+    micro-batch left off, so batch ≡ streaming (float atol)."""
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("csum", DoubleType()),
+            StructField("m", DoubleType()),
+            StructField("mmin", DoubleType()),
+        ]
+    )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n, csum, m, mmin = state.get if state.exists else (0, 0.0, 0.0, np.inf)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            ph = np.empty(len(vals))
+            for i, x in enumerate(vals):
+                n += 1
+                csum += x
+                m += x - csum / n - delta
+                mmin = min(mmin, m)
+                ph[i] = m - mmin
+            out.append(
+                pd.DataFrame(
+                    {
+                        "series_id": key[0],
+                        "ts": pdf["ts"].to_numpy(),
+                        "value": vals,
+                        "ph_stat": ph,
+                        "alarm": ph > lam,
+                    }
+                )
+            )
+        state.update((int(n), float(csum), float(m), float(mmin)))
+        yield pd.concat(out)
+
+    return df.groupBy("series_id").applyInPandasWithState(
+        fn, _PH_OUT, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_dedup_exact(
     docs: DataFrame,
     time_col: str = "event_time",

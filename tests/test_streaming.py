@@ -665,3 +665,22 @@ def test_streaming_cusum_equals_batch(spark, chunked_stream_dir):
     np.testing.assert_allclose(got["cusum_neg"], exp["cusum_neg"], atol=1e-9)
     assert list(got["alarm"]) == list(exp["alarm"])
     spark.catalog.dropTempView("sink_tbl")
+
+
+def test_streaming_page_hinkley_equals_batch(spark, chunked_stream_dir):
+    from fdi_flow_spark.operators import page_hinkley
+    from fdi_flow_spark.streaming import streaming_page_hinkley
+
+    d, batch_df = chunked_stream_dir
+    got = _run_stream(
+        spark, d, lambda s: streaming_page_hinkley(s, delta=0.01, lam=2.0)
+    ).reset_index(drop=True)
+    exp = (
+        page_hinkley(batch_df, delta=0.01, lam=2.0)
+        .toPandas()
+        .sort_values(["series_id", "ts"])
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(got["ph_stat"], exp["ph_stat"], atol=1e-9)
+    assert list(got["alarm"]) == list(exp["alarm"])
+    spark.catalog.dropTempView("sink_tbl")
