@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "quality_classifier",
     "fdi_pipeline",
     "series_profile",
+    "user_sessions",
 ]
 
 

@@ -4,6 +4,8 @@ from fdi_flow_spark.operators.analytics import (
     seasonal_decompose,
     series_acf,
     series_profile,
+    session_stats,
+    sessionize,
     time_bucket_rollup,
 )
 from fdi_flow_spark.operators.drift import (
@@ -51,6 +53,8 @@ __all__ = [
     "series_profile",
     "cross_corr_pairs",
     "gap_fill",
+    "sessionize",
+    "session_stats",
     "time_bucket_rollup",
     "seasonal_decompose",
 ]

@@ -168,6 +168,61 @@ def time_bucket_rollup(df: DataFrame, width: int = 10) -> DataFrame:
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    max_gap,
+) -> DataFrame:
+    """Gap-based sessionization: within each ``key_col`` group (ordered by
+    ``time_col``), a new session starts whenever the gap to the previous
+    event exceeds ``max_gap`` (in ``time_col``'s own units). Adds
+    ``session_id`` (0-based per key) — the classic conditional-cumsum
+    window kernel: ``sum(gap > threshold) over (partition key order time)``.
+
+    ``time_col`` should be NUMERIC (e.g. integer epoch micros) — integer
+    gap arithmetic is exact, so session boundaries are bit-deterministic
+    across engines and reruns. Ties on ``time_col`` don't need a
+    tie-breaker: a zero gap never opens a session, and reordering peer rows
+    moves the boundary flag within the tie group without changing any row's
+    cumulative count — assignment is order-insensitive (unit-tested).
+
+    One Exchange on the key — the standard behavioral-analytics shape.
+    """
+    w = Window.partitionBy(key_col).orderBy(time_col)
+    gap = F.col(time_col) - F.lag(F.col(time_col)).over(w)
+    is_new = F.when(gap > F.lit(max_gap), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new)
+        .over(
+            Window.partitionBy(key_col)
+            .orderBy(time_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long"),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    max_gap,
+) -> DataFrame:
+    """Sessionize then aggregate one row per session: ``(key, session_id,
+    n_events, t_start, t_end, duration)`` in ``time_col`` units. Window +
+    grouped agg share the key prefix, so the aggregation rides the window's
+    Exchange."""
+    s = sessionize(df, key_col, time_col, max_gap)
+    return s.groupBy(key_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(time_col).alias("t_start"),
+        F.max(time_col).alias("t_end"),
+        (F.max(time_col) - F.min(time_col)).alias("duration"),
+    )
+
+
 def series_profile(df: DataFrame) -> DataFrame:
     """One-pass distributional profile per series: ``(series_id, n,
     n_distinct, mean, std_pop, skewness, kurtosis, min_value, max_value)``.

@@ -4075,6 +4075,45 @@ def q_seasonal_decompose(spark, sf_dir):
 
 
 @register(
+    "user_sessions",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+    w AS (SELECT user_id, tus,
+                 CASE WHEN tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                           > 14400000000 THEN 1 ELSE 0 END AS is_new
+          FROM e),
+    s AS (SELECT user_id, tus,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM w)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(tus) AS t_start, MAX(tus) AS t_end,
+           MAX(tus) - MIN(tus) AS duration
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization of the events stream (``operators.analytics
+    .sessionize``/``session_stats``): 4-hour inactivity gap per user, all
+    arithmetic in exact integer epoch-micros so session boundaries are
+    bit-deterministic across engines (ties need no tiebreaker — the
+    conditional-cumsum assignment is order-insensitive within peer rows,
+    unit-tested). One Exchange on user_id shared by window + aggregation."""
+    from fdi_flow_spark.operators import session_stats
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        # tz-free exact integer epoch-micros from the NTZ timestamp — the
+        # same integers DuckDB's epoch_us(ts) yields for naive timestamps.
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("tus"),
+    )
+    return session_stats(ev, "user_id", "tus", 14_400_000_000)
+
+
+@register(
     "series_profile",
     f"""
     WITH s AS ({SERIES_SQL}),
@@ -4294,6 +4333,9 @@ _WINDOW_EXCLUDED_ORACLES = {
                        # family as in-window q1_pricing_summary (+ the
                        # distinct_counts_by_status Expand) — pytest-hash-
                        # checked every run
+    "user_sessions",  # conditional-flag cumulative window sum — prefix-sum
+                      # kernel family of in-window cusum_drift/token_pack —
+                      # pytest-hash-checked every run
 }
 
 

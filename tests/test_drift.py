@@ -335,3 +335,47 @@ def test_seasonal_decompose_reconstructs_value(spark):
     np.testing.assert_allclose(
         mid["trend"] + mid["seasonal"] + mid["resid"], mid["value"], atol=1e-9
     )
+
+
+# ----------------------------------------------------------- sessionize
+
+def test_sessionize_gap_boundaries_and_stats(spark):
+    from fdi_flow_spark.operators import session_stats, sessionize
+
+    rows = [
+        ("u1", 0), ("u1", 10), ("u1", 50),      # session 0
+        ("u1", 200), ("u1", 210),               # session 1 (gap 150 > 100)
+        ("u1", 1000),                           # session 2
+        ("u2", 5),                              # separate key
+    ]
+    df = spark.createDataFrame(rows, schema="user_id string, t long")
+    s = sessionize(df, "user_id", "t", max_gap=100).toPandas()
+    sid = {(r.user_id, r.t): r.session_id for r in s.itertuples()}
+    assert [sid[("u1", t)] for t in (0, 10, 50, 200, 210, 1000)] == [0, 0, 0, 1, 1, 2]
+    assert sid[("u2", 5)] == 0
+    st = (
+        session_stats(df, "user_id", "t", max_gap=100)
+        .toPandas()
+        .set_index(["user_id", "session_id"])
+        .sort_index()
+    )
+    assert st.loc[("u1", 0)]["n_events"] == 3
+    assert st.loc[("u1", 0)]["duration"] == 50
+    assert st.loc[("u1", 2)]["n_events"] == 1
+    assert st.loc[("u1", 2)]["duration"] == 0
+
+
+def test_sessionize_tie_rows_order_insensitive(spark):
+    """Rows with equal timestamps land in the same session regardless of
+    their arbitrary peer order (the conditional-cumsum invariance the
+    oracle relies on) — exercised under different partition layouts."""
+    from fdi_flow_spark.operators import sessionize
+
+    rows = [("u", 0), ("u", 500), ("u", 500), ("u", 500), ("u", 600)]
+    base = spark.createDataFrame(rows, schema="user_id string, t long")
+    expected = {0: 0, 500: 1, 600: 1}
+    for parts in (1, 3, 5):
+        out = sessionize(base.repartition(parts), "user_id", "t", max_gap=100)
+        got = out.toPandas()
+        for r in got.itertuples():
+            assert r.session_id == expected[r.t], (parts, r)
