@@ -7,6 +7,7 @@ from fdi_flow_spark.streaming.stateful import (
     streaming_observer,
     streaming_page_hinkley,
     streaming_segment_windows,
+    streaming_sessions,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "streaming_observer",
     "streaming_page_hinkley",
     "streaming_segment_windows",
+    "streaming_sessions",
 ]

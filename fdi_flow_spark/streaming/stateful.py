@@ -350,6 +350,37 @@ def streaming_observer(df: DataFrame, observer_factory) -> DataFrame:
     )
 
 
+def streaming_sessions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "event_time",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-based sessionization via Spark's native
+    ``session_window`` — the online analog of ``operators.analytics
+    .sessionize`` (same boundary rule: events merge while gaps stay within
+    ``gap``; state closes and emits once the watermark passes the session
+    end, which is what bounds state at ingest scale). Output: one row per
+    closed session ``(key, session_start, session_end, n_events)``.
+
+    Works identically on a batch frame (used by the batch≡sessionize parity
+    test — two independent kernels, one session definition)."""
+    g = df
+    if df.isStreaming:
+        g = df.withWatermark(time_col, watermark)
+    return (
+        g.groupBy(F.col(key_col), F.session_window(F.col(time_col), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_segment_windows(
     df: DataFrame,
     window_duration: str = "10 seconds",

@@ -684,3 +684,43 @@ def test_streaming_page_hinkley_equals_batch(spark, chunked_stream_dir):
     np.testing.assert_allclose(got["ph_stat"], exp["ph_stat"], atol=1e-9)
     assert list(got["alarm"]) == list(exp["alarm"])
     spark.catalog.dropTempView("sink_tbl")
+
+
+def test_sessionize_agrees_with_native_session_window(spark):
+    """Two independent session kernels, one definition: the batch
+    conditional-cumsum sessionize (exact integer micros) must carve the
+    same sessions as Spark's native session_window aggregation."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fdi_flow_spark.operators import session_stats
+    from fdi_flow_spark.streaming import streaming_sessions
+
+    rng = np.random.default_rng(23)
+    base = 1_700_000_000
+    rows = []
+    for u in range(6):
+        t = base + u * 10_000
+        for _ in range(40):
+            t += int(rng.integers(1, 4000))  # gaps straddle the 1800s gap
+            rows.append((f"u{u}", t))
+    df = spark.createDataFrame(rows, schema="user_id string, tsec long")
+    ts_df = df.select(
+        "user_id", F.col("tsec").cast("timestamp").alias("event_time")
+    )
+    native = (
+        streaming_sessions(ts_df, "user_id", "event_time", "30 minutes")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    ours = (
+        session_stats(df, "user_id", "tsec", max_gap=1800)
+        .toPandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    assert len(native) == len(ours)
+    assert list(native["n_events"]) == list(ours["n_events"])
+    got_starts = native["session_start"].map(lambda d: int(pd.Timestamp(d).timestamp()))
+    np.testing.assert_array_equal(got_starts.to_numpy(), ours["t_start"].to_numpy())
