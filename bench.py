@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "fdi_pipeline",
     "series_profile",
     "user_sessions",
+    "pattern_search",
 ]
 
 

@@ -1,6 +1,7 @@
 from fdi_flow_spark.operators.analytics import (
     cross_corr_pairs,
     gap_fill,
+    pattern_search,
     seasonal_decompose,
     series_acf,
     series_profile,
@@ -53,6 +54,7 @@ __all__ = [
     "series_profile",
     "cross_corr_pairs",
     "gap_fill",
+    "pattern_search",
     "sessionize",
     "session_stats",
     "time_bucket_rollup",

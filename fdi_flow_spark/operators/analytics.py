@@ -223,6 +223,68 @@ def session_stats(
     )
 
 
+def pattern_search(df: DataFrame, query, k: int = 5) -> DataFrame:
+    """Top-k best matches of a short query subsequence against every
+    length-``m`` window of every series, under z-normalized Euclidean
+    distance — subsequence similarity search (the matrix-profile/MASS
+    distance semantics, Mueen et al.), i.e. "find past occurrences of this
+    fault signature".
+
+    For a z-normalized query ``q`` and window ``w`` with mean ``mu`` and
+    population std ``sig``: ``d^2 = 2m (1 - dot(q, w - mu)/ (m sig))``.
+    The sliding dot product is ``m`` ``lead`` columns over ONE ordered
+    window (the ACF kernel), window mean/sumsq are forward-frame
+    aggregates on the same Exchange, and top-k is a rank pinned on
+    ``(round(dist, 9) ASC, ts ASC)``. Flat (``sig = 0``) windows are
+    excluded (z-distance undefined). At very large ``m`` swap the lead
+    columns for an FFT sliding dot product per series (`applyInPandas`) —
+    same contract; this closed form keeps the hot path JVM-only.
+
+    Output: ``(series_id, start_ts, dist)``, ``k`` rows per series.
+    """
+    assert_long(df)
+    q = [float(v) for v in query]
+    m = len(q)
+    if m < 2:
+        raise ValueError("query must have at least 2 samples")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    qmu = sum(q) / m
+    qsig = (sum((v - qmu) ** 2 for v in q) / m) ** 0.5
+    if qsig == 0:
+        raise ValueError("query is constant — z-normalized distance undefined")
+    qn = [(v - qmu) / qsig for v in q]
+
+    ordered = Window.partitionBy(SERIES_ID).orderBy(TS)
+    fwd = Window.partitionBy(SERIES_ID).orderBy(TS).rowsBetween(0, m - 1)
+    s = (
+        df.withColumn("_ws", F.sum(VALUE).over(fwd))
+        .withColumn("_wss", F.sum(F.col(VALUE) * F.col(VALUE)).over(fwd))
+        .withColumn("_wn", F.count(VALUE).over(fwd))
+    )
+    dot = F.col(VALUE) * F.lit(qn[0])
+    for j in range(1, m):
+        dot = dot + F.lead(VALUE, j).over(ordered) * F.lit(qn[j])
+    s = s.withColumn("_dot", dot)
+    mu = F.col("_ws") / m
+    var = F.col("_wss") / m - mu * mu
+    sig = F.sqrt(F.greatest(var, F.lit(0.0)))
+    d2 = 2.0 * m * (1.0 - F.col("_dot") / (F.lit(float(m)) * sig))
+    cand = s.where((F.col("_wn") == m) & (sig > 0)).select(
+        SERIES_ID,
+        F.col(TS).alias("start_ts"),
+        F.sqrt(F.greatest(d2, F.lit(0.0))).alias("dist"),
+    )
+    best = Window.partitionBy(SERIES_ID).orderBy(
+        F.round(F.col("dist"), 9).asc(), F.col("start_ts").asc()
+    )
+    return (
+        cand.withColumn("_rk", F.row_number().over(best))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def series_profile(df: DataFrame) -> DataFrame:
     """One-pass distributional profile per series: ``(series_id, n,
     n_distinct, mean, std_pop, skewness, kurtosis, min_value, max_value)``.

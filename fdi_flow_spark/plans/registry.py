@@ -4074,6 +4074,57 @@ def q_seasonal_decompose(spark, sf_dir):
     )
 
 
+def _pattern_search_oracle_sql(query, k: int) -> str:
+    m = len(query)
+    qmu = sum(query) / m
+    qsig = (sum((v - qmu) ** 2 for v in query) / m) ** 0.5
+    qn = [(v - qmu) / qsig for v in query]
+    dot = " + ".join(
+        (f"value * {qn[0]!r}" if j == 0 else f"LEAD(value, {j}) OVER w0 * {qn[j]!r}")
+        for j in range(m)
+    )
+    return f"""
+    WITH s AS ({SERIES_SQL}),
+    b AS (SELECT series_id, ts, value,
+                 SUM(value) OVER wf AS ws,
+                 SUM(value*value) OVER wf AS wss,
+                 COUNT(value) OVER wf AS wn,
+                 {dot} AS dot
+          FROM s
+          WINDOW w0 AS (PARTITION BY series_id ORDER BY ts),
+                 wf AS (PARTITION BY series_id ORDER BY ts
+                        ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)),
+    c AS (SELECT series_id, ts AS start_ts, dot,
+                 SQRT(GREATEST(wss/{m} - (ws/{m})*(ws/{m}), 0.0)) AS sig
+          FROM b WHERE wn = {m}),
+    d AS (SELECT series_id, start_ts,
+                 SQRT(GREATEST(2.0 * {m} * (1.0 - dot / (CAST({m} AS DOUBLE) * sig)),
+                               0.0)) AS dist
+          FROM c WHERE sig > 0),
+    r AS (SELECT series_id, start_ts, dist,
+                 ROW_NUMBER() OVER (PARTITION BY series_id
+                                    ORDER BY ROUND(dist, 9) ASC, start_ts ASC) AS rk
+          FROM d)
+    SELECT series_id, start_ts, ROUND(dist, 6) AS dist FROM r WHERE rk <= {k}
+    """
+
+
+_PATTERN_QUERY = [0.0, 1.0, 2.0, 3.0, 2.0, 1.0, 0.0, -1.0]
+
+
+@register("pattern_search", _pattern_search_oracle_sql(_PATTERN_QUERY, 5))
+def q_pattern_search(spark, sf_dir):
+    """Fault-signature subsequence search (``operators.analytics
+    .pattern_search``): top-5 z-normalized-distance matches of an 8-sample
+    spike template per series — MASS/matrix-profile distance semantics as
+    m lead columns + forward-frame moments over ONE ordered window, rank
+    pinned on (round(dist,9), ts)."""
+    from fdi_flow_spark.operators import pattern_search
+
+    out = pattern_search(events_series(spark, sf_dir), _PATTERN_QUERY, k=5)
+    return out.withColumn("dist", F.round("dist", 6))
+
+
 @register(
     "user_sessions",
     """
@@ -4336,6 +4387,9 @@ _WINDOW_EXCLUDED_ORACLES = {
     "user_sessions",  # conditional-flag cumulative window sum — prefix-sum
                       # kernel family of in-window cusum_drift/token_pack —
                       # pytest-hash-checked every run
+    "pattern_search",  # lead-column sliding dot product (in-window
+                       # series_acf kernel) + pinned rank top-k (in-window
+                       # cosine_topk kernel) — pytest-hash-checked every run
 }
 
 

@@ -379,3 +379,56 @@ def test_sessionize_tie_rows_order_insensitive(spark):
         got = out.toPandas()
         for r in got.itertuples():
             assert r.session_id == expected[r.t], (parts, r)
+
+
+# ------------------------------------------------------- pattern search
+
+def naive_pattern_search(x, q, k):
+    q = np.asarray(q, float)
+    qz = (q - q.mean()) / q.std()
+    m = len(q)
+    out = []
+    for i in range(len(x) - m + 1):
+        w = x[i : i + m]
+        sig = w.std()
+        if sig == 0:
+            continue
+        wz = (w - w.mean()) / sig
+        out.append((i, float(np.sqrt(max(0.0, ((qz - wz) ** 2).sum())))))
+    out.sort(key=lambda t: (round(t[1], 9), t[0]))
+    return out[:k]
+
+
+def test_pattern_search_matches_naive_and_finds_plant(spark):
+    from fdi_flow_spark.operators import pattern_search
+
+    rng = np.random.default_rng(61)
+    x = rng.normal(0, 1, 300)
+    sig = np.array([0.0, 1.0, 2.0, 3.0, 2.0, 1.0, 0.0, -1.0])  # spike shape
+    x[100:108] = sig * 4 + 0.5          # planted scaled+shifted copy
+    x[200:208] = sig * -2               # inverted copy (should NOT match)
+    df = make_long(spark, {"s": x})
+    got = (
+        pattern_search(df, sig, k=3)
+        .toPandas()
+        .sort_values("dist")
+        .reset_index(drop=True)
+    )
+    ref = naive_pattern_search(x, sig, 3)
+    assert list(got["start_ts"]) == [i for i, _ in ref]
+    np.testing.assert_allclose(got["dist"].to_numpy(), [d for _, d in ref], atol=1e-9)
+    # z-normalization makes the scaled+shifted plant an (almost) exact match
+    assert got.loc[0, "start_ts"] == 100
+    assert got.loc[0, "dist"] < 1e-6
+
+
+def test_pattern_search_excludes_flat_windows_and_validates(spark):
+    from fdi_flow_spark.operators import pattern_search
+
+    x = np.concatenate([np.full(20, 5.0), [5.0, 6.0, 7.0, 6.0], np.full(20, 5.0)])
+    df = make_long(spark, {"s": x})
+    out = pattern_search(df, [0.0, 1.0, 2.0, 1.0], k=2).toPandas()
+    assert (out["dist"] >= 0).all()
+    assert out.iloc[0]["start_ts"] == 20  # the only structured window wins
+    with pytest.raises(ValueError):
+        pattern_search(df, [1.0, 1.0, 1.0], k=2)  # constant query
