@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "series_profile",
     "user_sessions",
     "pattern_search",
+    "readability",
 ]
 
 

@@ -574,3 +574,45 @@ def gopher_filter(
         (failed == "").alias("keep"),
         failed.alias("failed_rules"),
     )
+
+
+def readability_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease and Flesch–Kincaid grade level per document —
+    the classic readability quality features (Kincaid et al. 1975), fully
+    SQL-expressible so the oracle checks them exactly.
+
+    Counting conventions (pinned, engine-shared):
+    - sentences: maximal runs of ``[.!?]`` (minimum 1);
+    - words: whitespace tokens (the ``token_counts`` tokenizer);
+    - syllables: maximal runs of ``[aeiouyAEIOUY]`` across the text
+      (vowel-group approximation; minimum 1).
+
+    ``ease = 206.835 - 1.015 (words/sentences) - 84.6 (syllables/words)``;
+    ``grade = 0.39 (words/sentences) + 11.8 (syllables/words) - 15.59``.
+    Pure projections — zero shuffle at any scale.
+    """
+    docs = ensure_min_parallelism(docs, id_col)
+    toks = _tokens(F.col(text_col))
+    n_words = F.greatest(F.size(toks).cast("bigint"), F.lit(1).cast("bigint"))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0)).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    n_syll = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"[aeiouyAEIOUY]+"), 0)
+        ).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = n_syll.cast("double") / n_words.cast("double")
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias("flesch_ease"),
+        (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)).alias("fk_grade"),
+    )

@@ -4074,6 +4074,37 @@ def q_seasonal_decompose(spark, sf_dir):
     )
 
 
+@register(
+    "readability",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             GREATEST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'),
+                                      t -> LENGTH(t) > 0)), 1)::BIGINT AS n_words,
+             GREATEST(LEN(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS n_sentences,
+             GREATEST(LEN(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1)::BIGINT AS n_syllables
+      FROM documents)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                         - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch_ease,
+           ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 6) AS fk_grade
+    FROM f
+    """,
+)
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease / Flesch–Kincaid grade (``pipelines.text
+    .readability_scores``): vowel-group syllable approximation, pinned
+    counting conventions shared with the oracle; pure projections, zero
+    shuffle."""
+    from fdi_flow_spark.pipelines.text import readability_scores
+
+    out = readability_scores(load_table(spark, sf_dir, "documents"))
+    return out.withColumn("flesch_ease", F.round("flesch_ease", 6)).withColumn(
+        "fk_grade", F.round("fk_grade", 6)
+    )
+
+
 def _pattern_search_oracle_sql(query, k: int) -> str:
     m = len(query)
     qmu = sum(query) / m
@@ -4390,6 +4421,9 @@ _WINDOW_EXCLUDED_ORACLES = {
     "pattern_search",  # lead-column sliding dot product (in-window
                        # series_acf kernel) + pinned rank top-k (in-window
                        # cosine_topk kernel) — pytest-hash-checked every run
+    "readability",  # regexp-count projection, same kernel family as
+                    # in-window token_counts/pii_redact — pytest-hash-
+                    # checked every run
 }
 
 

@@ -136,3 +136,25 @@ def test_gopher_filter_rule_semantics(spark):
     for r in out.values():
         parts = r.failed_rules.split(",") if r.failed_rules else []
         assert parts == sorted(parts)
+
+
+def test_readability_scores_pinned_conventions(spark):
+    from fdi_flow_spark.pipelines.text import readability_scores
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),          # 6 words, 2 sentences
+        (2, "xyz"),                                # no vowels/sentences -> floors of 1
+        (3, "Incomprehensibilities notwithstanding, readability estimation persists."),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r["doc_id"]: r for r in readability_scores(df).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 6 and r1["n_sentences"] == 2
+    # syllable groups: e|a|a|e|o|a  -> "The cat sat" = e,a,a; "The dog ran" = e,o,a
+    assert r1["n_syllables"] == 6
+    ease = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert abs(r1["flesch_ease"] - ease) < 1e-9
+    r2 = out[2]
+    assert r2["n_words"] == 1 and r2["n_sentences"] == 1 and r2["n_syllables"] == 1
+    # long latinate words read much harder than the simple sentence
+    assert out[3]["fk_grade"] > r1["fk_grade"] + 5
