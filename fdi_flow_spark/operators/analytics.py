@@ -103,8 +103,14 @@ def gap_fill(df: DataFrame, method: str = "linear") -> DataFrame:
     'both')`` behavior). ``method='ffill'``: previous non-null value,
     leading gaps take the next value. Adds ``filled`` (bool).
 
-    Pure ordered-window math: ``last/first(... ignoreNulls)`` over
-    preceding/following frames — one Exchange, no self-join, no UDF.
+    Pure ordered-window math — one Exchange, no self-join, no UDF. Both
+    neighbor lookups use RUNNING frames (unbounded preceding -> current):
+    the previous non-null over the ascending sort, the next non-null over
+    the DESCENDING sort. A ``[current, unbounded following]`` frame would
+    read more naturally for "next", but Spark's UnboundedFollowing frame
+    re-evaluates the aggregate from scratch per row — O(n^2) per series
+    (measured 110 s vs ~1 s at sf0.1); the reversed running frame is the
+    O(n) incremental form, at the cost of one extra in-partition Sort.
     """
     assert_long(df)
     if method not in ("linear", "ffill"):
@@ -112,15 +118,17 @@ def gap_fill(df: DataFrame, method: str = "linear") -> DataFrame:
     prev_f = Window.partitionBy(SERIES_ID).orderBy(TS).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    next_f = Window.partitionBy(SERIES_ID).orderBy(TS).rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
+    next_f = (
+        Window.partitionBy(SERIES_ID)
+        .orderBy(F.col(TS).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     v_ts = F.when(F.col(VALUE).isNotNull(), F.col(TS))
     s = (
         df.withColumn("_pv", F.last(VALUE, ignorenulls=True).over(prev_f))
         .withColumn("_pt", F.last(v_ts, ignorenulls=True).over(prev_f))
-        .withColumn("_nv", F.first(VALUE, ignorenulls=True).over(next_f))
-        .withColumn("_nt", F.first(v_ts, ignorenulls=True).over(next_f))
+        .withColumn("_nv", F.last(VALUE, ignorenulls=True).over(next_f))
+        .withColumn("_nt", F.last(v_ts, ignorenulls=True).over(next_f))
     )
     if method == "ffill":
         fill = F.coalesce(F.col("_pv"), F.col("_nv"))
