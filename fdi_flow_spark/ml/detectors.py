@@ -461,8 +461,15 @@ class SVMFaultDetector(_AssembledPipelineDetector):
     ``scale_features`` adds an MLlib StandardScaler stage (before the RFF
     map, matching the reference's scale-then-SVC order). The reference
     ``score()`` double-scaling bug (``:796-800``) is not reproduced.
-    ``predict_proba`` raises like the reference does when
-    ``probability=False`` (LinearSVC has no probability output)."""
+
+    ``probability=True`` serves ``predict_proba`` the same way sklearn's SVC
+    does (``sklearn_detectors.py:772-773``): Platt scaling — a per-class
+    sigmoid ``p = 1/(1+exp(A f + B))`` fitted on the decision margins with
+    Lin/Lidén target smoothing, OVR probabilities normalized across
+    classes. The Newton fit runs on SUFFICIENT STATISTICS (one small
+    aggregate over the cached margin frame per iteration), so calibration
+    is fully distributed — no margins ever reach the driver. With
+    ``probability=False`` it raises, like the reference."""
 
     def __init__(
         self,
@@ -527,7 +534,10 @@ class SVMFaultDetector(_AssembledPipelineDetector):
                 q = sum(float(agg[f"q{i}"]) for i in range(d))
                 var = q / n_vals - (s / n_vals) ** 2
                 self._gamma_value = 1.0 / (d * var) if var > 1e-24 else 1.0
-        return super().fit(X, y, test_size=test_size, optimize=optimize)
+        super().fit(X, y, test_size=test_size, optimize=optimize)
+        if self.probability:
+            self._fit_platt(X, y)
+        return self
 
     def _build_pipeline(self, params, n_classes):
         if self.kernel != "rbf":
@@ -564,11 +574,115 @@ class SVMFaultDetector(_AssembledPipelineDetector):
             return OneVsRest(classifier=svc, labelCol="label")
         return svc
 
-    def predict_proba(self, X):
-        raise RuntimeError(
-            "predict_proba requires probability=True with a probabilistic "
-            "backend; LinearSVC does not expose probabilities"
+    # ---- Platt scaling ------------------------------------------------
+    def _margin_cols(self, df: DataFrame) -> tuple[DataFrame, list[str]]:
+        """Apply the fitted pipeline's feature stages, then emit one margin
+        column per class: the binary LinearSVC decision value, or each OVR
+        submodel's decision value."""
+        from pyspark.ml.functions import vector_to_array
+
+        feats = df
+        for stage in self.model_.stages[:-1]:
+            feats = stage.transform(feats)
+        clf = self.model_.stages[-1]
+        if hasattr(clf, "models"):  # OneVsRestModel
+            cols = []
+            for i, sub in enumerate(clf.models):
+                sub = sub.copy()
+                sub.set(sub.predictionCol, f"_p{i}")
+                sub.set(sub.rawPredictionCol, f"_raw{i}")
+                feats = sub.transform(feats)
+                feats = feats.withColumn(
+                    f"_m{i}", vector_to_array(F.col(f"_raw{i}"))[1]
+                ).drop(f"_p{i}", f"_raw{i}")
+                cols.append(f"_m{i}")
+            return feats, cols
+        scored = clf.transform(feats)
+        return (
+            scored.withColumn("_m0", vector_to_array(F.col(clf.getRawPredictionCol()))[1]),
+            ["_m0"],
         )
+
+    @staticmethod
+    def _platt_newton(df: DataFrame, margin_col: str, target_col: str) -> tuple[float, float]:
+        """Platt (1999) sigmoid fit with Lin et al. (2007) smoothed targets,
+        by Newton's method over distributed sufficient statistics."""
+        counts = df.agg(
+            F.sum(F.col(target_col)).alias("np"),
+            F.sum(1 - F.col(target_col)).alias("nn"),
+        ).first()
+        n_pos, n_neg = float(counts["np"]), float(counts["nn"])
+        t_pos = (n_pos + 1.0) / (n_pos + 2.0)
+        t_neg = 1.0 / (n_neg + 2.0)
+        t = F.when(F.col(target_col) > 0, F.lit(t_pos)).otherwise(F.lit(t_neg))
+        a, b = 0.0, float(np.log((n_neg + 1.0) / (n_pos + 1.0)))
+        f = F.col(margin_col)
+        for _ in range(25):
+            z = F.lit(a) * f + F.lit(b)
+            # p = P(y=1) = 1/(1+exp(z)) in Platt's parameterization
+            p = 1.0 / (1.0 + F.exp(F.greatest(F.least(z, F.lit(35.0)), F.lit(-35.0))))
+            d = p - t  # dLoss/dz has sign -(t - p) under this parameterization
+            w = p * (1.0 - p)
+            g = df.agg(
+                F.sum(-d * f).alias("ga"),
+                F.sum(-d).alias("gb"),
+                F.sum(w * f * f).alias("haa"),
+                F.sum(w * f).alias("hab"),
+                F.sum(w).alias("hbb"),
+            ).first()
+            ga, gb = float(g["ga"]), float(g["gb"])
+            haa, hab, hbb = float(g["haa"]) + 1e-12, float(g["hab"]), float(g["hbb"]) + 1e-12
+            det = haa * hbb - hab * hab
+            if abs(det) < 1e-24:
+                break
+            da = (hbb * ga - hab * gb) / det
+            db = (haa * gb - hab * ga) / det
+            a -= da
+            b -= db
+            if abs(da) < 1e-10 and abs(db) < 1e-10:
+                break
+        return a, b
+
+    def _fit_platt(self, X, y) -> None:
+        df = self._to_train_df(X, y)
+        scored, cols = self._margin_cols(df)
+        scored = scored.cache()
+        self._platt_ = []
+        for i, c in enumerate(cols):
+            tgt = (
+                (F.col("label") == float(i)).cast("double")
+                if len(cols) > 1
+                else F.col("label")
+            )
+            self._platt_.append(
+                self._platt_newton(scored.withColumn("_t", tgt), c, "_t")
+            )
+        scored.unpersist()
+
+    def predict_proba(self, X):
+        if not self.probability:
+            raise RuntimeError(
+                "predict_proba requires probability=True (reference "
+                "sklearn_detectors.py:772-773); refit with probability=True"
+            )
+        scored, cols = self._margin_cols(self._to_pred_df(X))
+        probs = []
+        for i, c in enumerate(cols):
+            a, b = self._platt_[i]
+            z = F.lit(a) * F.col(c) + F.lit(b)
+            probs.append(
+                (1.0 / (1.0 + F.exp(F.greatest(F.least(z, F.lit(35.0)), F.lit(-35.0)))))
+                .alias(f"_pr{i}")
+            )
+        if "_row_id" not in scored.columns:  # Spark-DataFrame ingress: stay lazy
+            return scored.select(*probs)
+        out = scored.select("_row_id", *probs)
+        rows = out.orderBy("_row_id").collect()
+        if len(cols) == 1:  # binary: P(class1), P(class0) = 1 - p
+            p1 = np.array([r["_pr0"] for r in rows])
+            return np.column_stack([1.0 - p1, p1])
+        mat = np.array([[r[f"_pr{i}"] for i in range(len(cols))] for r in rows])
+        return mat / mat.sum(axis=1, keepdims=True)
 
 
 def xgboost_spark_available() -> bool:

@@ -224,3 +224,48 @@ def test_detector_optuna_search_without_optuna(spark, data):
     assert 3 <= det.best_params_["n_neighbors"] <= 9
     assert det.best_params_["weights"] in space["weights"]
     assert det.score(Xte, yte) > 0.85
+
+
+def test_svm_platt_predict_proba_binary(spark):
+    """probability=True serves Platt-calibrated probabilities: valid
+    simplex rows, argmax == predict, and monotone in the decision margin
+    (reference SVC probability semantics, sklearn_detectors.py:772-773)."""
+    import numpy as np
+
+    from fdi_flow_spark.ml.detectors import SVMFaultDetector
+
+    rng = np.random.default_rng(19)
+    X = np.vstack([rng.normal(-2, 1, (60, 4)), rng.normal(2, 1, (60, 4))])
+    y = np.array([0] * 60 + [1] * 60)
+    det = SVMFaultDetector(probability=True, random_state=0).fit(X, y)
+    proba = det.predict_proba(X)
+    assert proba.shape == (120, 2)
+    assert np.all(proba >= 0) and np.all(proba <= 1)
+    np.testing.assert_allclose(proba.sum(axis=1), 1.0, atol=1e-9)
+    pred = det.predict(X)
+    agree = (proba.argmax(axis=1) == pred).mean()
+    assert agree >= 0.99
+    # calibration is informative: confident on class means
+    assert proba[:5, 0].mean() > 0.8 and proba[-5:, 1].mean() > 0.8
+
+
+def test_svm_platt_predict_proba_multiclass_and_gate(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from fdi_flow_spark.ml.detectors import SVMFaultDetector
+
+    rng = np.random.default_rng(29)
+    centers = [(-3, 0), (3, 0), (0, 4)]
+    X = np.vstack([rng.normal(c, 0.7, (40, 2)) for c in centers])
+    y = np.repeat([0, 1, 2], 40)
+    det = SVMFaultDetector(probability=True, random_state=1).fit(X, y)
+    proba = det.predict_proba(X)
+    assert proba.shape == (120, 3)
+    np.testing.assert_allclose(proba.sum(axis=1), 1.0, atol=1e-9)
+    agree = (proba.argmax(axis=1) == det.predict(X)).mean()
+    assert agree >= 0.95  # OVR normalization can disagree on boundary points
+    # the gate is reference-parity: probability=False raises
+    det2 = SVMFaultDetector(probability=False).fit(X, y)
+    with _pytest.raises(RuntimeError):
+        det2.predict_proba(X)
