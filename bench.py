@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "user_sessions",
     "pattern_search",
     "readability",
+    "dedup_incremental",
 ]
 
 

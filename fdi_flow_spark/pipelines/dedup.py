@@ -714,3 +714,191 @@ def span_contamination(
             F.round(F.col("n_contaminated") / F.col("n_windows"), 6).alias("frac"),
         )
     )
+
+
+# ------------------------------------------------- incremental dedup (r5c)
+
+def minhash_signature_expr(
+    text_col: str, n: int = 2, num_hashes: int = 32, seed: int = 42
+):
+    """PROJECTION-ONLY MinHash signature column (``array<long>``; null when
+    the text has fewer than ``n`` tokens): the zero-shuffle twin of
+    :func:`minhash_signatures` — identical shingles, hashes, and permutation
+    family, but computed per row with array expressions instead of an
+    explode + aggregate. This is what makes the incremental/streaming path
+    append-safe: a stream of arriving documents gets signatures without any
+    stateful aggregation. (Equality with the aggregate operator is pinned in
+    tests.)"""
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
+    grams = F.expr(
+        f"""
+        array_distinct(transform(
+          sequence(1, greatest(0, size(filter(split({text_col}, '\\\\s+'),
+                                              t -> length(t) > 0)) - {n - 1})),
+          i -> array_join(slice(filter(split({text_col}, '\\\\s+'),
+                                       t -> length(t) > 0), i, {n}), ' ')))
+        """
+    )
+    harr = F.transform(
+        grams,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        % F.lit(MERSENNE_P),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(harr, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P))
+            )
+            for a, b in coeffs
+        ]
+    )
+    return F.when(F.size(toks) >= n, sig)
+
+
+def _band_struct_expr(sig_col: str, num_hashes: int, bands: int):
+    rows = num_hashes // bands
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> struct(b as band, "
+        f"concat(cast(b as string), ':', "
+        f"array_join(slice({sig_col}, b*{rows}+1, {rows}), ',')) as bucket))"
+    )
+
+
+def minhash_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus-side LSH band index for incremental dedup: one row per
+    ``(id, band, bucket)`` with the full signature attached. Build once
+    offline, persist (e.g. ``partitionBy('band')``), and every arriving
+    shard joins against it — the corpus is never re-scanned per shard."""
+    sig = minhash_signature_expr(text_col, n, num_hashes, seed)
+    base = ensure_min_parallelism(corpus, id_col).select(
+        F.col(id_col).alias("id"), sig.alias("signature")
+    ).where(F.col("signature").isNotNull())
+    return base.select(
+        "id",
+        "signature",
+        F.explode(_band_struct_expr("signature", num_hashes, bands)).alias("_b"),
+    ).select("id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket"), "signature")
+
+
+def near_dup_candidates_against(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    seed: int = 42,
+) -> DataFrame:
+    """Append-only near-dup matches of arriving documents against a
+    prebuilt :func:`minhash_index`: ``(id, corpus_id, est_jaccard)``, one
+    row per (new doc, matching corpus doc). Projection + explode + a
+    new-side x index equi-join on (band, bucket) — no aggregation over the
+    stream, so ``new_docs`` may be a STREAMING DataFrame (stream-static
+    join; the production ingest-dedup shape)."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    sig = minhash_signature_expr(text_col, n, num_hashes, seed)
+    banded = (
+        new_docs.select(F.col(id_col).alias("id"), sig.alias("_sig"))
+        .where(F.col("_sig").isNotNull())
+        .select(
+            "id",
+            "_sig",
+            F.explode(_band_struct_expr("_sig", num_hashes, bands)).alias("_b"),
+        )
+        .select("id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket"), "_sig")
+    )
+    j = banded.join(corpus_index, ["band", "bucket"]).select(
+        banded["id"].alias("id"),
+        corpus_index["id"].alias("corpus_id"),
+        banded["_sig"].alias("_sa"),
+        corpus_index["signature"].alias("_sb"),
+    )
+    est = F.size(
+        F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda v: v)
+    ) / F.lit(float(num_hashes))
+    return (
+        j.dropDuplicates(["id", "corpus_id"])
+        .where(est >= threshold)
+        .select("id", "corpus_id", F.round(est, 6).alias("est_jaccard"))
+    )
+
+
+def dedup_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    seed: int = 42,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental dedup verdict for an arriving shard against an existing
+    corpus — the corpus-update question every training-data pipeline asks
+    per ingest batch. Per new document:
+
+    - ``is_exact_dup``: its md5 content digest already exists in the corpus
+      (distinct-digest left join — the corpus side reduces to 16-byte
+      digests, the :func:`exact_dedup` scale contract);
+    - ``near_dup_of`` / ``est_jaccard``: the best MinHash-LSH match at or
+      above ``threshold`` (tie-break pinned ``(est DESC, corpus_id ASC)``;
+      estimates are exact multiples of 1/num_hashes, so the rank is
+      bit-deterministic), null when none.
+
+    Pass a prebuilt ``corpus_index`` (:func:`minhash_index`) to skip the
+    corpus signature pass — the persisted-index deployment."""
+    digests = corpus.select(F.md5(F.col(text_col)).alias("_dg")).distinct()
+    if corpus_index is None:
+        corpus_index = minhash_index(
+            corpus, id_col, text_col, n, num_hashes, bands, seed
+        )
+    cand = near_dup_candidates_against(
+        new_docs, corpus_index, id_col, text_col, n, num_hashes, bands, threshold, seed
+    )
+    from pyspark.sql import Window as _W
+
+    best = (
+        cand.withColumn(
+            "_rk",
+            F.row_number().over(
+                _W.partitionBy("id").orderBy(
+                    F.col("est_jaccard").desc(), F.col("corpus_id").asc()
+                )
+            ),
+        )
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("id"),
+            F.col("corpus_id").alias("near_dup_of"),
+            "est_jaccard",
+        )
+    )
+    out = (
+        new_docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_dg"))
+        .join(digests.withColumn("_hit", F.lit(True)), "_dg", "left")
+        .select("id", F.coalesce(F.col("_hit"), F.lit(False)).alias("is_exact_dup"))
+        .join(best, "id", "left")
+    )
+    return out.select(
+        F.col("id").alias(id_col), "is_exact_dup", "near_dup_of", "est_jaccard"
+    )

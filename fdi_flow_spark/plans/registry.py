@@ -2011,6 +2011,72 @@ def q_minhash(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_incremental",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS id, doc_id % 4 = 1 AS is_new, MD5(text) AS dg,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), t -> LENGTH(t) > 0) AS tk
+      FROM documents),
+    grams AS (
+      SELECT id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               GENERATE_SERIES(1, GREATEST(0, LEN(tk) - 1)),
+               i -> tk[i] || ' ' || tk[i + 1]))) AS shingle
+      FROM toks WHERE LEN(tk) >= 2),
+    hashed AS (
+      SELECT id, ('0x' || SUBSTR(MD5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+      FROM grams),
+    coeffs AS (SELECT * FROM (VALUES {{COEFFS}}) c(hash_idx, a, b)),
+    sigrows AS (
+      SELECT hashed.id, coeffs.hash_idx,
+             MIN((hashed.h * coeffs.a + coeffs.b) % 2147483647) AS sig
+      FROM hashed CROSS JOIN coeffs GROUP BY hashed.id, coeffs.hash_idx),
+    arr AS (SELECT id, LIST(sig ORDER BY hash_idx) AS sig FROM sigrows GROUP BY id),
+    banded AS (
+      SELECT id, sig, t.b,
+             CAST(t.b AS VARCHAR) || ':' || ARRAY_TO_STRING(sig[t.b*4+1:t.b*4+4], ',') AS bucket
+      FROM arr, UNNEST(GENERATE_SERIES(0, 7)) AS t(b)),
+    cand AS (
+      SELECT DISTINCT x.id AS id, y.id AS corpus_id, x.sig AS sa, y.sig AS sb
+      FROM banded x JOIN banded y ON x.b = y.b AND x.bucket = y.bucket
+      JOIN toks tx ON tx.id = x.id JOIN toks ty ON ty.id = y.id
+      WHERE tx.is_new AND NOT ty.is_new),
+    scored AS (
+      SELECT id, corpus_id,
+             LEN(LIST_FILTER(GENERATE_SERIES(1, 32), i -> sa[i] = sb[i])) / 32.0 AS est
+      FROM cand),
+    best AS (
+      SELECT id, corpus_id, est,
+             ROW_NUMBER() OVER (PARTITION BY id
+                                ORDER BY est DESC, corpus_id ASC) AS rk
+      FROM scored WHERE est >= 0.2),
+    exact AS (
+      SELECT n.id,
+             EXISTS(SELECT 1 FROM toks c WHERE NOT c.is_new AND c.dg = n.dg) AS hit
+      FROM toks n WHERE n.is_new)
+    SELECT e.id AS doc_id, e.hit AS is_exact_dup,
+           b.corpus_id AS near_dup_of, ROUND(b.est, 6) AS est_jaccard
+    FROM exact e LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.id = e.id
+    """.replace("{COEFFS}", _minhash_coeff_values()),
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental corpus-update dedup (``pipelines.dedup.dedup_against``):
+    the doc_id%4==1 slice arrives against the rest as the existing corpus —
+    exact verdict via distinct content digests, near verdict via the
+    PROJECTION-ONLY MinHash signature (zero-shuffle, stream-append-safe;
+    pinned equal to the aggregate operator) joined through the prebuilt
+    LSH band index, best match rank pinned (est DESC, corpus_id ASC) on
+    exact 1/32-multiple estimates."""
+    from fdi_flow_spark.pipelines.dedup import dedup_against
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_against(
+        docs.where(F.col("doc_id") % 4 == 1),
+        docs.where(F.col("doc_id") % 4 != 1),
+        threshold=0.2,
+    )
+
+
 def _register_dedup_components():
     # Oracle: recursive transitive closure over the exact minhash-pairs SQL
     # (wrapped as a subquery), component = LEAST(self, MIN(reachable)).
@@ -4424,6 +4490,10 @@ _WINDOW_EXCLUDED_ORACLES = {
     "readability",  # regexp-count projection, same kernel family as
                     # in-window token_counts/pii_redact — pytest-hash-
                     # checked every run
+    "dedup_incremental",  # MinHash banding (in-window minhash_dedup_pairs
+                          # kernel) + digest anti-join family
+                          # (anti_join_quiet_customers) against a split
+                          # corpus — pytest-hash-checked every run
 }
 
 

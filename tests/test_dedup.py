@@ -436,3 +436,127 @@ def test_span_ops_match_python_reference_fuzz(spark):
                     want2.append((s, s + k - 1, 1))
                 prev = s
             assert sorted(spans.get(i, [])) == want2, (trial, i)
+
+
+# ------------------------------------------------- incremental dedup (r5c)
+
+def test_minhash_signature_expr_equals_aggregate(spark):
+    """The projection-only signature (streaming path) must equal the
+    explode+aggregate operator bit for bit on real documents."""
+    from pyspark.sql import functions as F
+
+    from fdi_flow_spark.pipelines.dedup import (
+        minhash_signature_expr,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    agg = {r["id"]: r["signature"] for r in minhash_signatures(docs).collect()}
+    flat = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id", minhash_signature_expr("text").alias("sig")
+        ).collect()
+        if r["sig"] is not None
+    }
+    assert set(agg) == set(flat)
+    for k in agg:
+        assert agg[k] == flat[k], k
+
+
+def test_dedup_against_verdicts(spark):
+    from fdi_flow_spark.pipelines.dedup import dedup_against
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "completely different text about turbine maintenance schedules"),
+        ],
+        schema="doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact
+            (11, "the quick brown fox jumps over the lazy dog near the river bend"),  # near
+            (12, "entirely novel content with no overlap whatsoever in any way"),      # fresh
+        ],
+        schema="doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_against(new, corpus, threshold=0.2).collect()}
+    assert out[10]["is_exact_dup"] and out[10]["near_dup_of"] == 1
+    assert not out[11]["is_exact_dup"] and out[11]["near_dup_of"] == 1
+    assert out[11]["est_jaccard"] >= 0.2
+    assert not out[12]["is_exact_dup"] and out[12]["near_dup_of"] is None
+
+
+def test_dedup_against_prebuilt_index_matches_inline(spark):
+    from fdi_flow_spark.pipelines.dedup import dedup_against, minhash_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where("doc_id % 4 != 1")
+    new = docs.where("doc_id % 4 = 1")
+    inline = dedup_against(new, corpus).toPandas().sort_values("doc_id").reset_index(drop=True)
+    idx = minhash_index(corpus)
+    viaidx = (
+        dedup_against(new, corpus, corpus_index=idx)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert inline.equals(viaidx)
+
+
+def test_streaming_incremental_dedup_matches_batch(spark):
+    """Arriving documents dedup against a STATIC corpus index — the
+    stream-static ingest shape: exact digests via left join, near-dups via
+    the band join; no stateful aggregation anywhere."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fdi_flow_spark.pipelines.dedup import (
+        minhash_index,
+        near_dup_candidates_against,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where("doc_id % 4 != 1")
+    new = docs.where("doc_id % 4 = 1").select("doc_id", "text")
+    idx = minhash_index(corpus).localCheckpoint(eager=True)
+
+    batch = (
+        near_dup_candidates_against(new, idx)
+        .toPandas()
+        .sort_values(["id", "corpus_id"])
+        .reset_index(drop=True)
+    )
+
+    d = tempfile.mkdtemp(prefix="fdi_incdedup_")
+    try:
+        new.coalesce(1).write.parquet(f"{d}/batch=0")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        out = near_dup_candidates_against(stream, idx)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("inc_dedup_tbl")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = (
+            spark.table("inc_dedup_tbl")
+            .toPandas()
+            .sort_values(["id", "corpus_id"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(batch)
+        assert len(got) > 0
+    finally:
+        spark.catalog.dropTempView("inc_dedup_tbl")
+        shutil.rmtree(d, ignore_errors=True)
