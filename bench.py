@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "pattern_search",
     "readability",
     "dedup_incremental",
+    "spectral_windows",
 ]
 
 

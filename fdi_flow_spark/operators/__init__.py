@@ -22,6 +22,7 @@ from fdi_flow_spark.operators.recurrences import (
     exponential_smoothing,
     kalman_filter_1d,
 )
+from fdi_flow_spark.operators.spectral import spectral_features
 from fdi_flow_spark.operators.scalers import minmax_scale, robust_scale, standard_scale
 from fdi_flow_spark.operators.segmenters import (
     failure_encode,
@@ -59,4 +60,5 @@ __all__ = [
     "session_stats",
     "time_bucket_rollup",
     "seasonal_decompose",
+    "spectral_features",
 ]

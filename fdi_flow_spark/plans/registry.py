@@ -1026,6 +1026,20 @@ def q_kalman1d_chunked(spark, sf_dir):
     return _rounded(kalman_filter_1d_chunked(s, q=0.5, r=2.0, chunk_size=48))
 
 
+@register("spectral_windows")  # rows-only: per-window FFT (the bandpass
+def q_spectral_windows(spark, sf_dir):  # precedent — golden-tested kernel)
+    """Sliding-window spectral features (``operators.spectral
+    .spectral_features``): band-energy fractions, dominant frequency,
+    spectral entropy per 64-sample window — G1 segmentation into ONE
+    Arrow-batched ``mapInPandas`` FFT pass (batch-matrix rfft, not
+    per-row)."""
+    from fdi_flow_spark.operators import spectral_features
+
+    return spectral_features(
+        events_series(spark, sf_dir), window_size=64, step=32, sample_rate=1.0, n_bands=4
+    )
+
+
 @register("bandpass_filter")  # rows-only: whole-series FFT
 def q_bandpass(spark, sf_dir):
     from fdi_flow_spark.operators import bandpass_filter

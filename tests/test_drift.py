@@ -432,3 +432,38 @@ def test_pattern_search_excludes_flat_windows_and_validates(spark):
     assert out.iloc[0]["start_ts"] == 20  # the only structured window wins
     with pytest.raises(ValueError):
         pattern_search(df, [1.0, 1.0, 1.0], k=2)  # constant query
+
+
+# ----------------------------------------------------- spectral features
+
+def test_spectral_features_golden(spark):
+    from fdi_flow_spark.operators import spectral_features
+    from fdi_flow_spark.operators.spectral import spectral_features_numpy
+
+    rng = np.random.default_rng(71)
+    t = np.arange(256)
+    sine = np.sin(2 * np.pi * 8 * t / 64)          # 8 cycles per 64-window
+    noise = rng.normal(0, 1, 256)
+    df = make_long(spark, {"sine": sine, "noise": noise, "flat": np.full(256, 2.0)})
+    out = spectral_features(df, window_size=64, step=64, sample_rate=64.0, n_bands=4)
+    pdf = out.toPandas().sort_values(["series_id", "window_id"]).reset_index(drop=True)
+
+    # golden: same windows through the numpy kernel directly
+    for sid, x in {"sine": sine, "noise": noise}.items():
+        mat = np.stack([x[i : i + 64] for i in range(0, 193, 64)])
+        ref = spectral_features_numpy(mat, 64.0, 4)
+        g = pdf[pdf.series_id == sid]
+        np.testing.assert_allclose(
+            np.stack(g["band_energy"].to_numpy()), ref["band_energy"], atol=1e-9
+        )
+        np.testing.assert_allclose(g["dominant_freq"], ref["dominant_freq"], atol=1e-9)
+        np.testing.assert_allclose(g["spectral_entropy"], ref["spectral_entropy"], atol=1e-9)
+
+    s = pdf[pdf.series_id == "sine"].iloc[0]
+    assert abs(s["dominant_freq"] - 8.0) < 1e-9        # 8 Hz at sr=64, W=64
+    assert s["spectral_entropy"] < 0.1                 # pure tone: low entropy
+    assert abs(sum(s["band_energy"]) - 1.0) < 1e-9
+    n = pdf[pdf.series_id == "noise"].iloc[0]
+    assert n["spectral_entropy"] > 0.6                 # broadband: high entropy
+    f = pdf[pdf.series_id == "flat"].iloc[0]
+    assert f["total_power"] == 0.0 and sum(f["band_energy"]) == 0.0
