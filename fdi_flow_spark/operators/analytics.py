@@ -391,9 +391,13 @@ def seasonal_decompose(df: DataFrame, period: int) -> DataFrame:
         / F.lit(float(period))
     )
     # _pm is constant per phase; rows with _i < period cover each phase
-    # exactly once (series shorter than one period raise in practice — the
-    # trend window is already all-null there).
-    s = s.withColumn("seasonal", F.col("_pm") - pm_mean)
+    # exactly once. A series shorter than one period has no complete phase
+    # set (and an all-null trend), so its seasonal is null rather than a
+    # silently mis-centered estimate.
+    s = s.withColumn(
+        "seasonal",
+        F.when(F.col("_n") >= period, F.col("_pm") - pm_mean),
+    )
     return s.select(
         SERIES_ID,
         TS,

@@ -467,3 +467,12 @@ def test_spectral_features_golden(spark):
     assert n["spectral_entropy"] > 0.6                 # broadband: high entropy
     f = pdf[pdf.series_id == "flat"].iloc[0]
     assert f["total_power"] == 0.0 and sum(f["band_energy"]) == 0.0
+
+
+def test_seasonal_decompose_short_series_nulls(spark):
+    """A series shorter than one period cannot center a full phase set —
+    seasonal (and hence resid) must be null, not silently mis-centered."""
+    df = make_long(spark, {"s": np.arange(5.0)})
+    out = seasonal_decompose(df, 8).toPandas()
+    assert out["seasonal"].isna().all()
+    assert out["trend"].isna().all()
