@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "readability",
     "dedup_incremental",
     "spectral_windows",
+    "rolling_corr",
 ]
 
 

@@ -1,6 +1,7 @@
 from fdi_flow_spark.operators.analytics import (
     cross_corr_pairs,
     gap_fill,
+    rolling_corr_pairs,
     pattern_search,
     seasonal_decompose,
     series_acf,
@@ -54,6 +55,7 @@ __all__ = [
     "series_acf",
     "series_profile",
     "cross_corr_pairs",
+    "rolling_corr_pairs",
     "gap_fill",
     "pattern_search",
     "sessionize",

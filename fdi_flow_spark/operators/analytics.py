@@ -94,6 +94,48 @@ def cross_corr_pairs(df: DataFrame) -> DataFrame:
     )
 
 
+def rolling_corr_pairs(df: DataFrame, window: int = 20) -> DataFrame:
+    """Rolling Pearson correlation over the trailing ``window`` samples for
+    every series pair aligned on ``ts`` — the redundancy-drift monitor: two
+    healthy sensors of one plant stay correlated, and a decorrelation
+    window localizes which sensor broke (cross-sensor residual generation).
+
+    Output: ``(series_a, series_b, ts, corr)`` with ``series_a <
+    series_b``; ``corr`` is null until the window is full and for
+    zero-variance windows. Co-moment sums over a trailing frame
+    partitioned by the PAIR key — work distributes across pairs, and the
+    per-pair timeline is the same scale class as any single series op.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    assert_long(df)
+    a = df.select(
+        F.col(SERIES_ID).alias("series_a"), F.col(TS).alias(TS), F.col(VALUE).alias("_x")
+    )
+    b = df.select(
+        F.col(SERIES_ID).alias("series_b"), F.col(TS).alias(TS), F.col(VALUE).alias("_y")
+    )
+    j = a.join(b, on=TS).where(F.col("series_a") < F.col("series_b"))
+    w = (
+        Window.partitionBy("series_a", "series_b")
+        .orderBy(TS)
+        .rowsBetween(-(window - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum("_x").over(w)
+    sy = F.sum("_y").over(w)
+    sxx = F.sum(F.col("_x") * F.col("_x")).over(w)
+    syy = F.sum(F.col("_y") * F.col("_y")).over(w)
+    sxy = F.sum(F.col("_x") * F.col("_y")).over(w)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (n == float(window)) & (vx > 0) & (vy > 0),
+        (n * sxy - sx * sy) / F.sqrt(vx * vy),
+    )
+    return j.select("series_a", "series_b", TS, corr.alias("corr"))
+
+
 def gap_fill(df: DataFrame, method: str = "linear") -> DataFrame:
     """Fill null samples per series from neighboring non-null samples.
 

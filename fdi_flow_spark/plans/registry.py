@@ -4029,6 +4029,39 @@ def q_cross_corr(spark, sf_dir):
     return out.withColumn("corr", F.round("corr", 6))
 
 
+@register(
+    "rolling_corr",
+    f"""
+    WITH s AS ({SERIES_SQL}),
+    j AS (SELECT a.series_id AS series_a, b.series_id AS series_b, a.ts,
+                 a.value AS x, b.value AS y
+          FROM s a JOIN s b ON a.ts = b.ts AND a.series_id < b.series_id),
+    w AS (SELECT series_a, series_b, ts,
+                 COUNT(*) OVER fr AS n,
+                 SUM(x) OVER fr AS sx, SUM(y) OVER fr AS sy,
+                 SUM(x*x) OVER fr AS sxx, SUM(y*y) OVER fr AS syy,
+                 SUM(x*y) OVER fr AS sxy
+          FROM j
+          WINDOW fr AS (PARTITION BY series_a, series_b ORDER BY ts
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT series_a, series_b, ts,
+           ROUND(CASE WHEN n = 20 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                 THEN (n*sxy - sx*sy)
+                      / SQRT((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS corr
+    FROM w
+    """,
+)
+def q_rolling_corr(spark, sf_dir):
+    """Rolling 20-sample Pearson correlation for every sensor pair
+    (``operators.analytics.rolling_corr_pairs``): the redundancy-drift
+    monitor — co-moment sums over a trailing frame partitioned by the pair
+    key, null until the window fills."""
+    from fdi_flow_spark.operators import rolling_corr_pairs
+
+    out = rolling_corr_pairs(events_series(spark, sf_dir), window=20)
+    return out.withColumn("corr", F.round("corr", 6))
+
+
 _GAP_MASK_SQL = (
     "('0x' || SUBSTR(MD5('77:' || series_id || ':' || CAST(ts AS VARCHAR)), 1, 8))::BIGINT % 10 = 0"
 )
@@ -4508,6 +4541,9 @@ _WINDOW_EXCLUDED_ORACLES = {
                           # kernel) + digest anti-join family
                           # (anti_join_quiet_customers) against a split
                           # corpus — pytest-hash-checked every run
+    "rolling_corr",  # trailing-frame co-moment sums — moving_average_valid
+                     # frame kernel over the cross_corr pair join —
+                     # pytest-hash-checked every run
 }
 
 

@@ -476,3 +476,32 @@ def test_seasonal_decompose_short_series_nulls(spark):
     out = seasonal_decompose(df, 8).toPandas()
     assert out["seasonal"].isna().all()
     assert out["trend"].isna().all()
+
+
+def test_rolling_corr_pairs_matches_pandas(spark):
+    from fdi_flow_spark.operators import rolling_corr_pairs
+
+    rng = np.random.default_rng(83)
+    n = 120
+    base = np.sin(np.arange(n) / 5.0)
+    xs = {
+        "a": base + rng.normal(0, 0.1, n),
+        # b tracks a for 60 samples then breaks (decorrelation event)
+        "b": np.concatenate([base[:60] + rng.normal(0, 0.1, 60), rng.normal(0, 1, 60)]),
+    }
+    df = make_long(spark, xs)
+    out = (
+        rolling_corr_pairs(df, window=20)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    ref = (
+        pd.Series(xs["a"]).rolling(20).corr(pd.Series(xs["b"])).to_numpy()
+    )
+    got = out["corr"].to_numpy(dtype=float)
+    assert np.isnan(got[:19]).all()  # incomplete windows -> null
+    np.testing.assert_allclose(got[19:], ref[19:], atol=1e-9)
+    # healthy segment strongly correlated; broken segment decorrelated
+    assert np.nanmin(got[25:55]) > 0.9
+    assert abs(np.nanmean(got[95:])) < 0.5
