@@ -341,3 +341,51 @@ def test_pq_scoring_plan_is_one_arrow_stage(spark):
     # Spark pushes the rank limit down as a partial WindowGroupLimit
     assert plan.count("ENSURE_REQUIREMENTS") == 1, plan
     assert plan.count("WindowGroupLimit") == 2, plan
+
+
+def test_drift_ops_single_exchange(spark):
+    """The r5c drift layer rides the shared series Exchange: CUSUM,
+    Page-Hinkley, the changepoint scan, and pattern search each plan
+    exactly ONE shuffle (the series partitioning) and zero Python stages."""
+    from fdi_flow_spark.operators import (
+        changepoint_scan,
+        cusum,
+        page_hinkley,
+        pattern_search,
+    )
+
+    s = events_series(spark, SF)
+    for df in (
+        cusum(s, k=1.0, h=5.0, target=0.0),
+        page_hinkley(s),
+        changepoint_scan(s),
+        pattern_search(s, [0.0, 1.0, 0.0, -1.0], k=3),
+    ):
+        plan = _plan(df, "simple")
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Python" not in plan, plan
+
+
+def test_gap_fill_no_quadratic_frame(spark):
+    """gap_fill must never plan an UnboundedFollowing aggregate frame —
+    that frame shape re-evaluates per row (O(n^2), the 110s regression);
+    both neighbor lookups must be running frames."""
+    from fdi_flow_spark.operators import gap_fill
+
+    plan = _plan(gap_fill(events_series(spark, SF)), mode="extended")
+    assert "unboundedfollowing$()" not in plan.lower().replace(" ", ""), plan
+    assert _plan(gap_fill(events_series(spark, SF)), "simple").count(
+        "Exchange hashpartitioning"
+    ) == 1
+
+
+def test_sessionize_window_and_agg_share_partitioning(spark):
+    """session_stats' groupBy(user, session) must reuse the sessionize
+    window's hashpartitioning(user) — no second Exchange."""
+    from fdi_flow_spark.operators import session_stats
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id", F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias("tus")
+    )
+    plan = _plan(session_stats(ev, "user_id", "tus", 14_400_000_000), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
