@@ -674,8 +674,19 @@ class SVMFaultDetector(_AssembledPipelineDetector):
                 (1.0 / (1.0 + F.exp(F.greatest(F.least(z, F.lit(35.0)), F.lit(-35.0)))))
                 .alias(f"_pr{i}")
             )
-        if "_row_id" not in scored.columns:  # Spark-DataFrame ingress: stay lazy
-            return scored.select(*probs)
+        if "_row_id" not in scored.columns:
+            # Spark-DataFrame ingress: stay lazy, but return the SAME
+            # semantics as the numpy path — binary adds P(class 0),
+            # multiclass normalizes the per-class sigmoids to a simplex.
+            lazy = scored.select(*probs)
+            if len(cols) == 1:
+                return lazy.select(
+                    (1.0 - F.col("_pr0")).alias("p0"), F.col("_pr0").alias("p1")
+                )
+            total = sum((F.col(f"_pr{i}") for i in range(1, len(cols))), F.col("_pr0"))
+            return lazy.select(
+                *[(F.col(f"_pr{i}") / total).alias(f"p{i}") for i in range(len(cols))]
+            )
         out = scored.select("_row_id", *probs)
         rows = out.orderBy("_row_id").collect()
         if len(cols) == 1:  # binary: P(class1), P(class0) = 1 - p

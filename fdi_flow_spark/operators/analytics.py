@@ -204,7 +204,11 @@ def time_bucket_rollup(df: DataFrame, width: int = 10) -> DataFrame:
     assert_long(df)
     if width < 1:
         raise ValueError("width must be >= 1")
-    bucket = (F.col(TS) - (F.col(TS) % F.lit(width))).alias("bucket")
+    # pmod, not %: Spark's % follows the dividend's sign, which would bin a
+    # negative ts with truncation toward zero (ts=-5, width=10 -> bucket 0
+    # instead of -10); pmod gives the floored bucket for any sign, exactly,
+    # in integer arithmetic.
+    bucket = (F.col(TS) - F.pmod(F.col(TS), F.lit(width))).alias("bucket")
     return (
         df.groupBy(SERIES_ID, bucket)
         .agg(
@@ -433,12 +437,17 @@ def seasonal_decompose(df: DataFrame, period: int) -> DataFrame:
         / F.lit(float(period))
     )
     # _pm is constant per phase; rows with _i < period cover each phase
-    # exactly once. A series shorter than one period has no complete phase
-    # set (and an all-null trend), so its seasonal is null rather than a
-    # silently mis-centered estimate.
+    # exactly once. Centering is only defined when EVERY phase has at least
+    # one valid detrended sample (n < ~2*period leaves phases with no trend
+    # rows -> null _pm); with any phase missing, seasonal is null everywhere
+    # — exactly the NaN the statsmodels-twin mean-of-phase-means produces —
+    # rather than a silently mis-centered estimate.
+    pm_cnt = F.sum(
+        F.when((F.col("_i") < period) & F.col("_pm").isNotNull(), 1).otherwise(0)
+    ).over(whole)
     s = s.withColumn(
         "seasonal",
-        F.when(F.col("_n") >= period, F.col("_pm") - pm_mean),
+        F.when(pm_cnt == period, F.col("_pm") - pm_mean),
     )
     return s.select(
         SERIES_ID,

@@ -42,8 +42,13 @@ def spectral_features_numpy(
     freqs = np.fft.rfftfreq(W, d=1.0 / sample_rate)[1:]
     dom = freqs[np.argmax(pos, axis=1)]
     p = pos / safe_total[:, None]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        ent = -np.where(p > 0, p * np.log(p), 0.0).sum(axis=1) / np.log(n_bins)
+    if n_bins == 1:
+        # a single positive bin carries no spectral uncertainty; the
+        # normalizer log(n_bins) would be 0 -> 0/0 NaN
+        ent = np.zeros(mat.shape[0])
+    else:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ent = -np.where(p > 0, p * np.log(p), 0.0).sum(axis=1) / np.log(n_bins)
     flat = total <= 0
     bands[flat] = 0.0
     dom[flat] = 0.0

@@ -807,11 +807,16 @@ def near_dup_candidates_against(
     seed: int = 42,
 ) -> DataFrame:
     """Append-only near-dup matches of arriving documents against a
-    prebuilt :func:`minhash_index`: ``(id, corpus_id, est_jaccard)``, one
-    row per (new doc, matching corpus doc). Projection + explode + a
-    new-side x index equi-join on (band, bucket) — no aggregation over the
-    stream, so ``new_docs`` may be a STREAMING DataFrame (stream-static
-    join; the production ingest-dedup shape)."""
+    prebuilt :func:`minhash_index`: ``(id, corpus_id, est_jaccard)``.
+    Projection + explode + a new-side x index equi-join on (band, bucket)
+    — no aggregation over the stream, so ``new_docs`` may be a STREAMING
+    DataFrame (stream-static join; the production ingest-dedup shape).
+
+    Batch output is distinct per (id, corpus_id). Streaming output may
+    repeat a pair up to ``bands`` times (one per colliding band): a
+    streaming ``dropDuplicates`` would carry UNBOUNDED state, so the
+    bounded duplication is left to the consumer to collapse per
+    micro-batch / in the sink."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     sig = minhash_signature_expr(text_col, n, num_hashes, seed)
@@ -834,11 +839,17 @@ def near_dup_candidates_against(
     est = F.size(
         F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda v: v)
     ) / F.lit(float(num_hashes))
-    return (
-        j.dropDuplicates(["id", "corpus_id"])
-        .where(est >= threshold)
-        .select("id", "corpus_id", F.round(est, 6).alias("est_jaccard"))
+    out = j.where(est >= threshold).select(
+        "id", "corpus_id", F.round(est, 6).alias("est_jaccard")
     )
+    if new_docs.isStreaming:
+        # distinct over a stream is stateful with UNBOUNDED state (every
+        # pair ever seen, forever) — the exact failure watermarked dedup
+        # exists to prevent. A pair colliding in b bands appears at most b
+        # times; consumers drop duplicates downstream (per micro-batch or
+        # in the sink), which is bounded and honest.
+        return out
+    return out.dropDuplicates(["id", "corpus_id"])
 
 
 def dedup_against(
@@ -852,6 +863,7 @@ def dedup_against(
     threshold: float = 0.2,
     seed: int = 42,
     corpus_index: DataFrame | None = None,
+    corpus_digests: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup verdict for an arriving shard against an existing
     corpus — the corpus-update question every training-data pipeline asks
@@ -865,9 +877,15 @@ def dedup_against(
       estimates are exact multiples of 1/num_hashes, so the rank is
       bit-deterministic), null when none.
 
-    Pass a prebuilt ``corpus_index`` (:func:`minhash_index`) to skip the
-    corpus signature pass — the persisted-index deployment."""
-    digests = corpus.select(F.md5(F.col(text_col)).alias("_dg")).distinct()
+    Pass a prebuilt ``corpus_index`` (:func:`minhash_index`) AND
+    ``corpus_digests`` (distinct ``md5(text)`` values, e.g. persisted next
+    to the index) to skip BOTH corpus passes — the persisted-index
+    deployment where arriving shards never re-scan the corpus."""
+    digests = (
+        corpus_digests.select(F.col(corpus_digests.columns[0]).alias("_dg"))
+        if corpus_digests is not None
+        else corpus.select(F.md5(F.col(text_col)).alias("_dg")).distinct()
+    )
     if corpus_index is None:
         corpus_index = minhash_index(
             corpus, id_col, text_col, n, num_hashes, bands, seed

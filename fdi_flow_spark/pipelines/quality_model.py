@@ -81,8 +81,12 @@ def nb_quality_fit(
       stays a single broadcastable relation).
 
     One corpus scan: both class count columns come from a conditional
-    aggregation of the same gram stream.
+    aggregation of the same gram stream. Documents with a NULL label carry
+    no supervision and are EXCLUDED from the fit (standard semantics and
+    the oracle's FILTER behavior) — they would otherwise silently count as
+    negatives.
     """
+    docs = docs.where(F.col(label_col).isNotNull())
     g = _labeled_gram_stream(docs, id_col, text_col, label_col).withColumn(
         "b", _hash_bucket(F.col("gram"), seed, buckets)
     )

@@ -4124,7 +4124,7 @@ def q_gap_fill(spark, sf_dir):
     "time_bucket_rollup",
     f"""
     WITH s AS ({SERIES_SQL})
-    SELECT series_id, ts - ts % 100 AS bucket,
+    SELECT series_id, ts - ((ts % 100) + 100) % 100 AS bucket,
            COUNT(value) AS n,
            ROUND(AVG(value), 6) AS avg_value,
            MIN(value) AS min_value,

@@ -505,3 +505,31 @@ def test_rolling_corr_pairs_matches_pandas(spark):
     # healthy segment strongly correlated; broken segment decorrelated
     assert np.nanmin(got[25:55]) > 0.9
     assert abs(np.nanmean(got[95:])) < 0.5
+
+
+def test_seasonal_incomplete_phase_coverage_nulls(spark):
+    """period <= n < ~2*period: some phases have no valid trend rows, so
+    centering over the full phase set is undefined — seasonal must be null
+    everywhere (the statsmodels-twin NaN), never mis-centered."""
+    x = np.zeros(10)
+    x[4] = 10.0
+    df = make_long(spark, {"s": x})
+    out = seasonal_decompose(df, 8).toPandas()
+    assert out["seasonal"].isna().all()
+
+
+def test_time_bucket_negative_ts_floor_bins(spark):
+    rows = [("s", t, 1.0) for t in (-15, -5, -1, 0, 5, 10)]
+    df = spark.createDataFrame(rows, schema="series_id string, ts long, value double")
+    out = {r["bucket"]: r["n"] for r in time_bucket_rollup(df, 10).collect()}
+    assert out == {-20: 1, -10: 2, 0: 2, 10: 1}
+
+
+def test_spectral_single_bin_entropy_zero(spark):
+    from fdi_flow_spark.operators import spectral_features
+
+    df = make_long(spark, {"s": np.array([1.0, 2.0, 1.5, 2.5])})
+    out = spectral_features(df, window_size=2, step=2, n_bands=1).toPandas()
+    assert len(out) == 2
+    assert (out["spectral_entropy"] == 0.0).all()
+    assert not out["spectral_entropy"].isna().any()

@@ -125,3 +125,14 @@ def test_language_label_accuracy_floor(spark):
     # below 1.0 (measured 0.852); the floor guards against regressions to
     # majority-class behavior (0.56 here).
     assert acc >= 0.8
+
+
+def test_null_labels_excluded_from_fit(spark):
+    """Docs with a NULL label must not be counted as negatives — the model
+    fitted with and without the unlabeled docs is identical."""
+    labeled = [(1, "alpha beta gamma delta", True), (2, "spam click buy now", False)]
+    df_clean = _docs(spark, labeled)
+    df_noisy = _docs(spark, labeled + [(3, "mystery unlabeled words here", None)])
+    m1 = {r["b"]: (r["w"], r["prior"]) for r in nb_quality_fit(df_clean, "label", buckets=64).collect()}
+    m2 = {r["b"]: (r["w"], r["prior"]) for r in nb_quality_fit(df_noisy, "label", buckets=64).collect()}
+    assert m1 == m2
