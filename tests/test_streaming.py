@@ -724,3 +724,54 @@ def test_sessionize_agrees_with_native_session_window(spark):
     assert list(native["n_events"]) == list(ours["n_events"])
     got_starts = native["session_start"].map(lambda d: int(pd.Timestamp(d).timestamp()))
     np.testing.assert_array_equal(got_starts.to_numpy(), ours["t_start"].to_numpy())
+
+
+def test_streaming_nb_quality_scoring_equals_batch(spark):
+    """Production quality-filter shape: the NB model is fitted OFFLINE
+    (nb_quality_fit on a labeled corpus); arriving documents score via a
+    stream-static join + per-doc aggregation. Scores equal batch."""
+    import shutil
+    import tempfile
+
+    from fdi_flow_spark.pipelines.quality_model import nb_quality_fit, nb_quality_score
+
+    train = spark.createDataFrame(
+        [(i, "clean measured prose alpha beta", True) for i in range(6)]
+        + [(100 + i, "spam click buy spam click", False) for i in range(6)],
+        "doc_id long, text string, label boolean",
+    )
+    model = nb_quality_fit(train, "label", buckets=128)
+    score_rows = [
+        (0, "clean prose alpha"),
+        (1, "spam click spam"),
+        (2, "neutral unseen words"),
+    ]
+    batch = spark.createDataFrame(score_rows, "doc_id long, text string")
+    d = tempfile.mkdtemp(prefix="fdi_nbq_stream_")
+    try:
+        batch.where("doc_id < 2").coalesce(1).write.mode("append").parquet(d)
+        batch.where("doc_id >= 2").coalesce(1).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            nb_quality_score(stream, model, buckets=128)
+            .writeStream.format("memory")
+            .queryName("nbq_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.table("nbq_sink").collect())
+        expect = sorted(
+            tuple(r) for r in nb_quality_score(batch, model, buckets=128).collect()
+        )
+        assert got == expect and len(got) == 3
+        preds = {r[0]: r[3] for r in got}
+        assert preds[0] and not preds[1]
+        spark.catalog.dropTempView("nbq_sink")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
