@@ -193,12 +193,24 @@ def main() -> None:
     runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     # round-robin passes (not back-to-back repeats) so every query gets one
     # cold run and the later passes measure the steady state
+    import gc
+
     for _ in range(n_runs):
         for name in BENCH_QUERIES:
             fn = QUERIES[name]
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs[name].append(time.perf_counter() - start)
+        # End-of-pass hygiene: several queries localCheckpoint/cache inside
+        # their plans; with 100+ queries per pass those pinned RDD blocks
+        # accumulate until ContextCleaner notices, and the resulting heap
+        # pressure inflates LATE-pass timings of unrelated Arrow-path
+        # queries (observed: forecast_predict_lstm creeping 3s->7s as the
+        # suite grew). Drop caches and force both GCs between passes —
+        # outside every timed region.
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
     spread = {

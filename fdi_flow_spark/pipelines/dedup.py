@@ -751,13 +751,24 @@ def minhash_signature_expr(
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
         % F.lit(MERSENNE_P),
     )
-    sig = F.array(
+    # ONE fold over the shingle-hash array updating all num_hashes minima at
+    # once: the md5 per shingle evaluates exactly once. (The naive
+    # array(array_min(transform(harr, ...)) x num_hashes) form re-evaluates
+    # harr — and its md5s — once PER PERMUTATION: measured 50s vs ~2s on
+    # the sf0.1 incremental-dedup query.)
+    ca = F.array(
         *[
-            F.array_min(
-                F.transform(harr, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P))
-            )
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
             for a, b in coeffs
         ]
+    )
+    init = F.array_repeat(F.lit(MERSENNE_P).cast("long"), num_hashes)
+    sig = F.aggregate(
+        harr,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, ca, lambda x, c: F.least(x, (h * c["a"] + c["b"]) % F.lit(MERSENNE_P))
+        ),
     )
     return F.when(F.size(toks) >= n, sig)
 
@@ -784,10 +795,10 @@ def minhash_index(
     ``(id, band, bucket)`` with the full signature attached. Build once
     offline, persist (e.g. ``partitionBy('band')``), and every arriving
     shard joins against it — the corpus is never re-scanned per shard."""
-    sig = minhash_signature_expr(text_col, n, num_hashes, seed)
-    base = ensure_min_parallelism(corpus, id_col).select(
-        F.col(id_col).alias("id"), sig.alias("signature")
-    ).where(F.col("signature").isNotNull())
+    # Batch context: the explode+aggregate operator is WholeStageCodegen'd
+    # and ~3x faster than the interpreted higher-order-function projection
+    # (HOF lambdas don't codegen); both produce identical signatures.
+    base = minhash_signatures(corpus, id_col, text_col, n, num_hashes, seed)
     return base.select(
         "id",
         "signature",
@@ -819,9 +830,19 @@ def near_dup_candidates_against(
     micro-batch / in the sink."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
-    sig = minhash_signature_expr(text_col, n, num_hashes, seed)
+    if new_docs.isStreaming:
+        # append-safe projection signature (no stateful aggregation)
+        signed = new_docs.select(
+            F.col(id_col).alias("id"),
+            minhash_signature_expr(text_col, n, num_hashes, seed).alias("_sig"),
+        )
+    else:
+        # batch: the codegen'd explode+aggregate path (see minhash_index)
+        signed = minhash_signatures(
+            new_docs, id_col, text_col, n, num_hashes, seed
+        ).select("id", F.col("signature").alias("_sig"))
     banded = (
-        new_docs.select(F.col(id_col).alias("id"), sig.alias("_sig"))
+        signed
         .where(F.col("_sig").isNotNull())
         .select(
             "id",
