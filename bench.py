@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "spectral_windows",
     "rolling_corr",
+    "value_histogram",
 ]
 
 

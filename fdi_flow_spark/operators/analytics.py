@@ -386,6 +386,60 @@ def series_profile(df: DataFrame) -> DataFrame:
     )
 
 
+def value_histogram(df: DataFrame, bins: int = 10) -> DataFrame:
+    """Equal-width histogram per series: ``(series_id, bin, bin_lo, bin_hi,
+    n)``, ``bins`` rows per non-degenerate series (empty bins included with
+    ``n = 0`` — the profiling contract: a consumer can plot without
+    densifying). The maximum value lands in the LAST bin (right edge
+    closed, NumPy ``histogram`` semantics). A constant series yields one
+    bin row holding everything.
+
+    Two aggregations on the series key (min/max stats broadcast back, then
+    the bin count) plus a tiny ``bins``-row explode to densify — nothing
+    data-sized beyond the grouped counts.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    assert_long(df)
+    stats = df.groupBy(SERIES_ID).agg(
+        F.min(VALUE).alias("_lo"), F.max(VALUE).alias("_hi")
+    )
+    j = df.join(F.broadcast(stats), SERIES_ID)
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    raw = F.floor((F.col(VALUE) - F.col("_lo")) / width)
+    bin_idx = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(raw, F.lit(bins - 1))  # max value closes the last bin
+    )
+    counts = (
+        j.withColumn("_bin", bin_idx.cast("long"))
+        .groupBy(SERIES_ID, "_bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dense = stats.select(
+        SERIES_ID,
+        "_lo",
+        "_hi",
+        F.explode(
+            F.when(
+                F.col("_hi") == F.col("_lo"), F.array(F.lit(0).cast("long"))
+            ).otherwise(F.sequence(F.lit(0).cast("long"), F.lit(bins - 1).cast("long")))
+        ).alias("_bin"),
+    )
+    w = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    return (
+        dense.join(counts, [SERIES_ID, "_bin"], "left")
+        .select(
+            SERIES_ID,
+            F.col("_bin").alias("bin"),
+            (F.col("_lo") + F.col("_bin") * w).alias("bin_lo"),
+            F.when(F.col("_bin") == bins - 1, F.col("_hi")).otherwise(
+                F.col("_lo") + (F.col("_bin") + 1) * w
+            ).alias("bin_hi"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
 def seasonal_decompose(df: DataFrame, period: int) -> DataFrame:
     """Classical additive decomposition (statsmodels ``seasonal_decompose``
     semantics): centered moving-average trend, phase-mean seasonal centered

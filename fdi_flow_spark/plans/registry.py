@@ -4030,6 +4030,47 @@ def q_cross_corr(spark, sf_dir):
 
 
 @register(
+    "value_histogram",
+    f"""
+    WITH s AS ({SERIES_SQL}),
+    st AS (SELECT series_id, MIN(value) AS lo, MAX(value) AS hi
+           FROM s GROUP BY series_id),
+    j AS (SELECT s.series_id, s.value, st.lo, st.hi
+          FROM s JOIN st USING (series_id)),
+    c AS (SELECT series_id,
+                 CASE WHEN hi = lo THEN 0
+                      ELSE LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 10.0))
+                                      AS BIGINT), 9) END AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM j GROUP BY series_id, bin),
+    d AS (SELECT series_id, lo, hi,
+                 UNNEST(CASE WHEN hi = lo THEN [CAST(0 AS BIGINT)]
+                        ELSE GENERATE_SERIES(CAST(0 AS BIGINT), CAST(9 AS BIGINT))
+                        END) AS bin
+          FROM st)
+    SELECT d.series_id, d.bin,
+           ROUND(d.lo + d.bin * ((d.hi - d.lo) / 10.0), 6) AS bin_lo,
+           ROUND(CASE WHEN d.bin = 9 THEN d.hi
+                 ELSE d.lo + (d.bin + 1) * ((d.hi - d.lo) / 10.0) END, 6) AS bin_hi,
+           COALESCE(c.n, 0)::BIGINT AS n
+    FROM d LEFT JOIN c ON c.series_id = d.series_id AND c.bin = d.bin
+    """,
+)
+def q_value_histogram(spark, sf_dir):
+    """Equal-width 10-bin histogram per series (``operators.analytics
+    .value_histogram``): NumPy-histogram edge semantics (right edge closed
+    on the last bin), empty bins densified to 0 — the profiling primitive;
+    two keyed aggregations + a bins-row explode, nothing data-sized beyond
+    the grouped counts."""
+    from fdi_flow_spark.operators.analytics import value_histogram
+
+    out = value_histogram(events_series(spark, sf_dir), bins=10)
+    return out.withColumn("bin_lo", F.round("bin_lo", 6)).withColumn(
+        "bin_hi", F.round("bin_hi", 6)
+    )
+
+
+@register(
     "rolling_corr",
     f"""
     WITH s AS ({SERIES_SQL}),
@@ -4544,6 +4585,9 @@ _WINDOW_EXCLUDED_ORACLES = {
     "rolling_corr",  # trailing-frame co-moment sums — moving_average_valid
                      # frame kernel over the cross_corr pair join —
                      # pytest-hash-checked every run
+    "value_histogram",  # keyed min/max agg + broadcast-back + grouped
+                        # count, same family as in-window standard_scaler
+                        # (stats) and q1 (hash agg) — pytest-hash-checked
 }
 
 

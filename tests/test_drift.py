@@ -533,3 +533,33 @@ def test_spectral_single_bin_entropy_zero(spark):
     assert len(out) == 2
     assert (out["spectral_entropy"] == 0.0).all()
     assert not out["spectral_entropy"].isna().any()
+
+
+# ------------------------------------------------------- value histogram
+
+def test_value_histogram_matches_numpy(spark):
+    from fdi_flow_spark.operators.analytics import value_histogram
+
+    rng = np.random.default_rng(91)
+    x = rng.normal(10, 3, 500)
+    df = make_long(spark, {"s": x, "const": np.full(7, 4.0)})
+    out = value_histogram(df, bins=10).toPandas()
+    g = out[out.series_id == "s"].sort_values("bin").reset_index(drop=True)
+    ref_n, ref_edges = np.histogram(x, bins=10)
+    assert list(g["n"]) == list(ref_n)
+    np.testing.assert_allclose(g["bin_lo"], ref_edges[:-1], atol=1e-9)
+    np.testing.assert_allclose(g["bin_hi"], ref_edges[1:], atol=1e-9)
+    assert g["n"].sum() == 500
+    c = out[out.series_id == "const"]
+    assert len(c) == 1 and c.iloc[0]["n"] == 7 and c.iloc[0]["bin_lo"] == 4.0
+
+
+def test_value_histogram_includes_empty_bins(spark):
+    # bimodal: values only at the extremes -> middle bins exist with n=0
+    x = np.concatenate([np.zeros(5), np.full(5, 100.0)])
+    from fdi_flow_spark.operators.analytics import value_histogram
+
+    df = make_long(spark, {"s": x})
+    out = value_histogram(df, bins=10).toPandas().sort_values("bin")
+    assert len(out) == 10
+    assert list(out["n"]) == [5, 0, 0, 0, 0, 0, 0, 0, 0, 5]

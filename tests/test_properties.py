@@ -190,3 +190,76 @@ def test_rk45_harmonic_oscillator_energy(w, x0):
     out = _rk45_path(lambda t, x: A @ x, np.array([x0, 0.0]), time, rtol=1e-8, atol=1e-10)
     exact = x0 * np.cos(w * time)
     np.testing.assert_allclose(out[:, 0], exact, atol=5e-5 * max(1.0, abs(x0)))
+
+
+# ---------------------------------------------- drift-layer properties (r5c)
+
+def _closed_form_cusum(x, k, target):
+    """The distributed rewrite's reflected prefix sum, as NumPy."""
+    d = x - target - k
+    c = np.cumsum(d)
+    pos = c - np.minimum(0.0, np.minimum.accumulate(c))
+    dn = target - x - k
+    cn = np.cumsum(dn)
+    neg = cn - np.minimum(0.0, np.minimum.accumulate(cn))
+    return pos, neg
+
+
+def _recursive_cusum(x, k, target):
+    sp = sn = 0.0
+    pos, neg = [], []
+    for v in x:
+        sp = max(0.0, sp + (v - target - k))
+        sn = max(0.0, sn + (target - v - k))
+        pos.append(sp)
+        neg.append(sn)
+    return np.array(pos), np.array(neg)
+
+
+@given(
+    finite_series,
+    st.floats(min_value=0.0, max_value=10.0, allow_nan=False),
+    st.floats(min_value=-100.0, max_value=100.0, allow_nan=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_cusum_reflection_identity(xs, k, target):
+    """The prefix-sum rewrite the Spark cusum operator uses equals the
+    textbook max(0, .) recursion on arbitrary finite input — the identity
+    the whole distributed formulation rests on."""
+    x = np.asarray(xs, dtype=np.float64)
+    cp, cn = _closed_form_cusum(x, k, target)
+    rp, rn = _recursive_cusum(x, k, target)
+    scale = max(1.0, np.abs(x).max() + abs(target) + k)
+    np.testing.assert_allclose(cp, rp, atol=1e-7 * scale * max(1, len(x)))
+    np.testing.assert_allclose(cn, rn, atol=1e-7 * scale * max(1, len(x)))
+    assert (cp >= -1e-9 * scale).all() and (cn >= -1e-9 * scale).all()
+
+
+def _session_ids(ts_sorted, gap):
+    sid, out, prev = 0, [], None
+    for t in ts_sorted:
+        if prev is not None and t - prev > gap:
+            sid += 1
+        out.append(sid)
+        prev = t
+    return out
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=100),
+    st.integers(min_value=1, max_value=1000),
+)
+@settings(max_examples=200, deadline=None)
+def test_sessionize_conditional_cumsum_invariants(ts_list, gap):
+    """Session ids are a nondecreasing 0-based sequence; ids increment
+    exactly at gaps > threshold; equal timestamps always share a session —
+    the invariants the Spark conditional-cumsum kernel and its tie
+    insensitivity rely on."""
+    ts = sorted(ts_list)
+    ids = _session_ids(ts, gap)
+    assert ids[0] == 0
+    for (t0, i0), (t1, i1) in zip(zip(ts, ids), zip(ts[1:], ids[1:])):
+        assert i1 - i0 in (0, 1)
+        assert (i1 == i0 + 1) == (t1 - t0 > gap)
+        if t1 == t0:
+            assert i1 == i0
