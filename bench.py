@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "spectral_windows",
     "rolling_corr",
     "value_histogram",
+    "series_pacf",
 ]
 
 

@@ -5,6 +5,7 @@ from fdi_flow_spark.operators.analytics import (
     pattern_search,
     seasonal_decompose,
     series_acf,
+    series_pacf,
     series_profile,
     session_stats,
     sessionize,
@@ -53,6 +54,7 @@ __all__ = [
     "changepoint_scan",
     "mad_outliers",
     "series_acf",
+    "series_pacf",
     "series_profile",
     "cross_corr_pairs",
     "rolling_corr_pairs",

@@ -69,6 +69,54 @@ def series_acf(df: DataFrame, max_lag: int = 5) -> DataFrame:
     )
 
 
+def series_pacf(df: DataFrame, max_lag: int = 5) -> DataFrame:
+    """Partial autocorrelation per series for lags ``1..max_lag`` via the
+    Durbin–Levinson recursion over the biased ACF estimator (the
+    statsmodels ``method='ywm'`` convention) — the companion diagnostic to
+    :func:`series_acf`: ACF tails off for AR processes while PACF cuts off
+    at the true order, which is how an FDI user picks observer/filter
+    model orders.
+
+    The recursion runs per series over the ALREADY-AGGREGATED ``max_lag``-
+    row ACF table (an ``applyInPandas`` over n_series x max_lag rows — the
+    corpus itself is only touched by the one windowed ACF pass).
+    Output: ``(series_id, lag, pacf)``.
+    """
+    acf = series_acf(df, max_lag)
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as _np
+        import pandas as _pd
+
+        pdf = pdf.sort_values("lag")
+        r = _np.concatenate([[1.0], pdf["acf"].to_numpy(dtype=float)])
+        L = len(pdf)
+        phi = _np.zeros((L + 1, L + 1))
+        out = _np.zeros(L)
+        v = 1.0
+        for k in range(1, L + 1):
+            num = r[k] - sum(phi[k - 1, j] * r[k - j] for j in range(1, k))
+            if k == 1:
+                phi[1, 1] = r[1]
+            else:
+                phi[k, k] = num / v if v != 0 else 0.0
+            for j in range(1, k):
+                phi[k, j] = phi[k - 1, j] - phi[k, k] * phi[k - 1, k - j]
+            v *= 1.0 - phi[k, k] ** 2
+            out[k - 1] = phi[k, k]
+        return _pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].iloc[0],
+                "lag": _np.arange(1, L + 1, dtype=_np.int64),
+                "pacf": out,
+            }
+        )
+
+    return acf.groupBy(SERIES_ID).applyInPandas(
+        fn, schema="series_id string, lag long, pacf double"
+    )
+
+
 def cross_corr_pairs(df: DataFrame) -> DataFrame:
     """Pearson correlation between every pair of series aligned on ``ts``.
 

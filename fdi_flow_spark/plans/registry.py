@@ -1026,6 +1026,18 @@ def q_kalman1d_chunked(spark, sf_dir):
     return _rounded(kalman_filter_1d_chunked(s, q=0.5, r=2.0, chunk_size=48))
 
 
+@register("series_pacf")  # rows-only: Durbin-Levinson recursion over the
+def q_series_pacf(spark, sf_dir):  # tiny per-series ACF table
+    """Partial autocorrelation, lags 1..5 (``operators.analytics
+    .series_pacf``): Durbin-Levinson over the aggregated ACF rows — the
+    corpus is touched only by the one windowed ACF pass; golden-checked
+    against an independent Yule-Walker Toeplitz solve."""
+    from fdi_flow_spark.operators import series_pacf
+
+    out = series_pacf(events_series(spark, sf_dir), max_lag=5)
+    return out.withColumn("pacf", F.round("pacf", 6))
+
+
 @register("spectral_windows")  # rows-only: per-window FFT (the bandpass
 def q_spectral_windows(spark, sf_dir):  # precedent — golden-tested kernel)
     """Sliding-window spectral features (``operators.spectral

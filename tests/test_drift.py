@@ -563,3 +563,32 @@ def test_value_histogram_includes_empty_bins(spark):
     out = value_histogram(df, bins=10).toPandas().sort_values("bin")
     assert len(out) == 10
     assert list(out["n"]) == [5, 0, 0, 0, 0, 0, 0, 0, 0, 5]
+
+
+# ------------------------------------------------------------------ pacf
+
+def test_pacf_matches_yule_walker_solve(spark):
+    """Independent golden: PACF at lag k = last coefficient of the
+    Yule-Walker solve R_k phi = r_k (Toeplitz inversion), vs the
+    operator's Durbin-Levinson recursion."""
+    from fdi_flow_spark.operators import series_pacf
+
+    rng = np.random.default_rng(101)
+    n = 2000
+    x = np.zeros(n)
+    e = rng.normal(0, 1, n)
+    for t in range(2, n):
+        x[t] = 0.6 * x[t - 1] - 0.3 * x[t - 2] + e[t]
+    df = make_long(spark, {"s": x})
+    out = collect_sorted(series_pacf(df, max_lag=5), ["lag"])
+
+    xc = x - x.mean()
+    den = (xc * xc).sum()
+    r = np.array([1.0] + [(xc[:-k] * xc[k:]).sum() / den for k in range(1, 6)])
+    for k in range(1, 6):
+        R = np.array([[r[abs(i - j)] for j in range(k)] for i in range(k)])
+        phi = np.linalg.solve(R, r[1 : k + 1])
+        assert abs(out.loc[k - 1, "pacf"] - phi[-1]) < 1e-9, k
+    # AR(2): pacf cuts off after lag 2
+    assert abs(out.loc[1, "pacf"] + 0.3) < 0.1     # ~ -0.3 at lag 2
+    assert np.abs(out.loc[2:, "pacf"]).max() < 0.1  # lags 3..5 ~ 0
