@@ -196,6 +196,48 @@ def main() -> None:
         "| normalized docs:", normalize_text(docs).count(),
     )
 
+    # 7. The r5c drift/monitoring layer: the classical FDI loop over the
+    # events series — change detection, signature search, diagnostics —
+    # all closed-form window SQL sharing one series Exchange.
+    from fdi_flow_spark.operators import (
+        changepoint_scan,
+        cusum,
+        pattern_search,
+        seasonal_decompose,
+        series_profile,
+        session_stats,
+    )
+    from fdi_flow_spark.pipelines.quality_model import nb_quality_classify
+    from fdi_flow_spark.sources.tables import events_series, load_table
+
+    series = events_series(spark, SF)
+    alarms = cusum(series, k=10.0, h=400.0).where(F.col("alarm")).count()
+    cp = changepoint_scan(series, min_size=10).orderBy("series_id").first()
+    hits = pattern_search(series, [0.0, 1.0, 2.0, 3.0, 2.0, 1.0, 0.0, -1.0], k=3)
+    season = seasonal_decompose(series, period=12)
+    prof = series_profile(series).orderBy("series_id").first()
+    ev = load_table(spark, SF, "events").select(
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("tus"),
+    )
+    sessions = session_stats(ev, "user_id", "tus", 14_400_000_000)
+    quality = nb_quality_classify(
+        docs.withColumn("is_en", F.col("lang") == "en"), "is_en"
+    )
+    print(
+        "CUSUM alarm rows:", alarms,
+        "| top changepoint:", (cp["series_id"], int(cp["cp_ts"])),
+        "| signature matches:", hits.count(),
+        "| seasonal rows:", season.count(),
+        "| profile[0] skew:", round(prof["skewness"], 3),
+        "| sessions:", sessions.count(),
+        "| quality keep-rate:", round(
+            quality.agg(F.avg(F.col("pred").cast("double"))).first()[0], 3
+        ),
+    )
+
     spark.stop()
 
 
