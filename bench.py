@@ -1,14 +1,20 @@
 #!/usr/bin/env python
 """Benchmark runner: executes the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-compact JSON line as the LAST line of stdout:
+COMPACT (<1 KB) JSON line as the LAST line of stdout:
 {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "n_runs": N, "sf": ...}.
+"queries": {10 headline names: sec}, "n_queries": N, "n_runs": N,
+"worst_ratio_vs_baseline": r, "worst_query": name,
+"geomean_ratio_vs_baseline": g, "sf": ...}.
 
-The per-query min/max spread across passes goes to STDERR (and to
-bench_spread.json next to this file) — round 3 taught us that putting it in
-the stdout line pushes the JSON past the driver's stdout-tail capture and the
-medians get truncated away ("parsed": null).
+ALL per-query medians + min/max spreads go to bench_spread.json next to
+this file (and stderr). They must NOT ride in the stdout line: the driver
+captures only a 2000-char stdout TAIL, and by round 5 the 108-query line
+outgrew it — the tail contained the END of the JSON with the head cut off,
+so the artifact recorded "parsed": null and the 2x gate could not
+auto-evaluate (r3-r5). The stdout line instead self-reports the
+vs-baseline ratios, computed against the committed bench_baseline.json
+(the round-1 medians the gate compares to).
 
 Each query is executed with a noop write (full pipeline execution, no
 driver-side collect cost) $SPARK_GRAFT_BENCH_N times (default 5) in
@@ -219,9 +225,42 @@ def main() -> None:
         name: [round(min(ts), 3), round(max(ts), 3)] for name, ts in runs.items()
     }
     total = round(sum(timings.values()), 3)
-    # Spread is diagnostic only: stderr + sidecar file, NEVER the stdout line
-    # (driver stdout-tail capture truncated the r3 line; keep stdout compact).
-    spread_doc = {"spread": spread, "n_runs": n_runs, "sf": sf}
+
+    # Vs-baseline ratios against the committed round-1 medians, so the
+    # compact stdout line carries the 2x-gate verdict directly.
+    ratios: dict[str, float] = {}
+    try:
+        with open(os.path.join(_REPO, "bench_baseline.json")) as f:
+            doc = json.load(f)
+        base, base_sf = doc["queries"], doc.get("sf", 0.1)
+        if float(sf) == float(base_sf):  # ratios only at the baseline's SF
+            ratios = {
+                name: round(timings[name] / base[name], 3)
+                for name in timings
+                if name in base and base[name] > 0
+            }
+    except (OSError, KeyError, ValueError):
+        pass
+    worst_q, worst_r, geomean = None, None, None
+    if ratios:
+        worst_q = max(ratios, key=ratios.get)
+        worst_r = ratios[worst_q]
+        import math
+
+        geomean = round(
+            math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios)), 3
+        )
+
+    # Full medians + spreads + ratios: stderr + sidecar file, NEVER the
+    # stdout line (driver stdout-tail capture truncated the r3-r5 lines;
+    # stdout must stay under ~1 KB).
+    spread_doc = {
+        "medians": timings,
+        "spread": spread,
+        "vs_baseline": ratios,
+        "n_runs": n_runs,
+        "sf": sf,
+    }
     print(json.dumps(spread_doc), file=sys.stderr)
     try:
         with open(os.path.join(_REPO, "bench_spread.json"), "w") as f:
@@ -229,8 +268,15 @@ def main() -> None:
     except OSError:
         pass
     spark.stop()
-    # Compact medians-only summary, guaranteed LAST stdout line (after
-    # spark.stop() so no JVM shutdown chatter can print below it).
+    # Compact summary, guaranteed LAST stdout line (after spark.stop() so no
+    # JVM shutdown chatter can print below it). Only the 10 headline queries
+    # ride along; everything else is in bench_spread.json.
+    headline = [
+        "q1_pricing_summary", "q3_top_orders", "q5_nation_volume",
+        "q6_revenue_change", "moving_average_valid", "robust_scaler",
+        "forecast_prep", "ngram_jaccard_pairs", "minhash_dedup_pairs",
+        "language_id",
+    ]
     sys.stdout.flush()
     print(
         json.dumps(
@@ -238,8 +284,13 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: timings[k] for k in headline if k in timings},
+                "n_queries": len(timings),
                 "n_runs": n_runs,
+                "worst_ratio_vs_baseline": worst_r,
+                "worst_query": worst_q,
+                "geomean_ratio_vs_baseline": geomean,
+                "detail": "bench_spread.json",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

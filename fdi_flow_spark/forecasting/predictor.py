@@ -101,10 +101,21 @@ class TimeSeriesPredictor:
 
     # ---- distributed data path ---------------------------------------
     def load_and_preprocess_data(
-        self, spark: SparkSession, train_filenames: list[str], test_filename: str
+        self,
+        spark: SparkSession,
+        train_filenames: list[str],
+        test_filename: str,
+        max_collect_rows: int = 2_000_000,
     ):
         """Reference ``:88-166`` distributed. Returns numpy (X_train, y_train,
-        X_test, y_test) shaped for Keras ((n, T, 1) float32)."""
+        X_test, y_test) shaped for Keras ((n, T, 1) float32).
+
+        Single-node training is reference parity, so the supervised windows
+        ARE collected to the driver — but bounded: each side's collect is
+        capped at ``max_collect_rows`` windows (LIMIT pushed into the scan,
+        no separate count pass), and the error points at the stride /
+        ``time_steps`` knobs that shrink the window count, mirroring the
+        ``cosine_near_dup_pairs`` guard."""
         train = None
         for fn in train_filenames:
             s = read_csv_series(spark, fn, value_col="y", stride=200)
@@ -118,7 +129,20 @@ class TimeSeriesPredictor:
         test_w, _ = prepare_supervised_data(test, self.time_steps, self.output_step, 1, mm)
 
         def collect_xy(wdf):
-            pdf = wdf.orderBy("series_id", "window_start").toPandas()
+            pdf = (
+                wdf.orderBy("series_id", "window_start")
+                .limit(max_collect_rows + 1)
+                .toPandas()
+            )
+            if len(pdf) > max_collect_rows:
+                raise ValueError(
+                    f"load_and_preprocess_data collects supervised windows "
+                    f"to the driver for single-node training (> "
+                    f"max_collect_rows={max_collect_rows}); raise the "
+                    f"read stride / time_steps to thin the windows, or "
+                    f"train on a subset and score distributed via "
+                    f"predict_distributed"
+                )
             X = np.array(pdf["x"].tolist(), dtype=np.float32)
             Y = np.array(pdf["y"].tolist(), dtype=np.float32)
             return X.reshape((X.shape[0], X.shape[1], 1)), Y

@@ -10,6 +10,7 @@ from fdi_flow_spark.operators.analytics import (
     session_stats,
     sessionize,
     time_bucket_rollup,
+    value_histogram,
 )
 from fdi_flow_spark.operators.drift import (
     changepoint_scan,
@@ -63,6 +64,7 @@ __all__ = [
     "sessionize",
     "session_stats",
     "time_bucket_rollup",
+    "value_histogram",
     "seasonal_decompose",
     "spectral_features",
 ]

@@ -117,55 +117,100 @@ def series_pacf(df: DataFrame, max_lag: int = 5) -> DataFrame:
     )
 
 
-def cross_corr_pairs(df: DataFrame) -> DataFrame:
-    """Pearson correlation between every pair of series aligned on ``ts``.
+def _paired_samples(
+    df: DataFrame,
+    pairs: DataFrame | None,
+    group_col: str | None,
+    xa: str,
+    xb: str,
+) -> tuple[DataFrame, list[str]]:
+    """Shared pair-alignment stage for the correlation family: rows
+    ``(series_a, series_b, [group], ts, xa, xb)`` for every aligned sample
+    of every admitted pair.
 
-    Output: ``(series_a, series_b, corr, n)`` for ``series_a < series_b``
-    (sample correlation — both Spark ``corr`` and the oracle's ``corr`` use
-    the n-1 denominator; rows pair only where both series have a sample at
-    the same ``ts``).
+    The S^2 bound, explicitly: with no ``pairs`` and no ``group_col``, the
+    self-join on bare ``ts`` materializes S^2/2 pairs PER TIMESTAMP — honest
+    for FDI fleets (dozens-hundreds of sensors), a 5x10^9-pairs-per-ts plan
+    at a 100k-series deployment. The two escape hatches:
 
-    The join key is ``ts``: at 100 TB this is an equi-join co-partitioned on
-    time, not an all-pairs cross join — the pair explosion happens per
-    timestamp (bounded by the sensor count), never across rows.
+    - ``pairs`` (columns ``series_a``, ``series_b``, canonical a < b): only
+      the listed pairs materialize. The pair list is broadcast, side A fans
+      out by its pair degree (bounded by the physical redundancy group
+      size, not S), then equi-joins B on ``(series_b, ts)`` — the total row
+      count is sum-of-degrees x T, linear in the pair list.
+    - ``group_col``: the join key becomes ``(group, ts)``, so the explosion
+      is (max group size)^2 per timestamp — the plant/unit topology most
+      FDI deployments already have.
     """
     assert_long(df)
+    gcols = [group_col] if group_col else []
     a = df.select(
-        F.col(SERIES_ID).alias("series_a"), F.col(TS).alias(TS), F.col(VALUE).alias("_va")
+        *gcols,
+        F.col(SERIES_ID).alias("series_a"),
+        F.col(TS).alias(TS),
+        F.col(VALUE).alias(xa),
     )
     b = df.select(
-        F.col(SERIES_ID).alias("series_b"), F.col(TS).alias(TS), F.col(VALUE).alias("_vb")
+        *gcols,
+        F.col(SERIES_ID).alias("series_b"),
+        F.col(TS).alias(TS),
+        F.col(VALUE).alias(xb),
     )
-    joined = a.join(b, on=TS).where(F.col("series_a") < F.col("series_b"))
-    return joined.groupBy("series_a", "series_b").agg(
+    if pairs is not None:
+        fanned = a.join(F.broadcast(pairs.select("series_a", "series_b")), on="series_a")
+        return fanned.join(b, on=[*gcols, "series_b", TS]), gcols
+    joined = a.join(b, on=[*gcols, TS]).where(F.col("series_a") < F.col("series_b"))
+    return joined, gcols
+
+
+def cross_corr_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Pearson correlation between pairs of series aligned on ``ts``.
+
+    Output: ``(series_a, series_b, [group], corr, n)`` for ``series_a <
+    series_b`` (sample correlation — both Spark ``corr`` and the oracle's
+    ``corr`` use the n-1 denominator; rows pair only where both series have
+    a sample at the same ``ts``).
+
+    By default every pair materializes (S^2/2 per timestamp — see
+    ``_paired_samples`` for the scale bound); pass ``pairs`` or
+    ``group_col`` to bound the explosion at large S.
+    """
+    joined, gcols = _paired_samples(df, pairs, group_col, "_va", "_vb")
+    return joined.groupBy("series_a", "series_b", *gcols).agg(
         F.corr("_va", "_vb").alias("corr"), F.count(F.lit(1)).alias("n")
     )
 
 
-def rolling_corr_pairs(df: DataFrame, window: int = 20) -> DataFrame:
+def rolling_corr_pairs(
+    df: DataFrame,
+    window: int = 20,
+    pairs: DataFrame | None = None,
+    group_col: str | None = None,
+) -> DataFrame:
     """Rolling Pearson correlation over the trailing ``window`` samples for
-    every series pair aligned on ``ts`` — the redundancy-drift monitor: two
+    series pairs aligned on ``ts`` — the redundancy-drift monitor: two
     healthy sensors of one plant stay correlated, and a decorrelation
     window localizes which sensor broke (cross-sensor residual generation).
 
-    Output: ``(series_a, series_b, ts, corr)`` with ``series_a <
+    Output: ``(series_a, series_b, [group], ts, corr)`` with ``series_a <
     series_b``; ``corr`` is null until the window is full and for
     zero-variance windows. Co-moment sums over a trailing frame
     partitioned by the PAIR key — work distributes across pairs, and the
     per-pair timeline is the same scale class as any single series op.
+
+    By default every pair materializes (S^2/2 per timestamp — see
+    ``_paired_samples`` for the scale bound); pass ``pairs`` or
+    ``group_col`` to bound the explosion at large S.
     """
     if window < 2:
         raise ValueError("window must be >= 2")
-    assert_long(df)
-    a = df.select(
-        F.col(SERIES_ID).alias("series_a"), F.col(TS).alias(TS), F.col(VALUE).alias("_x")
-    )
-    b = df.select(
-        F.col(SERIES_ID).alias("series_b"), F.col(TS).alias(TS), F.col(VALUE).alias("_y")
-    )
-    j = a.join(b, on=TS).where(F.col("series_a") < F.col("series_b"))
+    j, gcols = _paired_samples(df, pairs, group_col, "_x", "_y")
     w = (
-        Window.partitionBy("series_a", "series_b")
+        Window.partitionBy("series_a", "series_b", *gcols)
         .orderBy(TS)
         .rowsBetween(-(window - 1), 0)
     )
@@ -181,7 +226,7 @@ def rolling_corr_pairs(df: DataFrame, window: int = 20) -> DataFrame:
         (n == float(window)) & (vx > 0) & (vy > 0),
         (n * sxy - sx * sy) / F.sqrt(vx * vy),
     )
-    return j.select("series_a", "series_b", TS, corr.alias("corr"))
+    return j.select("series_a", "series_b", *gcols, TS, corr.alias("corr"))
 
 
 def gap_fill(df: DataFrame, method: str = "linear") -> DataFrame:

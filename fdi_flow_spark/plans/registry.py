@@ -4074,7 +4074,7 @@ def q_value_histogram(spark, sf_dir):
     on the last bin), empty bins densified to 0 — the profiling primitive;
     two keyed aggregations + a bins-row explode, nothing data-sized beyond
     the grouped counts."""
-    from fdi_flow_spark.operators.analytics import value_histogram
+    from fdi_flow_spark.operators import value_histogram
 
     out = value_histogram(events_series(spark, sf_dir), bins=10)
     return out.withColumn("bin_lo", F.round("bin_lo", 6)).withColumn(
@@ -4216,12 +4216,15 @@ def q_time_bucket(spark, sf_dir):
                     OVER (PARTITION BY series_id, i % 12) AS pm
           FROM t),
     q AS (SELECT *, SUM(CASE WHEN i < 12 THEN pm END)
-                    OVER (PARTITION BY series_id) / 12.0 AS pmm
+                    OVER (PARTITION BY series_id) / 12.0 AS pmm,
+                 COUNT(CASE WHEN i < 12 AND pm IS NOT NULL THEN 1 END)
+                    OVER (PARTITION BY series_id) AS pm_cnt
           FROM p)
     SELECT series_id, ts, value,
            ROUND(trend, 6) AS trend,
-           ROUND(pm - pmm, 6) AS seasonal,
-           ROUND(value - trend - (pm - pmm), 6) AS resid
+           ROUND(CASE WHEN pm_cnt = 12 THEN pm - pmm END, 6) AS seasonal,
+           ROUND(CASE WHEN pm_cnt = 12
+                      THEN value - trend - (pm - pmm) END, 6) AS resid
     FROM q
     """,
 )
@@ -4413,41 +4416,40 @@ def q_series_profile(spark, sf_dir):
 # its own oracle every pytest run via ``tests/test_oracle_queries.py``'s
 # parametrization over ORACLES.
 _WINDOW_PRIORITY = [
-    # TPC-H-ish relational core
+    # --- r6 rotation: per round-5 VERDICT, the window is led by the 29
+    # oracle-backed queries that had NEVER appeared in a driver CORRECTNESS
+    # round (they pass pytest's oracle rehearsal every run, but the driver
+    # gate is the hard signal). 21 r5-driver-passed sentinels stay to keep
+    # the relational core + one representative of each major kernel family
+    # under the driver's eye.
+    #
+    # never-driver-checked: drift / series analytics
+    "kalman1d_chunked", "page_hinkley_drift", "mad_outliers",
+    "cross_corr", "rolling_corr", "gap_fill", "time_bucket_rollup",
+    "series_profile", "value_histogram", "user_sessions",
+    "pattern_search", "fdi_pipeline",
+    # never-driver-checked: text / curation
+    "quality_classifier", "tfidf_vectors", "gopher_filter", "ngram_counts",
+    "readability", "text_normalize", "text_repetition", "source_mix",
+    "domain_filter",
+    # never-driver-checked: span-level + incremental dedup, contamination
+    "span_contamination", "duplicated_spans", "dedup_incremental",
+    "corpus_contamination", "corpus_decontaminate",
+    # never-driver-checked: selection + quantized ANN
+    "dsir_select", "pq_encode", "cosine_topk_q8",
+    # --- sentinels (all driver-passed in CORRECTNESS_r05): relational core
     "q1_pricing_summary", "q3_top_orders", "q5_nation_volume",
-    "q6_revenue_change", "sales_rollup", "events_stats_salted",
-    "semi_join_urgent_customers", "anti_join_quiet_customers",
-    "orders_above_customer_avg",
-    "set_ops_customer_cohorts",
-    "min_cost_supplier", "distinct_counts_by_status",
-    # filters / scalers / segmenters / recurrences
-    "moving_average_valid", "median_filter_edge",
-    "standard_scaler",
-    "ewma_closed_form", "failure_encoder",
-    "segment_windows", "forecast_prep",
-    "resample_linear", "asof_join_purchase",
-    # model / observer event streams
-    "observer_luenberger_events",
-    "simulate_euler_events", "video_frame_features",
-    # SURVEY §2.9 LLM-pipeline operators
-    "dedup_components", "ngram_jaccard_pairs", "minhash_dedup_pairs",
-    "simhash_fingerprints", "document_fingerprint",
-    "cosine_topk", "knn_classify",
-    "multimodal_image_features", "token_counts", "language_id",
-    "quota_sample", "pii_redact",
-    "token_pack", "curation_pipeline",
-    # r5: LM scoring, boilerplate line dedup, deterministic Lloyd, SemDeDup,
-    # BM25 retrieval, int8 quantization
-    "lm_perplexity", "line_dedup", "embedding_kmeans", "semantic_dedup",
-    "bm25_search", "embedding_quantize",
-    # r5b: exact span-level dedup (first-occurrence-wins strip, total output)
-    # and DSIR hashed-ngram importance weighting
-    "span_dedup", "dsir_weights",
-    # r5c: sequential drift detection + series analytics — four NEW kernel
-    # shapes: reflected prefix sum (CUSUM), prefix-sum argmax scan
-    # (changepoint), multi-window additive decomposition (seasonal), and
-    # lead-column grouped-ratio correlation (ACF)
-    "cusum_drift", "changepoint_scan", "seasonal_decompose", "series_acf",
+    "q6_revenue_change",
+    # sentinels: window/scaler/segmenter/recurrence kernels
+    "moving_average_valid", "standard_scaler", "ewma_closed_form",
+    "segment_windows", "forecast_prep", "resample_linear",
+    "asof_join_purchase",
+    # sentinels: simulation / observer replay + codec chains
+    "observer_luenberger_events", "simulate_euler_events",
+    "video_frame_features", "multimodal_image_features",
+    # sentinels: dedup / similarity / text / curation representatives
+    "dedup_components", "minhash_dedup_pairs", "cosine_topk",
+    "token_counts", "curation_pipeline", "span_dedup",
 ]
 
 
@@ -4456,150 +4458,68 @@ _WINDOW_PRIORITY = [
 # suite. Grown ONLY deliberately — the invariant check below fails loudly if
 # a new oracle query silently lands outside the window.
 _WINDOW_EXCLUDED_ORACLES = {
+    # --- structural twins of in-window kernels, pytest-hash-checked every
+    # run (placements unchanged since r3-r5; see git history for the
+    # per-round swap rationale)
     "ewma_chunked",       # chunk-parallel scan twin of ewma_closed_form
     "holt_chunked",       # 2x2 affine-scan twin of holt_smoothing
-    "kalman1d_chunked",   # gain-precomputed chunk-scan twin of kalman1d_filter
-    "observer_replay_kalman",   # fixture-literal CTE twins of the in-window
+    "observer_replay_kalman",   # fixture-literal CTE twins of the
     "observer_replay_sliding",  # events-driven O2/O3 oracles (same kernels,
-                                # control term live) — pytest-hash-checked
-    "median_filter_zeros",  # zero-pad variant sharing median_filter_edge's kernel
-    "moving_average_padded",  # edge-pad variant sharing moving_average_valid's
-                              # kernel — swapped out for dedup_components (r3)
+                                # control term live)
+    "observer_replay_luenberger",  # same recursive-CTE kernel family as
+                                   # in-window observer_luenberger_events
+    "median_filter_zeros",  # zero-pad variant of median_filter_edge's kernel
+    "moving_average_padded",  # edge-pad variant of moving_average_valid
     "resample_nearest",   # same resample() gather as in-window resample_linear
-    "knn_accuracy",       # aggregate over the in-window knn_classify's
-                          # knn_classify_exact call (identical split/params)
-    "minhash_signatures",  # same minhash_signatures() stage the in-window
-                           # minhash_dedup_pairs oracle recomputes internally
+    "knn_accuracy",       # aggregate over knn_classify's identical call
+    "minhash_signatures",  # same stage the in-window minhash_dedup_pairs
+                           # oracle recomputes internally
     "minmax_scaler",      # same global-agg+project scaler kernel as in-window
-                          # standard_scaler/robust_scaler — swapped out for
-                          # token_pack (r4)
-    "cube_order_stats",   # same Expand grouping-sets kernel as in-window
-                          # sales_rollup — swapped out for curation_pipeline (r4)
-    "video_frame_sample",  # sequence+explode kernel stays in-window via
-                           # segment_windows — swapped out for the codec-chain
-                           # proof multimodal_image_features (r4)
-    "multimodal_image_resize",  # second BMP-decode proof (resize gather)
-    "text_repetition",          # explode+agg kernel family as in-window
-                                # token_counts/text_quality
-    "corpus_contamination",     # word-ngram inverted-index join — same
-    "corpus_decontaminate",     # kernel family as in-window
-                                # ngram_jaccard_pairs (+ LeftAnti, in-window
-                                # via anti_join_quiet_customers)
-    "observer_replay_luenberger",  # same recursive-CTE kernel family as the
-                                   # in-window observer_luenberger_events —
-                                   # swapped for the unique AVI-codec proof
-                                   # video_frame_features (r4)
+                          # standard_scaler
+    "cube_order_stats",   # same Expand grouping-sets kernel as sales_rollup
+                          # (driver-passed r1-r5)
+    "video_frame_sample",  # sequence+explode kernel in-window via
+                           # segment_windows
+    "multimodal_image_resize",  # second BMP-decode proof (resize gather);
+                                # codec chain in-window via
+                                # multimodal_image_features
     "simulate_discrete_events",  # same applyInPandas-sim + recursive-CTE
-                                 # family as in-window simulate_euler_events —
-                                 # swapped for lm_perplexity (r5)
+                                 # family as in-window simulate_euler_events
     "observer_kalman_events",    # same observer-replay kernel family as
-    "observer_sliding_events",   # in-window observer_luenberger_events —
-                                 # swapped for line_dedup/embedding_kmeans (r5)
+    "observer_sliding_events",   # in-window observer_luenberger_events
     "robust_scaler",             # same global-agg+project scaler family as
-                                 # in-window standard_scaler (minmax precedent,
-                                 # r4) — swapped for semantic_dedup (r5)
-    "source_mix",   # temperature quotas over the in-window quota_sample's
-                    # hash-order window kernel; the new part (tiny sqrt-share
-                    # aggregate) is pytest-hash-checked every run
-    "text_quality",      # pure-projection token-stats kernel, same family as
-                         # in-window token_counts — swapped for bm25_search (r5)
-    "corpus_hash_split",  # md5-bucket projection; the same _hash_bucket kernel
-                          # stays in-window via quota_sample/token_pack ordering
-                          # — swapped for embedding_quantize (r5)
-    "cosine_topk_q8",    # same rank/top-k window kernel as in-window
-                         # cosine_topk, over quantized vectors — the
-                         # quantization step itself is in-window via
-                         # embedding_quantize
+                                 # in-window standard_scaler
+    "text_quality",      # pure-projection token-stats kernel, family of
+                         # in-window token_counts
+    "corpus_hash_split",  # md5-bucket projection; _hash_bucket kernel
+                          # in-window via curation_pipeline ordering
     "holt_smoothing",    # same per-series recursive-CTE recurrence family as
-                         # in-window ewma_closed_form/kalman1d_filter (the
-                         # observer_kalman/sliding precedent) — swapped for
-                         # span_dedup (r5b)
-    "duplicated_spans",  # same _token_windows + duplicate-aggregate kernel
-                         # as in-window span_dedup; the island merge is
-                         # pytest-hash-checked every run
+                         # in-window ewma_closed_form
     "supervised_windows",  # same sequence+explode windowing kernel as
-                           # in-window segment_windows, and in-window
-                           # forecast_prep runs the identical supervised-
-                           # window stage — swapped for dsir_weights (r5b)
-    "dsir_select",  # top-n over the in-window dsir_weights table; the
-                    # TakeOrdered kernel stays in-window via q3_top_orders
-    "pq_encode",  # same unrolled-Lloyd oracle family as in-window
-                  # embedding_kmeans (per-subspace slices); pytest-hash-
-                  # checked every run
-    "text_normalize",  # Arrow-batched text kernel family as in-window
-                       # document_fingerprint; md5-reassembly contract as
-                       # in-window span_dedup — pytest-hash-checked
-    "span_contamination",  # same _token_windows kernel as in-window
-                           # span_dedup; the stream-static overlap join is
-                           # streaming-parity-tested + pytest-hash-checked
-    "ngram_counts",   # explode+agg+TakeOrdered kernel family as in-window
-                      # token_counts/bm25_search — pytest-hash-checked
-    "gopher_filter",  # composition of in-window token_counts-family
-                      # projections + the text_repetition aggregate —
-                      # pytest-hash-checked (failed-rule lists verbatim)
-    "domain_filter",  # pure regexp projection, same kernel family as
-                      # in-window pii_redact — pytest-hash-checked
-    "tfidf_vectors",  # md5-bridge bucket hash + count-table stats, same
-                      # family as in-window dsir_weights — pytest-hash-
-                      # checked
-    # --- r5c rotations: slots freed for the four new drift/analytics kernels
-    "kalman1d_filter",  # same per-series recursive-CTE recurrence family as
-                        # in-window ewma_closed_form (the holt_smoothing
-                        # precedent); its chunked twin is also pytest-checked
-                        # — swapped for cusum_drift (r5c)
-    "embedding_near_dup",  # same cosine-threshold pair kernel as in-window
-                           # semantic_dedup (the cluster-bounded variant of
-                           # the identical math) — swapped for
-                           # changepoint_scan (r5c)
-    "dedup_exact",  # 16-byte digest hash-agg, same groupBy kernel family as
-                    # in-window q1_pricing_summary/distinct_counts_by_status
-                    # — swapped for seasonal_decompose (r5c)
+                           # in-window segment_windows/forecast_prep
+    "kalman1d_filter",  # recursive-CTE recurrence family of in-window
+                        # ewma_closed_form; its chunked twin is now IN-window
+                        # (kalman1d_chunked, r6)
+    "embedding_near_dup",  # same cosine-threshold pair kernel as
+                           # semantic_dedup (driver-passed r5)
+    "dedup_exact",  # 16-byte digest hash-agg, groupBy family of in-window
+                    # q1_pricing_summary
     "top_orders_per_customer",  # rank-window top-k per group, same
                                 # WindowGroupLimit kernel as in-window
-                                # cosine_topk (and q3's TakeOrdered) —
-                                # swapped for series_acf (r5c)
-    # --- r5c same-family analytics queries, pytest-hash-checked every run
-    "page_hinkley_drift",  # same reflected-prefix-sum kernel as in-window
-                           # cusum_drift (running mean added)
-    "mad_outliers",  # exact-percentile stats + broadcast-back, same family
-                     # as in-window standard_scaler / excluded robust_scaler
-    "cross_corr",    # ts equi-join + corr aggregate, join+agg family of
-                     # in-window q5_nation_volume
-    "gap_fill",      # neighbor-interpolation gather, same math family as
-                     # in-window resample_linear (ignore-nulls window form)
-    "time_bucket_rollup",  # plain grouped rollup with min_by/max_by, family
-                           # of in-window q1/failure_encoder
-    "quality_classifier",  # hashed-gram count tables + per-doc log-sum
-                           # scoring, same kernel family as in-window
-                           # dsir_weights (supervised conditional-count
-                           # variant) — pytest-hash-checked every run
-    "fdi_pipeline",  # composition of two in-window kernels (the
-                     # observer_luenberger_events recursive replay + the
-                     # cusum_drift reflected prefix sum) — the composed
-                     # plan is pytest-hash-checked end-to-end every run
-    "series_profile",  # power-sum groupBy aggregate, same hash-agg kernel
-                       # family as in-window q1_pricing_summary (+ the
-                       # distinct_counts_by_status Expand) — pytest-hash-
-                       # checked every run
-    "user_sessions",  # conditional-flag cumulative window sum — prefix-sum
-                      # kernel family of in-window cusum_drift/token_pack —
-                      # pytest-hash-checked every run
-    "pattern_search",  # lead-column sliding dot product (in-window
-                       # series_acf kernel) + pinned rank top-k (in-window
-                       # cosine_topk kernel) — pytest-hash-checked every run
-    "readability",  # regexp-count projection, same kernel family as
-                    # in-window token_counts/pii_redact — pytest-hash-
-                    # checked every run
-    "dedup_incremental",  # MinHash banding (in-window minhash_dedup_pairs
-                          # kernel) + digest anti-join family
-                          # (anti_join_quiet_customers) against a split
-                          # corpus — pytest-hash-checked every run
-    "rolling_corr",  # trailing-frame co-moment sums — moving_average_valid
-                     # frame kernel over the cross_corr pair join —
-                     # pytest-hash-checked every run
-    "value_histogram",  # keyed min/max agg + broadcast-back + grouped
-                        # count, same family as in-window standard_scaler
-                        # (stats) and q1 (hash agg) — pytest-hash-checked
+                                # cosine_topk
+    # --- r6 rotation: driver-passed in CORRECTNESS_r05 (see the committed
+    # artifact), rotated OUT to make room for the 29 oracles that had never
+    # been driver-checked (round-5 VERDICT item 2). Each keeps pytest-hash
+    # evidence every run; each name below has hash_match=true in r05.
+    "sales_rollup", "events_stats_salted", "semi_join_urgent_customers",
+    "anti_join_quiet_customers", "orders_above_customer_avg",
+    "set_ops_customer_cohorts", "min_cost_supplier",
+    "distinct_counts_by_status", "median_filter_edge", "failure_encoder",
+    "ngram_jaccard_pairs", "simhash_fingerprints", "document_fingerprint",
+    "knn_classify", "language_id", "quota_sample", "pii_redact",
+    "token_pack", "lm_perplexity", "line_dedup", "embedding_kmeans",
+    "semantic_dedup", "bm25_search", "embedding_quantize", "dsir_weights",
+    "cusum_drift", "changepoint_scan", "seasonal_decompose", "series_acf",
 }
 
 

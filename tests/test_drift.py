@@ -10,6 +10,7 @@ the distributed rewrite relies on.
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from fdi_flow_spark.operators import (
     changepoint_scan,
@@ -195,6 +196,73 @@ def test_cross_corr_pairs(spark):
     assert abs(out.loc[("a", "c")]["corr"]) < 0.3
     # pairs are ordered and unique
     assert len(out) == 3
+
+
+def test_cross_corr_pairs_bounded_by_pair_list(spark):
+    """The `pairs` escape hatch (r5 VERDICT): only listed pairs
+    materialize, values identical to the all-pairs path."""
+    rng = np.random.default_rng(32)
+    xs = {k: rng.normal(0, 1, 80) for k in "abcd"}
+    df = make_long(spark, xs)
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], "series_a string, series_b string"
+    )
+    out = cross_corr_pairs(df, pairs=pairs).toPandas().set_index(
+        ["series_a", "series_b"]
+    )
+    assert set(out.index) == {("a", "b"), ("c", "d")}
+    full = cross_corr_pairs(df).toPandas().set_index(["series_a", "series_b"])
+    for key in out.index:
+        assert abs(out.loc[key]["corr"] - full.loc[key]["corr"]) < 1e-12
+        assert out.loc[key]["n"] == full.loc[key]["n"]
+
+
+def test_cross_corr_pairs_bounded_by_group(spark):
+    """The `group_col` escape hatch: pairs form only within a group, and
+    the group column rides through the output."""
+    rng = np.random.default_rng(33)
+    xs = {k: rng.normal(0, 1, 60) for k in "abcd"}
+    df = make_long(spark, xs).withColumn(
+        "plant", F.when(F.col("series_id").isin("a", "b"), "p1").otherwise("p2")
+    )
+    out = cross_corr_pairs(df, group_col="plant").toPandas()
+    assert set(zip(out["series_a"], out["series_b"])) == {("a", "b"), ("c", "d")}
+    assert set(out["plant"]) == {"p1", "p2"}
+    full = cross_corr_pairs(df.drop("plant")).toPandas().set_index(
+        ["series_a", "series_b"]
+    )
+    got = out.set_index(["series_a", "series_b"])
+    for key in got.index:
+        assert abs(got.loc[key]["corr"] - full.loc[key]["corr"]) < 1e-12
+
+
+def test_rolling_corr_pairs_bounded_paths_match_full(spark):
+    from fdi_flow_spark.operators import rolling_corr_pairs
+
+    rng = np.random.default_rng(34)
+    xs = {k: rng.normal(0, 1, 50) for k in "abc"}
+    df = make_long(spark, xs)
+    full = (
+        rolling_corr_pairs(df, window=10)
+        .toPandas()
+        .set_index(["series_a", "series_b", "ts"])
+        .sort_index()
+    )
+    pairs = spark.createDataFrame([("a", "c")], "series_a string, series_b string")
+    sub = (
+        rolling_corr_pairs(df, window=10, pairs=pairs)
+        .toPandas()
+        .set_index(["series_a", "series_b", "ts"])
+        .sort_index()
+    )
+    assert set(sub.index.droplevel("ts")) == {("a", "c")}
+    sel = full.reset_index()
+    sel = (
+        sel[(sel["series_a"] == "a") & (sel["series_b"] == "c")]
+        .set_index(["series_a", "series_b", "ts"])
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(sub, sel)
 
 
 # --------------------------------------------------------------- gap fill

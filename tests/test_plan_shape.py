@@ -389,3 +389,28 @@ def test_sessionize_window_and_agg_share_partitioning(spark):
     )
     plan = _plan(session_stats(ev, "user_id", "tus", 14_400_000_000), "simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_corr_pair_escape_hatches_bound_the_join(spark):
+    """The correlation family's S^2 bound (r5 VERDICT): with group_col the
+    self-join key is (group, ts) — pair explosion bounded by group size —
+    and with a pair list the plan broadcasts it and equi-joins side B on
+    (series_b, ts), never materializing the full pair space."""
+    from fdi_flow_spark.operators import cross_corr_pairs, rolling_corr_pairs
+
+    s = events_series(spark, SF).withColumn(
+        "plant", F.substring("series_id", 1, 1)
+    )
+    grouped = _plan(cross_corr_pairs(s, group_col="plant"), "extended")
+    # the equi-join condition carries BOTH keys
+    assert "plant" in grouped and "(ts" in grouped or "ts#" in grouped
+    import re
+
+    join_lines = [l for l in grouped.splitlines() if "Join Inner" in l]
+    assert any("plant" in l and "ts" in l for l in join_lines), grouped
+
+    pairs = spark.createDataFrame(
+        [("s1", "s2")], "series_a string, series_b string"
+    )
+    p = _plan(rolling_corr_pairs(events_series(spark, SF), 5, pairs=pairs), "simple")
+    assert "BroadcastHashJoin" in p, p  # pair list broadcast, not shuffled
