@@ -20,8 +20,11 @@ output inside each accepted step. ``method='rk4'`` keeps the fixed-grid
 classic RK4 as a cheap deterministic alternative. Stiff-solver names
 (``'Radau'``/``'BDF'``/``'LSODA'``) on the LINEAR model return the exact
 ZOH-discretized solution via matrix exponential (Van Loan block form) —
-stiff-safe at machine precision; on the nonlinear models they fall back to
-the adaptive RK45 (documented deviation — no implicit iterator).
+stiff-safe at machine precision; on the NONLINEAR continuous model they run
+``_trbdf2_path``, an L-stable implicit TR-BDF2 with finite-difference
+Jacobian and shared-matrix Newton stages (documented deviation: a different
+implicit family than scipy's Radau/BDF, same stability class and
+tolerance-controlled accuracy).
 
 Each model is a plain picklable object whose ``simulate`` returns the
 reference's dict; ``simulate_rows`` yields the Spark row layout
@@ -123,6 +126,117 @@ def _rk45_path(rhs, x0: np.ndarray, time: np.ndarray, rtol=1e-3, atol=1e-6) -> n
         else:
             h *= max(0.2, 0.9 * err ** -0.2)
     raise RuntimeError("RK45 failed to converge: step count exceeded")
+
+
+def _trbdf2_path(rhs, x0: np.ndarray, time: np.ndarray, rtol=1e-3, atol=1e-6) -> np.ndarray:
+    """L-stable one-step implicit TR-BDF2 (Bank et al. 1985; the
+    Hosea-Shampine 1996 formulation) for STIFF nonlinear systems, sampled
+    at ``time`` via cubic-Hermite dense output — the implicit twin the
+    reference reaches through scipy ``solve_ivp(method='Radau'/'BDF')``
+    (``nonlinear_models.py:30-35``); scipy is absent here.
+
+    Each step: trapezoidal half-stage to ``t + gamma*h`` then BDF2 stage
+    to ``t + h`` with ``gamma = 2 - sqrt(2)``, so BOTH Newton systems
+    share one matrix ``M = I - d*h*J`` (``d = gamma/2``) — one
+    finite-difference Jacobian + one factorization per step attempt.
+    Embedded 3rd-order error estimate from the quadratic collocation of
+    ``f`` at the three stage nodes, stiffly filtered through ``M^-1``
+    (Hosea-Shampine), controlling ``h`` at order 3. Newton failures
+    halve ``h`` — the L-stable step never destabilizes, it just retries
+    shorter.
+    """
+    g = 2.0 - np.sqrt(2.0)  # gamma
+    d = g / 2.0
+    # BDF2-stage combination coefficients on nodes (t, t+g*h, t+h)
+    a_g = 1.0 / (g * (2.0 - g))
+    a_n = -((1.0 - g) ** 2) / (g * (2.0 - g))
+    # quadratic-collocation quadrature weights over [0, 1] at nodes 0, g, 1
+    w0 = 0.5 - 1.0 / (6.0 * g)
+    wg = 1.0 / (6.0 * g * (1.0 - g))
+    w1 = (1.0 / 3.0 - g / 2.0) / (1.0 - g)
+
+    x = np.asarray(x0, dtype=float)
+    nx = len(x)
+    n = len(time)
+    out = np.zeros((n, nx))
+    if n == 0:
+        return out
+    out[0] = x
+    if n == 1:
+        return out
+    t, t_end = float(time[0]), float(time[-1])
+    f = rhs(t, x)
+
+    def jac(t0, y0, f0):
+        J = np.empty((nx, nx))
+        for j in range(nx):
+            eps = np.sqrt(np.finfo(float).eps) * max(abs(y0[j]), 1.0)
+            yp = y0.copy()
+            yp[j] += eps
+            J[:, j] = (rhs(t0, yp) - f0) / eps
+        return J
+
+    def newton(M, t_s, guess, const, hd):
+        """Solve y = const + hd * f(t_s, y) with the frozen-Jacobian matrix
+        M = I - hd*J. Returns (y, f(t_s, y), converged)."""
+        y = guess.copy()
+        for _ in range(8):
+            fy = rhs(t_s, y)
+            res = y - const - hd * fy
+            dy = np.linalg.solve(M, res)
+            y = y - dy
+            scale = atol + rtol * np.abs(y)
+            if np.sqrt(np.mean((dy / scale) ** 2)) < 0.1:
+                return y, rhs(t_s, y), True
+        return y, fy, False
+
+    h = _initial_step(rhs, t, x, f, t_end - t, rtol, atol)
+    gi = 1
+    max_steps = 100 * n + 10_000
+    for _ in range(max_steps):
+        if gi >= n:
+            return out
+        h = min(h, t_end - t)
+        J = jac(t, x, f)
+        M = np.eye(nx) - d * h * J
+        # TR stage to t + g*h
+        ok2 = False
+        xg, fg, ok1 = newton(M, t + g * h, x + g * h * f, x + d * h * f, d * h)
+        if ok1:
+            # BDF2 stage to t + h
+            x1, f1, ok2 = newton(
+                M, t + h, xg, a_g * xg + a_n * x, (1.0 - g) / (2.0 - g) * h
+            )
+        if not (ok1 and ok2):
+            h *= 0.5  # Newton stalled: shorter step, fresher Jacobian
+            if h <= 1e-14 * max(abs(t), 1.0):
+                raise RuntimeError("TR-BDF2 failed: step underflow in Newton retry")
+            continue
+        t_new = t + h
+        # embedded 3rd-order comparison, stiffly filtered through M^-1
+        y3_inc = h * (w0 * f + wg * fg + w1 * f1)
+        est = np.linalg.solve(M, y3_inc - (x1 - x))
+        scale = atol + rtol * np.maximum(np.abs(x), np.abs(x1))
+        err = np.sqrt(np.mean((est / scale) ** 2))
+        if err <= 1.0:
+            while gi < n and time[gi] <= t_new + 1e-12 * max(abs(t_new), 1.0):
+                th = (time[gi] - t) / h
+                h00 = (1 + 2 * th) * (1 - th) ** 2
+                h10 = th * (1 - th) ** 2
+                h01 = th * th * (3 - 2 * th)
+                h11 = th * th * (th - 1)
+                out[gi] = h00 * x + h10 * h * f + h01 * x1 + h11 * h * f1
+                gi += 1
+            t, x, f = t_new, x1, f1
+            if t >= t_end - 1e-12 * max(abs(t_end), 1.0):
+                while gi < n:
+                    out[gi] = x
+                    gi += 1
+                return out
+            h *= min(10.0, max(0.2, 0.9 * err ** (-1.0 / 3.0))) if err > 0 else 10.0
+        else:
+            h *= max(0.2, 0.9 * err ** (-1.0 / 3.0))
+    raise RuntimeError("TR-BDF2 failed to converge: step count exceeded")
 
 
 def _expm(M: np.ndarray) -> np.ndarray:
@@ -322,6 +436,12 @@ class NonlinearStateSpaceModel:
         rhs = lambda t, x: np.asarray(self.f(x, u_at(t), t), dtype=float)  # noqa: E731
         if method == "rk4":
             states = _rk4_path(rhs, x0, time)
+        elif method in ("Radau", "BDF", "LSODA", "trbdf2"):
+            # stiff-solver names (reference routes them to scipy solve_ivp,
+            # nonlinear_models.py:30-35): L-stable implicit TR-BDF2 — an
+            # explicit fallback here would silently diverge or stall on a
+            # genuinely stiff plant
+            states = _trbdf2_path(rhs, x0, time, rtol=rtol, atol=atol)
         else:
             states = _rk45_path(rhs, x0, time, rtol=rtol, atol=atol)
         inputs = np.array([u_at(t) for t in time])
