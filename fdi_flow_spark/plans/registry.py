@@ -1026,12 +1026,68 @@ def q_kalman1d_chunked(spark, sf_dir):
     return _rounded(kalman_filter_1d_chunked(s, q=0.5, r=2.0, chunk_size=48))
 
 
-@register("series_pacf")  # rows-only: Durbin-Levinson recursion over the
-def q_series_pacf(spark, sf_dir):  # tiny per-series ACF table
+def _pacf_oracle_sql(max_lag: int = 5) -> str:
+    """Durbin-Levinson unrolled to closed form (r5 VERDICT item 9): the
+    recursion depth is the FIXED max_lag, not the data, so each level is
+    one more projection over the per-series (r1..rL) row — pure SQL, no
+    recursion. Level k derives phi_kk from the previous level's
+    coefficients and innovation variance, then updates phi_k,j."""
+    leads = ",\n                 ".join(
+        f"LEAD(value, {k}) OVER w AS l{k}" for k in range(1, max_lag + 1)
+    )
+    aggs = ",\n                 ".join(
+        f"SUM(CASE WHEN l{k} IS NOT NULL THEN (value - mu) * (l{k} - mu) END) AS n{k}"
+        for k in range(1, max_lag + 1)
+    )
+    rs = ", ".join(f"n{k} / den AS r{k}" for k in range(1, max_lag + 1))
+    ctes = ["d1 AS (SELECT *, r1 AS p1_1, 1 - r1 * r1 AS v1 FROM r)"]
+    for k in range(2, max_lag + 1):
+        num = f"r{k} - " + " - ".join(
+            f"p{k - 1}_{j} * r{k - j}" for j in range(1, k)
+        )
+        prev = "d1" if k == 2 else f"d{k - 1}b"
+        ctes.append(
+            f"d{k}a AS (SELECT *, CASE WHEN v{k - 1} = 0 THEN 0 "
+            f"ELSE ({num}) / v{k - 1} END AS p{k}_{k} FROM {prev})"
+        )
+        updates = ", ".join(
+            f"p{k - 1}_{j} - p{k}_{k} * p{k - 1}_{k - j} AS p{k}_{j}"
+            for j in range(1, k)
+        )
+        ctes.append(
+            f"d{k}b AS (SELECT *, {updates}, "
+            f"v{k - 1} * (1 - p{k}_{k} * p{k}_{k}) AS v{k} FROM d{k}a)"
+        )
+    arms = "\n    UNION ALL\n".join(
+        f"    SELECT series_id, CAST({k} AS BIGINT) AS lag,"
+        f" ROUND(p{k}_{k}, 6) AS pacf FROM d{max_lag}b"
+        for k in range(1, max_lag + 1)
+    )
+    cte_sql = ",\n    ".join(ctes)
+    return f"""
+    WITH s AS ({SERIES_SQL}),
+    m AS (SELECT series_id, ts, value,
+                 AVG(value) OVER (PARTITION BY series_id) AS mu,
+                 {leads}
+          FROM s WINDOW w AS (PARTITION BY series_id ORDER BY ts)),
+    g AS (SELECT series_id,
+                 SUM((value - mu) * (value - mu)) AS den,
+                 {aggs}
+          FROM m GROUP BY series_id),
+    r AS (SELECT series_id, {rs} FROM g),
+    {cte_sql}
+{arms}
+    """
+
+
+@register("series_pacf", _pacf_oracle_sql(5))
+def q_series_pacf(spark, sf_dir):
     """Partial autocorrelation, lags 1..5 (``operators.analytics
     .series_pacf``): Durbin-Levinson over the aggregated ACF rows — the
     corpus is touched only by the one windowed ACF pass; golden-checked
-    against an independent Yule-Walker Toeplitz solve."""
+    against an independent Yule-Walker Toeplitz solve, and (r6)
+    hash-checked against the oracle's closed-form DL unroll (fixed
+    max_lag makes the recursion a finite projection chain)."""
     from fdi_flow_spark.operators import series_pacf
 
     out = series_pacf(events_series(spark, sf_dir), max_lag=5)
@@ -4007,6 +4063,8 @@ def _acf_oracle_sql(max_lag: int = 5) -> str:
     """
 
 
+
+
 @register("series_acf", _acf_oracle_sql(5))
 def q_series_acf(spark, sf_dir):
     """Per-series autocorrelation, lags 1..5 (``operators.analytics
@@ -4520,6 +4578,10 @@ _WINDOW_EXCLUDED_ORACLES = {
     "token_pack", "lm_perplexity", "line_dedup", "embedding_kmeans",
     "semantic_dedup", "bm25_search", "embedding_quantize", "dsir_weights",
     "cusum_drift", "changepoint_scan", "seasonal_decompose", "series_acf",
+    # --- r6 new oracle, placed outside the already-rotated window
+    "series_pacf",  # Durbin-Levinson over the series_acf windowed-ACF
+                    # kernel (driver-passed r5); the closed-form DL unroll
+                    # is pytest-hash-checked every run
 }
 
 
