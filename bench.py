@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "rolling_corr",
     "value_histogram",
     "series_pacf",
+    # r6: unigram-LM tokenizer (SentencePiece family twin of bpe_tokenize)
+    "unigram_tokenize",
 ]
 
 

@@ -3711,6 +3711,24 @@ def q_bpe_tokenize(spark, sf_dir):
     return bpe_tokenize(docs, merges)
 
 
+@register("unigram_tokenize")  # rows-only: EM training is iterative, not SQL
+def q_unigram_tokenize(spark, sf_dir):
+    """Train a SentencePiece-style unigram-LM vocabulary (Kudo 2018) on the
+    corpus word histogram — distributed substring seeding, exact
+    forward-backward EM over word types, char-coverage-preserving pruning —
+    and Viterbi-tokenize every document (``pipelines.unigram``). Same
+    output contract as ``bpe_tokenize`` so the two tokenizer families are
+    interchangeable; FB marginals, tie rules, and planted-corpus learning
+    are golden-tested in tests/test_unigram.py."""
+    from fdi_flow_spark.pipelines.unigram import unigram_tokenize, unigram_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = unigram_train(
+        docs, vocab_size=120, max_piece_len=6, em_iters=1, prune_rounds=2
+    )
+    return unigram_tokenize(docs, vocab)
+
+
 @register("cosine_topk_pq")
 def q_cosine_topk_pq(spark, sf_dir):
     """ADC top-5 over PQ codes for the same query set as ``cosine_topk`` —

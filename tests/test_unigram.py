@@ -1,0 +1,109 @@
+"""Unigram-LM tokenizer (Kudo 2018 / SentencePiece unigram family):
+exact forward-backward E-step goldens, Viterbi application contract,
+planted-corpus learning, and partitioning determinism — the same
+evidence standard as the BPE twin in test_tokenizer.py."""
+
+import math
+
+import numpy as np
+import pytest
+
+from fdi_flow_spark.pipelines.unigram import (
+    _forward_backward,
+    unigram_tokenize,
+    unigram_train,
+    viterbi_segment,
+)
+
+
+def test_forward_backward_exact_marginals():
+    logp = {"a": math.log(0.25), "b": math.log(0.25), "ab": math.log(0.5)}
+    Z, c = _forward_backward("ab", logp, 2)
+    # segmentations: [ab] p=.5, [a][b] p=.0625 -> Z = .5625
+    assert Z == pytest.approx(math.log(0.5625), abs=1e-12)
+    assert c["ab"] == pytest.approx(0.5 / 0.5625, abs=1e-12)
+    assert c["a"] == pytest.approx(0.0625 / 0.5625, abs=1e-12)
+    assert c["b"] == pytest.approx(0.0625 / 0.5625, abs=1e-12)
+
+
+def test_forward_backward_marginalizes_three_segmentations():
+    logp = {"a": math.log(0.2), "aa": math.log(0.6)}
+    Z, c = _forward_backward("aaa", logp, 2)
+    # [a,a,a] .008 ; [a,aa] .12 ; [aa,a] .12 -> Z = .248
+    assert Z == pytest.approx(math.log(0.248), abs=1e-12)
+    # E[aa] = (.12 + .12)/.248 ; E[a] = (3*.008 + .12 + .12)/.248
+    assert c["aa"] == pytest.approx(0.24 / 0.248, abs=1e-12)
+    assert c["a"] == pytest.approx((3 * 0.008 + 0.24) / 0.248, abs=1e-12)
+
+
+def test_viterbi_prefers_probability_then_fewer_pieces():
+    logp = {"a": math.log(0.25), "b": math.log(0.25), "ab": math.log(0.5)}
+    assert viterbi_segment("abab", logp, 2) == ["ab", "ab"]
+    # exact tie between [ab] and [a,b]: fewer pieces wins
+    tie = {"a": math.log(0.25), "b": math.log(0.25), "ab": math.log(0.0625)}
+    assert viterbi_segment("ab", tie, 2) == ["ab"]
+    # unseen characters fall back to singleton pieces, never crash
+    assert viterbi_segment("axb", logp, 2) == ["a", "x", "b"]
+
+
+def _planted_docs(spark, n=60):
+    rows = []
+    for i in range(n):
+        text = " ".join(["abab", "ababab", "cdcd"][i % 3] for _ in range(6))
+        rows.append((i, text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_train_learns_planted_pieces_and_compresses(spark):
+    docs = _planted_docs(spark)
+    vocab = unigram_train(docs, vocab_size=12, max_piece_len=6)
+    pieces = dict(vocab)
+    # the planted bigrams dominate the corpus: the learned vocabulary must
+    # contain multi-char pieces covering them, ranked above bare chars
+    multi = [p for p, _ in vocab if len(p) > 1]
+    assert multi, vocab
+    assert any(set(p) <= {"a", "b"} for p in multi)
+    assert any(set(p) <= {"c", "d"} for p in multi)
+    out = unigram_tokenize(docs, vocab).toPandas()
+    assert (out["n_words"] == 6).all()
+    # compression: far fewer tokens than characters (4-6 chars/word)
+    assert (out["n_tokens"] < 6 * 4).all()
+    # probabilities normalize
+    assert sum(math.exp(lp) for _, lp in vocab) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_tokenize_matches_driver_viterbi(spark):
+    docs = _planted_docs(spark, n=12)
+    vocab = unigram_train(docs, vocab_size=10, max_piece_len=4)
+    logp = dict(vocab)
+    max_len = max(len(p) for p in logp)
+    import hashlib
+
+    out = {r.doc_id: r for r in unigram_tokenize(docs, vocab).collect()}
+    for doc_id, text in docs.collect():
+        words = text.lower().split()
+        pieces = []
+        for w in words:
+            pieces.extend(viterbi_segment(w, logp, max_len))
+        md5 = hashlib.md5(" ".join(pieces).encode()).hexdigest()
+        assert out[doc_id].n_tokens == len(pieces)
+        assert out[doc_id].tokens_md5 == md5
+
+
+def test_train_deterministic_across_partitioning(spark):
+    docs = _planted_docs(spark, n=30)
+    v1 = unigram_train(docs.repartition(1), vocab_size=10)
+    v2 = unigram_train(docs.repartition(7), vocab_size=10)
+    assert [p for p, _ in v1] == [p for p, _ in v2]
+    np.testing.assert_allclose(
+        [lp for _, lp in v1], [lp for _, lp in v2], rtol=1e-12
+    )
+
+
+def test_every_char_always_segmentable(spark):
+    docs = _planted_docs(spark, n=9)
+    vocab = unigram_train(docs, vocab_size=6, max_piece_len=3)
+    logp = dict(vocab)
+    # single chars survive pruning unconditionally
+    for c in "abcd":
+        assert c in logp
