@@ -775,3 +775,51 @@ def test_streaming_nb_quality_scoring_equals_batch(spark):
         spark.catalog.dropTempView("nbq_sink")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_tokenizers_equal_batch(spark):
+    """bpe_tokenize (pretrained merges) and unigram_tokenize (pretrained
+    vocab) are stateless Arrow projections over broadcast models — the
+    production shape is offline train / streaming apply, and the streamed
+    rows must equal batch bit-for-bit (the normalize_text precedent)."""
+    import shutil
+    import tempfile
+
+    from fdi_flow_spark.pipelines.tokenizer import bpe_tokenize, bpe_train
+    from fdi_flow_spark.pipelines.unigram import unigram_tokenize, unigram_train
+
+    rows = [
+        (i, " ".join(["abab", "banana", "cdcd", "abracadabra"][i % 4] for _ in range(5)))
+        for i in range(24)
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(batch, n_merges=12)
+    vocab = unigram_train(batch, vocab_size=15, max_piece_len=4, em_iters=1, prune_rounds=1)
+    d = tempfile.mkdtemp(prefix="fdi_tok_stream_")
+    try:
+        batch.where("doc_id < 12").coalesce(1).write.mode("append").parquet(d)
+        batch.where("doc_id >= 12").coalesce(1).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        for name, fn in (
+            ("bpe_sink", lambda df: bpe_tokenize(df, merges)),
+            ("uni_sink", lambda df: unigram_tokenize(df, vocab)),
+        ):
+            q = (
+                fn(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            got = sorted(tuple(r) for r in spark.table(name).collect())
+            expect = sorted(tuple(r) for r in fn(batch).collect())
+            assert got == expect and len(got) == 24, name
+            spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
