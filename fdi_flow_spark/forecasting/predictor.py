@@ -98,6 +98,7 @@ class TimeSeriesPredictor:
         self.min_value = None
         self.max_value = None
         self.history = None
+        self.normalized_test_data = None
 
     # ---- distributed data path ---------------------------------------
     def load_and_preprocess_data(
@@ -149,7 +150,48 @@ class TimeSeriesPredictor:
 
         X_train, y_train = collect_xy(train_w)
         X_test, y_test = collect_xy(test_w)
+        # cache the full normalized test series for plot_predictions
+        # (reference :160-163 caches self.normalized_test_data); bounded by
+        # the same guard — the series is shorter than its window count + T
+        lo, hi = mm
+        span = (hi - lo) or 1.0
+        tp = (
+            test.orderBy("ts")
+            .limit(max_collect_rows + self.time_steps + self.output_step)
+            .toPandas()
+        )
+        self.normalized_test_data = (
+            (tp["value"].to_numpy(dtype=float) - lo) / span
+        )
         return X_train, y_train, X_test, y_test
+
+    # ---- plots (reference :277-426; driver-side, matplotlib optional) --
+    def plot_normalized_data(self, normalized_arrays, num_train_files: int):
+        from fdi_flow_spark.forecasting.plots import plot_normalized_data
+
+        return plot_normalized_data(normalized_arrays, num_train_files)
+
+    def plot_training_history(self):
+        # reference :305-311 prints-and-returns when there is no history
+        if self.history is None:
+            print("no training history available — train the model first")
+            return None
+        from fdi_flow_spark.forecasting.plots import plot_training_history
+
+        return plot_training_history(self.history, self.metrics)
+
+    def plot_predictions(self, X_test_raw, y_test_raw, num_points_to_plot: int = 200):
+        if self.model is None:
+            print("model not trained — cannot predict")
+            return None
+        if getattr(self, "normalized_test_data", None) is None:
+            print("normalized test data unavailable — run load_and_preprocess_data")
+            return None
+        from fdi_flow_spark.forecasting.plots import plot_predictions
+
+        return plot_predictions(
+            self, X_test_raw, y_test_raw, self.normalized_test_data, num_points_to_plot
+        )
 
     # ---- model layer (TF optional; NumPy twin otherwise) --------------
     def _tf_layers(self):

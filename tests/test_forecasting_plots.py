@@ -133,3 +133,30 @@ def test_load_and_preprocess_collect_guard(spark):
         assert X_train.shape[0] > 3 and X_train.shape == X_test.shape
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_predictor_plot_methods_reference_contract(spark, capsys):
+    """The reference exposes the three plots as TimeSeriesPredictor METHODS
+    and prints-and-returns-None when prerequisites are missing
+    (time_series_model.py:305-311, :357-363); the wrapper methods keep that
+    contract while delegating to forecasting/plots.py."""
+    pred = TimeSeriesPredictor(time_steps=5)
+    assert pred.plot_training_history() is None
+    assert "train the model" in capsys.readouterr().out
+    assert pred.plot_predictions(np.zeros((1, 5, 1)), np.zeros((1, 1))) is None
+    assert "model not trained" in capsys.readouterr().out
+
+    d = tempfile.mkdtemp(prefix="fdi_fc_plotm_")
+    try:
+        path = os.path.join(d, "series.csv")
+        with open(path, "w") as f:
+            f.write("t,y\n")
+            for j in range(201 * 12):
+                f.write(f"{j},{float(j % 17)}\n")
+        pred.load_and_preprocess_data(spark, [path], path)
+        # normalized test series cached for plot_predictions (ref :160-163)
+        nt = pred.normalized_test_data
+        assert nt is not None and len(nt) == 13
+        assert nt.min() >= 0.0 and nt.max() <= 1.0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
