@@ -128,6 +128,39 @@ def _forward_backward(word: str, logp: dict[str, float], max_len: int):
     return Z, counts
 
 
+def _expected_counts_distributed(
+    wc: DataFrame, logp: dict[str, float], max_len: int
+) -> dict[str, float]:
+    """One distributed E-step: forward-backward per word TYPE inside an
+    Arrow-batched ``mapInPandas`` against the broadcast vocabulary, partial
+    piece-count dicts aggregated with one vocab-bounded shuffle. The word
+    histogram never reaches the driver — only the (|vocab|-row) count table
+    does, so training scales to corpora whose TYPE count alone exceeds
+    driver memory."""
+    spark = wc.sparkSession
+    bc = spark.sparkContext.broadcast(logp)
+
+    def fn(batches):
+        for pdf in batches:
+            counts: dict[str, float] = {}
+            lp = bc.value
+            for w, n in zip(pdf["w"], pdf["n"]):
+                _, c = _forward_backward(w, lp, max_len)
+                for piece, e in c.items():
+                    counts[piece] = counts.get(piece, 0.0) + float(n) * e
+            yield pd.DataFrame(
+                {"piece": list(counts.keys()), "c": list(counts.values())}
+            )
+
+    rows = (
+        wc.mapInPandas(fn, "piece string, c double")
+        .groupBy("piece")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    )
+    return {r["piece"]: float(r["c"]) for r in rows}
+
+
 def unigram_train(
     docs: DataFrame,
     vocab_size: int = 200,
@@ -140,6 +173,7 @@ def unigram_train(
     prune_rounds: int = 4,
     min_word_freq: int = 1,
     max_word_types: int = 5_000_000,
+    em_backend: str = "driver",
 ) -> list[tuple[str, float]]:
     """Learn a unigram-LM piece vocabulary. Returns ``[(piece, logprob)]``
     sorted by descending probability (ties lexicographic) — the table
@@ -148,20 +182,49 @@ def unigram_train(
     Schedule: seed ``seed_factor * vocab_size`` candidates (plus every
     single character, kept unconditionally), then ``prune_rounds`` rounds
     of (``em_iters`` EM sweeps -> drop the weakest non-character pieces),
-    geometrically approaching ``vocab_size``, then a final EM sweep."""
+    geometrically approaching ``vocab_size``, then a final EM sweep.
+
+    ``em_backend='driver'`` (default; the BPE precedent — collects the
+    word-type histogram, bounded by ``max_word_types``) or
+    ``'distributed'`` — each E-step is one Spark job over the histogram
+    DataFrame (``_expected_counts_distributed``); nothing type-count-sized
+    is ever collected, so the ``max_word_types`` cap does not apply. Both
+    backends run the identical exact forward-backward; results agree to
+    float-summation order."""
+    if em_backend not in ("driver", "distributed"):
+        raise ValueError(f"unknown em_backend {em_backend!r}")
     wc = _word_counts(docs, id_col, text_col, lowercase).where(
         F.col("n") >= min_word_freq
     )
-    guard = wc.limit(max_word_types + 1).count()
-    if guard > max_word_types:
-        raise ValueError(
-            f"word histogram exceeds max_word_types={max_word_types}; raise "
-            "min_word_freq to prune the long tail"
+    words: list[tuple[str, int]] = []
+    if em_backend == "driver":
+        guard = wc.limit(max_word_types + 1).count()
+        if guard > max_word_types:
+            raise ValueError(
+                f"word histogram exceeds max_word_types={max_word_types}; "
+                "raise min_word_freq to prune the long tail, or use "
+                "em_backend='distributed'"
+            )
+        words = [(r["w"], int(r["n"])) for r in wc.collect()]
+        if not words:
+            return []
+        chars = sorted({c for w, _ in words for c in w})
+    else:
+        wc = wc.localCheckpoint()  # cut re-derivation: EM re-scans per sweep
+        char_rows = (
+            wc.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, char_length(w)), i -> substring(w, i, 1))"
+                    )
+                ).alias("piece")
+            )
+            .distinct()
+            .collect()
         )
-    words = [(r["w"], int(r["n"])) for r in wc.collect()]
-    if not words:
-        return []
-    chars = sorted({c for w, _ in words for c in w})
+        chars = sorted(r["piece"] for r in char_rows)
+        if not chars:
+            return []
     seeds = _seed_pieces(wc, max_piece_len, seed_factor * vocab_size)
     vocab: dict[str, float] = {}
     total_seed = sum(s for _, s in seeds) or 1
@@ -174,11 +237,14 @@ def unigram_train(
     logp = {p: math.log(v / norm) for p, v in vocab.items()}
 
     def em_sweep(logp: dict[str, float]) -> dict[str, float]:
-        counts: dict[str, float] = {}
-        for w, n in words:
-            _, c = _forward_backward(w, logp, max_piece_len)
-            for piece, e in c.items():
-                counts[piece] = counts.get(piece, 0.0) + n * e
+        if em_backend == "distributed":
+            counts = _expected_counts_distributed(wc, logp, max_piece_len)
+        else:
+            counts = {}
+            for w, n in words:
+                _, c = _forward_backward(w, logp, max_piece_len)
+                for piece, e in c.items():
+                    counts[piece] = counts.get(piece, 0.0) + n * e
         # characters survive at an epsilon count even when unused
         eps = 1e-6
         alive = {p: counts.get(p, 0.0) for p in logp}

@@ -107,3 +107,24 @@ def test_every_char_always_segmentable(spark):
     # single chars survive pruning unconditionally
     for c in "abcd":
         assert c in logp
+
+
+def test_distributed_em_matches_driver_backend(spark):
+    """The distributed E-step (mapInPandas over the histogram + one
+    vocab-bounded shuffle) must learn the SAME vocabulary as the driver
+    backend — identical pieces and ranking, log-probs equal to float
+    summation order."""
+    docs = _planted_docs(spark, n=30)
+    v_drv = unigram_train(docs, vocab_size=12, max_piece_len=4)
+    v_dst = unigram_train(
+        docs, vocab_size=12, max_piece_len=4, em_backend="distributed"
+    )
+    assert [p for p, _ in v_drv] == [p for p, _ in v_dst]
+    np.testing.assert_allclose(
+        [lp for _, lp in v_drv], [lp for _, lp in v_dst], rtol=1e-9
+    )
+
+
+def test_em_backend_validation():
+    with pytest.raises(ValueError, match="em_backend"):
+        unigram_train(None, em_backend="nope")
