@@ -238,6 +238,43 @@ def main() -> None:
         ),
     )
 
+    # 8. r6: both tokenizer families (offline train / anywhere apply),
+    # stiff nonlinear simulation, and bounded pair correlations.
+    from fdi_flow_spark.models import NonlinearStateSpaceModel
+    from fdi_flow_spark.operators import rolling_corr_pairs
+    from fdi_flow_spark.pipelines import (
+        bpe_tokenize,
+        bpe_train,
+        unigram_tokenize,
+        unigram_train,
+    )
+
+    merges = bpe_train(docs, n_merges=30)
+    vocab = unigram_train(docs, vocab_size=80, em_iters=1, prune_rounds=2)
+    bpe_out = bpe_tokenize(docs, merges)
+    uni_out = unigram_tokenize(docs, vocab)
+    mean_tok = lambda df: df.agg(F.avg("n_tokens")).first()[0]  # noqa: E731
+
+    # stiff van der Pol through the reference's Radau name -> L-stable TR-BDF2
+    mu = 1000.0
+    vdp = NonlinearStateSpaceModel(
+        lambda x, u, t: np.array([x[1], mu * (1 - x[0] ** 2) * x[1] - x[0]]),
+        lambda x, u, t: np.array([x[0]]),
+    )
+    stiff = vdp.simulate(np.zeros((100, 1)), [2.0, 0.0], 1.0, 0.01, method="Radau")
+
+    # pair correlations bounded by the plant topology: (group, ts) join key
+    grouped = series.withColumn(
+        "plant", F.when(F.col("series_id") < "m", "p1").otherwise("p2")
+    )
+    rc = rolling_corr_pairs(grouped, window=20, group_col="plant")
+    print(
+        "BPE mean tokens/doc:", round(mean_tok(bpe_out), 1),
+        "| unigram mean tokens/doc:", round(mean_tok(uni_out), 1),
+        "| stiff vdP final x1:", round(float(stiff["states"][-1, 0]), 4),
+        "| grouped rolling-corr rows:", rc.count(),
+    )
+
     spark.stop()
 
 
