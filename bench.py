@@ -157,7 +157,9 @@ BENCH_QUERIES = [
     "value_histogram",
     "series_pacf",
     # r6: unigram-LM tokenizer (SentencePiece family twin of bpe_tokenize)
+    # + interpolated Kneser-Ney perplexity (the CCNet-smoothing upgrade)
     "unigram_tokenize",
+    "kn_perplexity",
 ]
 
 

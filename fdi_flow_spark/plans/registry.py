@@ -2943,6 +2943,52 @@ def q_lm_perplexity(spark, sf_dir):
 
 
 @register(
+    "kn_perplexity",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_PREPEND('<s>', LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'),
+                                             t -> LENGTH(t) > 0)) AS tk
+      FROM documents),
+    big AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 1),
+                                   i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS bg
+      FROM toks WHERE LEN(tk) >= 2),
+    bge AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM big),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bge GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                  CAST(COUNT(*) AS BIGINT) AS n1f FROM c12 GROUP BY w1),
+    n1b AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM c12 GROUP BY w2),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS npairs,
+                 COUNT(DISTINCT w2) AS v FROM c12),
+    scored AS (
+      SELECT b.doc_id,
+             LN(GREATEST(c.c12 - 0.75, 0.0) / c1.c1
+                + 0.75 * c1.n1f / c1.c1
+                  * ((n1b.n1b + 1.0) / (k.npairs + k.v + 1.0))) AS logp
+      FROM bge b JOIN c12 c USING (w1, w2) JOIN c1 USING (w1)
+           JOIN n1b USING (w2) CROSS JOIN k)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(logp) / COUNT(*), 6) AS avg_logp,
+           ROUND(EXP(-(SUM(logp) / COUNT(*))), 4) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_kn_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity (``pipelines.lm
+    .kn_perplexity``, D=0.75) — the smoothing CCNet's KenLM filters use:
+    absolute discounting toward the CONTINUATION unigram. Self-scored, so
+    every bigram/context is seen and the oracle inner-joins the same four
+    count tables the operator derives from ONE pair-count scan; the
+    unseen-context/word backoff arms are exercised with held-out docs in
+    tests/test_text.py."""
+    from fdi_flow_spark.pipelines.lm import kn_perplexity
+
+    return kn_perplexity(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "line_dedup",
     f"""
     WITH d2 AS (
@@ -4596,10 +4642,14 @@ _WINDOW_EXCLUDED_ORACLES = {
     "token_pack", "lm_perplexity", "line_dedup", "embedding_kmeans",
     "semantic_dedup", "bm25_search", "embedding_quantize", "dsir_weights",
     "cusum_drift", "changepoint_scan", "seasonal_decompose", "series_acf",
-    # --- r6 new oracle, placed outside the already-rotated window
+    # --- r6 new oracles, placed outside the already-rotated window
     "series_pacf",  # Durbin-Levinson over the series_acf windowed-ACF
                     # kernel (driver-passed r5); the closed-form DL unroll
                     # is pytest-hash-checked every run
+    "kn_perplexity",  # same one-pair-scan + count-table-join kernel family
+                      # as lm_perplexity (driver-passed r5); the KN
+                      # smoothing arithmetic is pytest-hash-checked every
+                      # run + backoff-arm unit tests
 }
 
 

@@ -126,6 +126,73 @@ def test_lm_perplexity_empty_docs_absent_and_external_model(spark):
     assert abs(scored[0]["avg_logp"] - round(want, 6)) < 1e-9
 
 
+def test_kn_perplexity_hand_computed(spark):
+    """Interpolated KN bigram against a fully hand-derived model: discount
+    mass, continuation unigram with the +1 OOV floor, both seen arms."""
+    import math
+
+    from fdi_flow_spark.pipelines.lm import kn_perplexity
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in kn_perplexity(df, discount=0.75).collect()}
+    # pair counts: (<s>,a)=3, (a,b)=2, (a,c)=1
+    # c(<s>)=3 n1f(<s>)=1 ; c(a)=3 n1f(a)=2 ; npairs=3 ; V={a,b,c}=3
+    # Pcont: n1b(a)=1, n1b(b)=1, n1b(c)=1 -> each (1+1)/(3+3+1)=2/7
+    pc = 2.0 / 7.0
+    p_sa = (3 - 0.75) / 3 + 0.75 * 1 / 3 * pc
+    p_ab = (2 - 0.75) / 3 + 0.75 * 2 / 3 * pc
+    p_ac = (1 - 0.75) / 3 + 0.75 * 2 / 3 * pc
+    avg0 = (math.log(p_sa) + math.log(p_ab)) / 2
+    avg2 = (math.log(p_sa) + math.log(p_ac)) / 2
+    assert out[0]["n_bigrams"] == 2
+    assert abs(out[0]["avg_logp"] - round(avg0, 6)) < 1e-9
+    assert abs(out[2]["avg_logp"] - round(avg2, 6)) < 1e-9
+    assert abs(out[2]["ppl"] - round(math.exp(-avg2), 4)) < 1e-9
+    assert out[0]["ppl"] < out[2]["ppl"]
+
+
+def test_kn_perplexity_backoff_arms_external_model(spark):
+    """Unseen context -> pure continuation probability; unseen word ->
+    the +1 OOV floor of the continuation distribution. Both arms exact."""
+    import math
+
+    from fdi_flow_spark.pipelines.lm import kn_perplexity
+
+    model = spark.createDataFrame(
+        [(10, "p q"), (11, "p q")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame([(0, "p q"), (1, "x y")], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in kn_perplexity(docs, model_docs=model, discount=0.5).collect()
+    }
+    # model pairs: (<s>,p)=2, (p,q)=2 -> npairs=2, V={p,q}=2
+    # Pcont(p) = (1+1)/(2+2+1) = 2/5 ; Pcont(q) = 2/5 ; Pcont(unseen) = 1/5
+    # doc 0: both bigrams seen, contexts c=2, n1f=1
+    p_sp = (2 - 0.5) / 2 + 0.5 * 1 / 2 * (2 / 5)
+    p_pq = (2 - 0.5) / 2 + 0.5 * 1 / 2 * (2 / 5)
+    want0 = (math.log(p_sp) + math.log(p_pq)) / 2
+    # doc 1: (<s>,x): seen context <s>, unseen word x ->
+    #        max(0-.5,0)/2 + .5*1/2 * 1/5 = 1/20
+    # (x,y): unseen context -> Pcont(y) = 1/5
+    want1 = (math.log(0.5 * 0.5 * 0.2) + math.log(0.2)) / 2
+    assert abs(out[0]["avg_logp"] - round(want0, 6)) < 1e-9
+    assert abs(out[1]["avg_logp"] - round(want1, 6)) < 1e-9
+    # KN orders in-distribution text above OOV text
+    assert out[0]["ppl"] < out[1]["ppl"]
+
+
+def test_kn_discount_validation(spark):
+    import pytest as _pt
+
+    from fdi_flow_spark.pipelines.lm import kn_perplexity
+
+    with _pt.raises(ValueError, match="discount"):
+        kn_perplexity(None, discount=1.5)
+
+
 # --------------------------------------------------- quantization/BM25 (r5)
 
 
