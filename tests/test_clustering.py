@@ -263,3 +263,59 @@ def test_bm25_requires_terms(spark):
 
     with _pytest.raises(ValueError, match="non-empty"):
         bm25_rank(docs, [])
+
+
+def test_kn_conditional_distribution_sums_to_one(spark):
+    """KN invariant: for every seen context v, P(.|v) sums EXACTLY to 1
+    over the seen vocabulary plus one OOV outcome — the discount mass
+    D*N1+(v,.)/c(v) is exactly what the continuation distribution
+    redistributes ((npairs+V)/(npairs+V+1) seen + 1/(npairs+V+1) OOV)."""
+    import math
+
+    rows = [(i, t) for i, t in enumerate(["a b a c", "b a b", "c c a", "a b c a"])]
+    # rebuild the count tables exactly as kn_perplexity derives them
+    D = 0.75
+    bigrams = []
+    for _, t in rows:
+        toks = ["<s>"] + t.split()
+        bigrams += list(zip(toks, toks[1:]))
+    from collections import Counter
+
+    c12 = Counter(bigrams)
+    c1, n1f, n1b = Counter(), Counter(), Counter()
+    for (v, w), c in c12.items():
+        c1[v] += c
+        n1f[v] += 1
+        n1b[w] += 1
+    npairs = len(c12)
+    V = len({w for _, w in c12})
+
+    def pcont(w):
+        return (n1b.get(w, 0) + 1) / (npairs + V + 1)
+
+    vocab = sorted({w for _, w in c12})
+    for v in c1:
+        total = sum(
+            max(c12.get((v, w), 0) - D, 0.0) / c1[v]
+            + D * n1f[v] / c1[v] * pcont(w)
+            for w in vocab
+        )
+        total += D * n1f[v] / c1[v] * pcont("<OOV>")  # one unseen outcome
+        assert abs(total - 1.0) < 1e-12, (v, total)
+
+    # and the Spark operator reproduces the same per-bigram log-probs
+    from fdi_flow_spark.pipelines.lm import kn_perplexity
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in kn_perplexity(df, discount=D).collect()}
+
+    def doc_avg(t):
+        toks = ["<s>"] + t.split()
+        lps = []
+        for v, w in zip(toks, toks[1:]):
+            p = max(c12.get((v, w), 0) - D, 0.0) / c1[v] + D * n1f[v] / c1[v] * pcont(w)
+            lps.append(math.log(p))
+        return sum(lps) / len(lps)
+
+    for i, t in rows:
+        assert abs(out[i]["avg_logp"] - round(doc_avg(t), 6)) < 1e-9

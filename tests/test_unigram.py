@@ -128,3 +128,27 @@ def test_distributed_em_matches_driver_backend(spark):
 def test_em_backend_validation():
     with pytest.raises(ValueError, match="em_backend"):
         unigram_train(None, em_backend="nope")
+
+
+def test_viterbi_pieces_reassemble_to_word_property():
+    """Round-trip property over randomized words and vocabularies: the
+    Viterbi pieces always concatenate back to the word, in and out of
+    vocabulary (hypothesis-driven)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        word=st.text(alphabet="abcxyz", min_size=1, max_size=12),
+        extra=st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=4), max_size=8
+        ),
+    )
+    def check(word, extra):
+        logp = {c: math.log(0.1) for c in "abc"}
+        for i, p in enumerate(extra):
+            logp[p] = math.log(0.05 / (i + 1))
+        pieces = viterbi_segment(word, logp, max_len=4)
+        assert "".join(pieces) == word
+
+    check()
