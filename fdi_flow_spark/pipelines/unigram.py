@@ -280,11 +280,35 @@ def unigram_train(
     return out
 
 
-def viterbi_segment(word: str, logp: dict[str, float], max_len: int) -> list[str]:
+def _greedy_segment(word: str, logp: dict[str, float], max_len: int) -> list[str]:
+    """Longest-match fallback: deterministic, O(n * max_len) time and O(n)
+    memory. Used for out-of-vocabulary characters and for degenerate
+    mega-'words' where exact Viterbi's piece-sequence bookkeeping would be
+    quadratic (the SentencePiece/HF convention is to cap word length)."""
+    out, i, n = [], 0, len(word)
+    while i < n:
+        got = None
+        for L in range(min(max_len, n - i), 0, -1):
+            if word[i : i + L] in logp:
+                got = word[i : i + L]
+                break
+        out.append(got or word[i])
+        i += len(got) if got else 1
+    return out
+
+
+def viterbi_segment(
+    word: str, logp: dict[str, float], max_len: int, max_word_chars: int = 512
+) -> list[str]:
     """Best segmentation under the unigram LM; ties prefer FEWER pieces,
     then the lexicographically smallest piece sequence (deterministic
-    across any float-identical vocab)."""
+    across any float-identical vocab). Words longer than
+    ``max_word_chars`` (whitespace-splitting pathologies, not language)
+    take the greedy longest-match path instead — exact Viterbi's
+    tie-break bookkeeping is O(n^2) memory in the word length."""
     n = len(word)
+    if n > max_word_chars:
+        return _greedy_segment(word, logp, max_len)
     # best[i] = (score, n_pieces, pieces) for word[:i], or None if unreachable
     best: list[tuple[float, int, tuple] | None] = [None] * (n + 1)
     best[0] = (0.0, 0, ())
@@ -305,16 +329,7 @@ def viterbi_segment(word: str, logp: dict[str, float], max_len: int) -> list[str
                 cand = (sc, np_, pieces)
         best[i] = cand
     if best[n] is None:  # unseen character: emit it as its own piece
-        out, i = [], 0
-        while i < n:
-            got = None
-            for L in range(min(max_len, n - i), 0, -1):
-                if word[i : i + L] in logp:
-                    got = word[i : i + L]
-                    break
-            out.append(got or word[i])
-            i += len(got) if got else 1
-        return out
+        return _greedy_segment(word, logp, max_len)
     return list(best[n][2])  # type: ignore[index]
 
 

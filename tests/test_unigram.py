@@ -152,3 +152,13 @@ def test_viterbi_pieces_reassemble_to_word_property():
         assert "".join(pieces) == word
 
     check()
+
+
+def test_mega_word_takes_greedy_path_and_reassembles():
+    """Words past max_word_chars use greedy longest-match (bounded memory);
+    the reassembly contract still holds."""
+    logp = {"a": math.log(0.2), "ab": math.log(0.3), "b": math.log(0.2)}
+    word = "ab" * 5000
+    pieces = viterbi_segment(word, logp, max_len=2)
+    assert "".join(pieces) == word
+    assert pieces[0] == "ab" and len(pieces) == 5000  # greedy prefers 'ab'
