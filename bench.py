@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     # + interpolated Kneser-Ney perplexity (the CCNet-smoothing upgrade)
     "unigram_tokenize",
     "kn_perplexity",
+    "kn3_perplexity",
 ]
 
 

@@ -171,3 +171,124 @@ def kn_perplexity(
         F.round(avg_logp, 6).alias("avg_logp"),
         F.round(F.exp(-avg_logp), 4).alias("ppl"),
     )
+
+
+def kn3_perplexity(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Order-3 interpolated Kneser-Ney perplexity — the full backoff chain
+    a real CCNet/KenLM filter runs (theirs is order 5; the chain shape is
+    identical at every order):
+
+    - trigram level uses RAW counts: ``P3(w|u,v) = max(c(uvw)-D,0)/c(uv)
+      + D*N1+(uv,.)/c(uv) * P2(w|v)``; an unseen ``(u,v)`` context backs
+      off to ``P2`` entirely.
+    - bigram level uses CONTINUATION counts (in how many left-contexts
+      does ``(v,w)`` appear): ``P2(w|v) = max(N1+(.vw)-D,0)/N1+(.v.)
+      + D*N1f2(v)/N1+(.v.) * P1(w)``; unseen ``v`` backs off to ``P1``.
+    - unigram level is the continuation unigram over distinct ``(v,w)``
+      types with the same +1 OOV floor as :func:`kn_perplexity`.
+
+    Tokens are prefixed with TWO BOS markers so every real token is
+    predicted from a full-width context (n_trigrams == n_tokens). ONE
+    scan of the model's trigram stream builds ``c123``; every other
+    table (context totals, distinct-successor counts, both continuation
+    levels) derives from ``c123`` — never a second corpus scan. Output:
+    ``(doc_id, n_trigrams, avg_logp, ppl)``, zero-token docs absent.
+    """
+    if not (0.0 < discount < 1.0):
+        raise ValueError("discount must be in (0, 1)")
+
+    def trigrams(d: DataFrame) -> DataFrame:
+        d = ensure_min_parallelism(d, id_col)
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+        )
+        trips = F.expr(
+            """
+            transform(sequence(1, size(_t) - 2),
+                      i -> struct(element_at(_t, i) AS w1,
+                                  element_at(_t, i + 1) AS w2,
+                                  element_at(_t, i + 2) AS w3))
+            """
+        )
+        return (
+            d.select(
+                F.col(id_col).alias("id"),
+                F.concat(F.array(F.lit(BOS), F.lit(BOS)), toks).alias("_t"),
+            )
+            .where(F.size("_t") >= 3)  # at least one real token
+            .select("id", F.explode(trips).alias("_g"))
+            .select(
+                "id",
+                F.col("_g.w1").alias("w1"),
+                F.col("_g.w2").alias("w2"),
+                F.col("_g.w3").alias("w3"),
+            )
+        )
+
+    tri = trigrams(docs)
+    model_tri = tri if model_docs is None else trigrams(model_docs)
+
+    c123 = model_tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("_c123"))
+    # trigram context stats (rows of c123 are distinct (u,v,w) types)
+    c12 = c123.groupBy("w1", "w2").agg(
+        F.sum("_c123").alias("_c12"), F.count("*").alias("_n1f3")
+    )
+    # bigram continuation level: N1+(. v w) and its context aggregates
+    cont2 = c123.groupBy("w2", "w3").agg(F.count("*").alias("_k2"))
+    c2ctx = cont2.groupBy("w2").agg(
+        F.sum("_k2").alias("_k2ctx"), F.count("*").alias("_n1f2")
+    )
+    # unigram continuation level over distinct (v, w) types
+    cont1 = cont2.groupBy("w3").agg(F.count("*").alias("_k1"))
+    consts = cont2.agg(
+        F.count("*").alias("_npairs"), F.countDistinct("w3").alias("_v")
+    )
+    if broadcast_model:
+        c123, c12, cont2, c2ctx, cont1 = (
+            F.broadcast(c123),
+            F.broadcast(c12),
+            F.broadcast(cont2),
+            F.broadcast(c2ctx),
+            F.broadcast(cont1),
+        )
+
+    D = F.lit(float(discount))
+    p1 = (F.coalesce(F.col("_k1"), F.lit(0)) + F.lit(1)) / (
+        F.col("_npairs") + F.col("_v") + F.lit(1)
+    )
+    p2_seen = (
+        F.greatest(F.coalesce(F.col("_k2"), F.lit(0)) - D, F.lit(0.0))
+        / F.col("_k2ctx")
+        + D * F.col("_n1f2") / F.col("_k2ctx") * p1
+    )
+    p2 = F.when(F.col("_k2ctx").isNotNull(), p2_seen).otherwise(p1)
+    p3_seen = (
+        F.greatest(F.coalesce(F.col("_c123"), F.lit(0)) - D, F.lit(0.0))
+        / F.col("_c12")
+        + D * F.col("_n1f3") / F.col("_c12") * p2
+    )
+    logp = F.log(F.when(F.col("_c12").isNotNull(), p3_seen).otherwise(p2))
+
+    scored = (
+        tri.join(c123, ["w1", "w2", "w3"], "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(cont2, ["w2", "w3"], "left")
+        .join(c2ctx, ["w2"], "left")
+        .join(cont1, ["w3"], "left")
+        .crossJoin(F.broadcast(consts))
+        .select("id", logp.alias("_logp"))
+    )
+    n = F.count("*")
+    avg_logp = F.sum("_logp") / n
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        n.cast("bigint").alias("n_trigrams"),
+        F.round(avg_logp, 6).alias("avg_logp"),
+        F.round(F.exp(-avg_logp), 4).alias("ppl"),
+    )

@@ -2982,10 +2982,64 @@ def q_kn_perplexity(spark, sf_dir):
     every bigram/context is seen and the oracle inner-joins the same four
     count tables the operator derives from ONE pair-count scan; the
     unseen-context/word backoff arms are exercised with held-out docs in
-    tests/test_text.py."""
+    tests/test_clustering.py."""
     from fdi_flow_spark.pipelines.lm import kn_perplexity
 
     return kn_perplexity(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "kn3_perplexity",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_PREPEND('<s>', LIST_PREPEND('<s>',
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'),
+                           t -> LENGTH(t) > 0))) AS tk
+      FROM documents),
+    tri AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
+                    i -> {'w1': tk[i], 'w2': tk[i + 1], 'w3': tk[i + 2]})) AS tg
+      FROM toks WHERE LEN(tk) >= 3),
+    tge AS MATERIALIZED (SELECT doc_id, tg.w1 AS w1, tg.w2 AS w2, tg.w3 AS w3 FROM tri),
+    c123 AS MATERIALIZED (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123
+             FROM tge GROUP BY w1, w2, w3),
+    c12 AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12,
+                   CAST(COUNT(*) AS BIGINT) AS n1f3 FROM c123 GROUP BY w1, w2),
+    cont2 AS MATERIALIZED (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS k2
+              FROM c123 GROUP BY w2, w3),
+    c2ctx AS (SELECT w2, CAST(SUM(k2) AS BIGINT) AS k2ctx,
+                     CAST(COUNT(*) AS BIGINT) AS n1f2 FROM cont2 GROUP BY w2),
+    cont1 AS (SELECT w3, CAST(COUNT(*) AS BIGINT) AS k1 FROM cont2 GROUP BY w3),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS npairs,
+                 COUNT(DISTINCT w3) AS v FROM cont2),
+    scored AS (
+      SELECT t.doc_id,
+             LN(GREATEST(c.c123 - 0.75, 0.0) / c12.c12
+                + 0.75 * c12.n1f3 / c12.c12
+                  * (GREATEST(b.k2 - 0.75, 0.0) / c2.k2ctx
+                     + 0.75 * c2.n1f2 / c2.k2ctx
+                       * ((u.k1 + 1.0) / (k.npairs + k.v + 1.0)))) AS logp
+      FROM tge t JOIN c123 c USING (w1, w2, w3) JOIN c12 USING (w1, w2)
+           JOIN cont2 b USING (w2, w3) JOIN c2ctx c2 USING (w2)
+           JOIN cont1 u USING (w3) CROSS JOIN k)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           ROUND(SUM(logp) / COUNT(*), 6) AS avg_logp,
+           ROUND(EXP(-(SUM(logp) / COUNT(*))), 4) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_kn3_perplexity(spark, sf_dir):
+    """Order-3 interpolated Kneser-Ney perplexity (``pipelines.lm
+    .kn3_perplexity``, D=0.75) — the full raw-counts -> continuation-bigram
+    -> continuation-unigram backoff chain a real KenLM filter runs.
+    Self-scored (all contexts seen -> oracle inner-joins the six count
+    tables, all derived from ONE trigram-count scan); every backoff layer
+    is exercised with held-out docs in tests/test_clustering.py."""
+    from fdi_flow_spark.pipelines.lm import kn3_perplexity
+
+    return kn3_perplexity(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -4650,6 +4704,9 @@ _WINDOW_EXCLUDED_ORACLES = {
                       # as lm_perplexity (driver-passed r5); the KN
                       # smoothing arithmetic is pytest-hash-checked every
                       # run + backoff-arm unit tests
+    "kn3_perplexity",  # order-3 extension of the same kernel family; the
+                       # three-layer backoff chain is pytest-hash-checked
+                       # every run + per-layer unit tests
 }
 
 

@@ -56,6 +56,7 @@ QUERIES = [
     "embedding_kmeans", "semantic_dedup", "cosine_topk",
     "embedding_quantize", "pq_encode",
     "rolling_corr", "cross_corr",
+    "unigram_tokenize", "kn_perplexity",
 ]
 
 
@@ -164,7 +165,15 @@ def main() -> None:
         "n_runs": {"x1": n1, "x10": n10},
         "queries": results,
     }
-    with open(os.path.join(_REPO, "SCALING.json"), "w") as f:
+    sidecar = os.path.join(_REPO, "SCALING.json")
+    try:  # carry the human analysis notes across re-runs
+        with open(sidecar) as f:
+            prev = json.load(f)
+        if "notes" in prev:
+            out["notes"] = prev["notes"]
+    except (OSError, ValueError):
+        pass
+    with open(sidecar, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"scaling_written": len(results)}))
 

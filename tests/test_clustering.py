@@ -319,3 +319,60 @@ def test_kn_conditional_distribution_sums_to_one(spark):
 
     for i, t in rows:
         assert abs(out[i]["avg_logp"] - round(doc_avg(t), 6)) < 1e-9
+
+
+def test_kn3_perplexity_hand_computed(spark):
+    """Order-3 KN against a fully hand-derived model: raw counts at the
+    trigram level, continuation counts at the bigram level, continuation
+    unigram with +1 OOV floor at the bottom."""
+    import math
+
+    from fdi_flow_spark.pipelines.lm import kn3_perplexity
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in kn3_perplexity(df, discount=0.75).collect()}
+    # c123: (s,s,a)=2 (s,a,b)=2 (a,b,c)=1 (a,b,d)=1
+    # c12: (s,s) 2/1 ; (s,a) 2/1 ; (a,b) 2/2   (total/n1f3)
+    # cont2: (s,a)=1 (a,b)=1 (b,c)=1 (b,d)=1
+    # c2ctx: s 1/1 ; a 1/1 ; b 2/2             (k2ctx/n1f2)
+    # cont1: a=b=c=d=1 ; npairs=4 ; V=4 -> P1 = 2/9 each
+    p1 = 2.0 / 9.0
+    p2_sa = (1 - 0.75) / 1 + 0.75 * 1 / 1 * p1      # P2(a|s)
+    p2_ab = (1 - 0.75) / 1 + 0.75 * 1 / 1 * p1      # P2(b|a)
+    p2_bc = (1 - 0.75) / 2 + 0.75 * 2 / 2 * p1      # P2(c|b)
+    p3_ssa = (2 - 0.75) / 2 + 0.75 * 1 / 2 * p2_sa
+    p3_sab = (2 - 0.75) / 2 + 0.75 * 1 / 2 * p2_ab
+    p3_abc = (1 - 0.75) / 2 + 0.75 * 2 / 2 * p2_bc
+    want0 = (math.log(p3_ssa) + math.log(p3_sab) + math.log(p3_abc)) / 3
+    assert out[0]["n_trigrams"] == 3
+    assert abs(out[0]["avg_logp"] - round(want0, 6)) < 1e-9
+    assert out[0]["avg_logp"] == out[1]["avg_logp"]  # symmetric corpus
+
+
+def test_kn3_backoff_chain_all_three_layers(spark):
+    """Scoring 'x b c' under the (a b c / a b d) model exercises every
+    backoff layer: seen-context+unseen-word (trigram), unseen bigram
+    context -> P1, unseen trigram context -> seen P2."""
+    import math
+
+    from fdi_flow_spark.pipelines.lm import kn3_perplexity
+
+    model = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b d")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame([(9, "x b c")], "doc_id long, text string")
+    out = kn3_perplexity(docs, model_docs=model, discount=0.75).collect()[0]
+    p1 = 2.0 / 9.0
+    p1_oov = 1.0 / 9.0
+    # (s,s,x): (s,s) seen, x unseen at every level
+    p2_sx = 0.0 + 0.75 * 1 / 1 * p1_oov
+    p3_ssx = 0.0 + 0.75 * 1 / 2 * p2_sx
+    # (s,x,b): trigram context (s,x) unseen -> P2(b|x); x unseen ctx -> P1(b)
+    p3_sxb = p1
+    # (x,b,c): trigram context (x,b) unseen -> P2(c|b) (seen)
+    p2_bc = (1 - 0.75) / 2 + 0.75 * 2 / 2 * p1
+    want = (math.log(p3_ssx) + math.log(p3_sxb) + math.log(p2_bc)) / 3
+    assert out["n_trigrams"] == 3
+    assert abs(out["avg_logp"] - round(want, 6)) < 1e-9
