@@ -74,8 +74,14 @@ def lm_perplexity(
     big = _bigrams(docs, id_col, text_col)
     model_big = big if model_docs is None else _bigrams(model_docs, id_col, text_col)
 
-    # one scan of the model's bigram stream; everything else derives from it
+    # one scan of the model's bigram stream; everything else derives from it.
+    # Materialize the pair-count table ONCE (vocab-type-bounded, << corpus):
+    # its three consumers (c1, vocab, the scoring join) plan canonically
+    # different subtrees, so without the cut each re-runs the corpus scan +
+    # explode (measured 4 parquet scans of documents in the executed plan).
     c12 = model_big.groupBy("w1", "w2").agg(F.count("*").alias("_c12"))
+    if not c12.isStreaming:  # checkpoint is illegal on a streaming plan
+        c12 = c12.localCheckpoint(eager=False)
     c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
     vocab = c12.agg(F.countDistinct("w2").alias("_v"))
     if broadcast_model:
@@ -136,6 +142,8 @@ def kn_perplexity(
     model_big = big if model_docs is None else _bigrams(model_docs, id_col, text_col)
 
     c12 = model_big.groupBy("w1", "w2").agg(F.count("*").alias("_c12"))
+    if not c12.isStreaming:  # one corpus scan; see lm_perplexity
+        c12 = c12.localCheckpoint(eager=False)
     # all derived from the pair table (rows are distinct (v, w) pairs):
     c1 = c12.groupBy("w1").agg(
         F.sum("_c12").alias("_c1"), F.count("*").alias("_n1f")
@@ -235,13 +243,22 @@ def kn3_perplexity(
     tri = trigrams(docs)
     model_tri = tri if model_docs is None else trigrams(model_docs)
 
+    # Materialize the trigram-count table ONCE (type-bounded, << corpus):
+    # its five consumers plan canonically different subtrees, so without
+    # the cut the executed plan held SEVEN parquet scans of the corpus —
+    # the same re-derivation blowup the DuckDB oracle hits without
+    # MATERIALIZED CTEs, and the ngram_jaccard shingle precedent.
     c123 = model_tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("_c123"))
+    if not c123.isStreaming:
+        c123 = c123.localCheckpoint(eager=False)
     # trigram context stats (rows of c123 are distinct (u,v,w) types)
     c12 = c123.groupBy("w1", "w2").agg(
         F.sum("_c123").alias("_c12"), F.count("*").alias("_n1f3")
     )
     # bigram continuation level: N1+(. v w) and its context aggregates
     cont2 = c123.groupBy("w2", "w3").agg(F.count("*").alias("_k2"))
+    if not cont2.isStreaming:  # three consumers of the continuation-pair table
+        cont2 = cont2.localCheckpoint(eager=False)
     c2ctx = cont2.groupBy("w2").agg(
         F.sum("_k2").alias("_k2ctx"), F.count("*").alias("_n1f2")
     )
