@@ -33,12 +33,18 @@ def _dot(a, b):
 
 
 def _blocked_partial_topk(candidates: DataFrame, q_ids, q_mat, k: int, metric: str,
-                          id_col: str, vec_col: str) -> DataFrame:
+                          id_col: str, vec_col: str, carry_cols=None) -> DataFrame:
     """mapInPandas blocked scorer: each Arrow batch of candidates is scored
     against the broadcast query matrix with one BLAS matmul, and only the
     per-batch top-k per query survives. The shuffle that follows carries
     O(batches * |Q| * k) rows instead of O(|Q| * |C|) — this is the shape
-    that scales to 10^9 candidates."""
+    that scales to 10^9 candidates.
+
+    ``carry_cols``: names of extra candidate columns to thread through the
+    scorer output unchanged (e.g. a train label). Carrying them here keeps
+    downstream consumers from re-joining against the full candidate corpus
+    — the surviving rows are O(batches * |Q| * k), so the carried payload
+    stays small no matter how large the corpus is."""
     import pandas as pd
     from pyspark.sql.types import (
         DoubleType,
@@ -47,6 +53,7 @@ def _blocked_partial_topk(candidates: DataFrame, q_ids, q_mat, k: int, metric: s
         StructType,
     )
 
+    carry_cols = list(carry_cols or [])
     spark = candidates.sparkSession
     bq = spark.sparkContext.broadcast((q_ids, q_mat))
     out_schema = StructType(
@@ -55,6 +62,7 @@ def _blocked_partial_topk(candidates: DataFrame, q_ids, q_mat, k: int, metric: s
             StructField("neighbor_id", LongType()),
             StructField("_score", DoubleType()),
         ]
+        + [StructField(c, candidates.schema[c].dataType) for c in carry_cols]
     )
 
     def fn(batches):
@@ -81,8 +89,10 @@ def _blocked_partial_topk(candidates: DataFrame, q_ids, q_mat, k: int, metric: s
                 S = d2
                 order_scores = S
             nc = len(nid)
+            carried = {c: pdf[c].to_numpy() for c in carry_cols}
             kk = min(k + 1, nc)  # +1 so a self-pair can be dropped later
             rows = {"query_id": [], "neighbor_id": [], "_score": []}
+            rows.update({c: [] for c in carry_cols})
             for j, qid in enumerate(q_ids_l):
                 scores = order_scores[:, j]
                 # Boundary-tie-safe top-kk: argpartition alone resolves ties
@@ -99,10 +109,14 @@ def _blocked_partial_topk(candidates: DataFrame, q_ids, q_mat, k: int, metric: s
                 rows["query_id"].extend([qid] * len(idx))
                 rows["neighbor_id"].extend(nid[idx])
                 rows["_score"].extend(S[idx, j])
+                for c in carry_cols:
+                    rows[c].extend(carried[c][idx])
             yield pd.DataFrame(rows)
 
     c = candidates.select(
-        F.col(id_col).alias("_nid"), _as_double(F.col(vec_col)).alias("_v")
+        F.col(id_col).alias("_nid"),
+        _as_double(F.col(vec_col)).alias("_v"),
+        *[F.col(c) for c in carry_cols],
     )
     return c.mapInPandas(fn, schema=out_schema)
 
@@ -520,16 +534,15 @@ def knn_classify_exact(
     tr = train.select(
         F.col(id_col), F.col(vec_col), F.col(label_col).alias("_tl")
     )
-    partial = _blocked_partial_topk(tr, q_ids, q_mat, k, "l2", id_col, vec_col)
-    labels = train.select(
-        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_tl")
+    # The train label rides through the blocked scorer's output schema, so
+    # the vote below touches only the O(|Q|*k) surviving rows — no join back
+    # against the train corpus (a corpus-sized broadcast would kill the
+    # driver at the 10^9-candidate scale the scorer is designed for).
+    partial = _blocked_partial_topk(
+        tr, q_ids, q_mat, k, "l2", id_col, vec_col, carry_cols=["_tl"]
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_score").asc(), F.col("neighbor_id").asc())
-    knn = (
-        partial.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= k)
-        .join(F.broadcast(labels), "neighbor_id")
-    )
+    knn = partial.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= k)
     if weights == "distance":
         vote = F.sum(F.lit(1.0) / F.sqrt(F.greatest(F.col("_score"), F.lit(1e-24))))
     else:

@@ -4599,14 +4599,22 @@ _WINDOW_PRIORITY = [
     # the relational core + one representative of each major kernel family
     # under the driver's eye.
     #
-    # never-driver-checked: drift / series analytics
-    "kalman1d_chunked", "page_hinkley_drift", "mad_outliers",
-    "cross_corr", "rolling_corr", "gap_fill", "time_bucket_rollup",
+    # --- r7 rotation (round-6 VERDICT item 2): the LAST 3 oracle-backed
+    # queries never seen by the driver — kn_perplexity, kn3_perplexity,
+    # series_pacf (all r6 additions). With these in, every one of the 108
+    # oracle-backed queries has faced the driver at least once.
+    "kn_perplexity", "kn3_perplexity", "series_pacf",
+    # r6-driver-passed: drift / series analytics (cross_corr and
+    # mad_outliers rotated OUT r7 — co-moment / robust-stat family twins
+    # rolling_corr / series_profile stay in)
+    "kalman1d_chunked", "page_hinkley_drift",
+    "rolling_corr", "gap_fill", "time_bucket_rollup",
     "series_profile", "value_histogram", "user_sessions",
     "pattern_search", "fdi_pipeline",
-    # never-driver-checked: text / curation
+    # r6-driver-passed: text / curation (text_normalize rotated OUT r7 —
+    # projection-kernel family stays covered by readability/gopher_filter)
     "quality_classifier", "tfidf_vectors", "gopher_filter", "ngram_counts",
-    "readability", "text_normalize", "text_repetition", "source_mix",
+    "readability", "text_repetition", "source_mix",
     "domain_filter",
     # never-driver-checked: span-level + incremental dedup, contamination
     "span_contamination", "duplicated_spans", "dedup_incremental",
@@ -4696,17 +4704,15 @@ _WINDOW_EXCLUDED_ORACLES = {
     "token_pack", "lm_perplexity", "line_dedup", "embedding_kmeans",
     "semantic_dedup", "bm25_search", "embedding_quantize", "dsir_weights",
     "cusum_drift", "changepoint_scan", "seasonal_decompose", "series_acf",
-    # --- r6 new oracles, placed outside the already-rotated window
-    "series_pacf",  # Durbin-Levinson over the series_acf windowed-ACF
-                    # kernel (driver-passed r5); the closed-form DL unroll
-                    # is pytest-hash-checked every run
-    "kn_perplexity",  # same one-pair-scan + count-table-join kernel family
-                      # as lm_perplexity (driver-passed r5); the KN
-                      # smoothing arithmetic is pytest-hash-checked every
-                      # run + backoff-arm unit tests
-    "kn3_perplexity",  # order-3 extension of the same kernel family; the
-                       # three-layer backoff chain is pytest-hash-checked
-                       # every run + per-layer unit tests
+    # --- r7 rotation: driver-passed in CORRECTNESS_r06 (hash_match=true in
+    # the committed artifact), rotated OUT to free the final 3 slots for
+    # kn_perplexity / kn3_perplexity / series_pacf (round-6 VERDICT item 2).
+    # Each keeps pytest-hash evidence every run.
+    "cross_corr",     # same co-moment kernel family as in-window rolling_corr
+    "mad_outliers",   # robust-stat percentile family; in-window via
+                      # series_profile
+    "text_normalize",  # pure-projection kernel; in-window via readability /
+                       # gopher_filter
 }
 
 
