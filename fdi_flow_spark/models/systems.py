@@ -183,7 +183,13 @@ def _trbdf2_path(rhs, x0: np.ndarray, time: np.ndarray, rtol=1e-3, atol=1e-6) ->
         for _ in range(8):
             fy = rhs(t_s, y)
             res = y - const - hd * fy
-            dy = np.linalg.solve(M, res)
+            try:
+                dy = np.linalg.solve(M, res)
+            except np.linalg.LinAlgError:
+                # Singular iteration matrix (e.g. a pathological FD
+                # Jacobian): report a Newton failure so the caller's
+                # halve-h retry refreshes J instead of crashing the sim.
+                return y, fy, False
             y = y - dy
             scale = atol + rtol * np.abs(y)
             if np.sqrt(np.mean((dy / scale) ** 2)) < 0.1:

@@ -157,7 +157,17 @@ def _paired_samples(
         F.col(VALUE).alias(xb),
     )
     if pairs is not None:
-        fanned = a.join(F.broadcast(pairs.select("series_a", "series_b")), on="series_a")
+        # Enforce the documented canonical order and dedupe BEFORE the
+        # fan-out: a reversed row would silently yield reversed-contract
+        # output, and a duplicated row would double-count every ts in the
+        # trailing-window co-moment sums downstream. The pair list is tiny
+        # (it is broadcast), so the filter+distinct cost is nil.
+        canon = (
+            pairs.select("series_a", "series_b")
+            .where(F.col("series_a") < F.col("series_b"))
+            .dropDuplicates(["series_a", "series_b"])
+        )
+        fanned = a.join(F.broadcast(canon), on="series_a")
         return fanned.join(b, on=[*gcols, "series_b", TS]), gcols
     joined = a.join(b, on=[*gcols, TS]).where(F.col("series_a") < F.col("series_b"))
     return joined, gcols

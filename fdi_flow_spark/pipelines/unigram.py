@@ -158,6 +158,9 @@ def _expected_counts_distributed(
         .agg(F.sum("c").alias("c"))
         .collect()
     )
+    # One broadcast per E-step sweep; without an unpersist they accumulate
+    # on executors across prune_rounds * em_iters sweeps of a long session.
+    bc.unpersist(blocking=False)
     return {r["piece"]: float(r["c"]) for r in rows}
 
 
@@ -198,14 +201,18 @@ def unigram_train(
     )
     words: list[tuple[str, int]] = []
     if em_backend == "driver":
-        guard = wc.limit(max_word_types + 1).count()
-        if guard > max_word_types:
+        # ONE corpus scan: the OOM guard rides the collect itself (LIMIT
+        # cap + post-hoc length check) instead of a separate count job
+        # re-deriving the word aggregation — the same one-scan contract the
+        # distributed branch keeps via localCheckpoint.
+        capped = wc.limit(max_word_types + 1).collect()
+        if len(capped) > max_word_types:
             raise ValueError(
                 f"word histogram exceeds max_word_types={max_word_types}; "
                 "raise min_word_freq to prune the long tail, or use "
                 "em_backend='distributed'"
             )
-        words = [(r["w"], int(r["n"])) for r in wc.collect()]
+        words = [(r["w"], int(r["n"])) for r in capped]
         if not words:
             return []
         chars = sorted({c for w, _ in words for c in w})
