@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "unigram_tokenize",
     "kn_perplexity",
     "kn3_perplexity",
+    # r7: NB char-gram LID (model-based upgrade of language_id)
+    "language_id_model",
 ]
 
 

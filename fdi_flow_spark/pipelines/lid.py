@@ -1,0 +1,200 @@
+"""Model-based language identification — hashed character-n-gram
+multinomial Naive Bayes, the deterministic closed-form analog of the
+fastText LID models (lid.176) every production corpus pipeline filters
+with. Upgrades the marker-word heuristic in ``text.language_id`` (which
+cannot survive contact with real multilingual data: a fixed marker list
+scores zero on any language, register, or script it wasn't hand-built
+for) to a model FIT FROM LABELED DATA.
+
+No reference twin — driver-mandated LLM-pipeline extension surface
+(SURVEY §2.9), same family as ``pipelines/quality_model.py`` (binary NB
+quality filter) generalized to multi-class over character grams, the
+feature space LID actually needs (word markers miss close languages and
+unseen vocabulary; character 2-3-gram distributions separate languages
+robustly — Cavnar & Trenkle 1994, and the n-gram feature set of fastText
+LID, Joulin 2016).
+
+Design at 100 TB (the quality_model contract, multi-class):
+
+- ONE gram scan of the labeled corpus fits every class at once
+  (``groupBy(lang, bucket)``) — adding languages adds no passes.
+- The model is ``buckets x n_langs`` rows over the FULL bucket domain —
+  broadcastable by construction at any corpus size (2048 x 4 = 8 KB-ish
+  here; lid.176-scale is 10^6 x 176 rows, still a broadcast).
+- Scoring aggregates each doc to its distinct-bucket counts FIRST, then
+  joins the model — the join input is bounded by min(n_grams, buckets)
+  rows per doc, never the raw gram stream; stream-static joinable, so
+  arriving documents can be scored by Structured Streaming against an
+  offline-fitted model (the fit/score split of DSIR and nb_quality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from fdi_flow_spark.core.partitioning import ensure_min_parallelism
+from fdi_flow_spark.pipelines.curation import _hash_bucket
+
+# Fixed substitution ciphers deriving deterministic synthetic languages
+# from the shared ``documents`` table: same token structure, disjoint
+# character-gram distributions — what distinguishes real languages at the
+# feature level LID operates on. (rot13 / reversal / rot5 of a-z.)
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+CIPHERS = {
+    "qa": "nopqrstuvwxyzabcdefghijklm",
+    "qb": "zyxwvutsrqponmlkjihgfedcba",
+    "qc": "fghijklmnopqrstuvwxyzabcde",
+}
+FIXTURE_LANGS = ["en", "qa", "qb", "qc"]
+
+
+def multilingual_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Plant a deterministic multilingual corpus over ``documents``:
+    ``lang_true`` cycles en/qa/qb/qc by ``doc_id % 4`` and the text is the
+    lowercase document text passed through that language's substitution
+    cipher (en = identity). Pure projection — the DuckDB oracle re-derives
+    it with ``TRANSLATE``."""
+    docs = ensure_min_parallelism(docs, id_col)
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in FIXTURE_LANGS]),
+        (F.col(id_col) % 4 + 1).cast("int"),
+    )
+    low = F.lower(F.col(text_col))
+    text = (
+        F.when(F.col(id_col) % 4 == 1, F.translate(low, _ALPHA, CIPHERS["qa"]))
+        .when(F.col(id_col) % 4 == 2, F.translate(low, _ALPHA, CIPHERS["qb"]))
+        .when(F.col(id_col) % 4 == 3, F.translate(low, _ALPHA, CIPHERS["qc"]))
+        .otherwise(low)
+    )
+    return docs.select(
+        F.col(id_col), lang.alias("lang_true"), text.alias(text_col)
+    )
+
+
+def _char_gram_stream(
+    docs: DataFrame, id_col: str, text_col: str, extra_cols: tuple = ()
+) -> DataFrame:
+    """Per-occurrence lowercase character 2- and 3-grams:
+    ``(id, [extra...], gram)``. Whitespace participates in grams (standard
+    for LID — word boundaries are a language signal). Pure JVM projection
+    + explode; the ``when`` guards keep ``sequence`` monotone under short
+    texts (Spark's sequence(1, 0) would DESCEND, not return empty)."""
+    t = F.lower(F.col(text_col))
+    grams2 = F.when(
+        F.length(t) >= 2,
+        F.transform(F.sequence(F.lit(1), F.length(t) - 1), lambda i: t.substr(i, F.lit(2))),
+    ).otherwise(F.array().cast("array<string>"))
+    grams3 = F.when(
+        F.length(t) >= 3,
+        F.transform(F.sequence(F.lit(1), F.length(t) - 2), lambda i: t.substr(i, F.lit(3))),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
+        F.explode(F.concat(grams2, grams3)).alias("gram"),
+    )
+
+
+def lid_fit(
+    docs: DataFrame,
+    label_col: str = "lang",
+    buckets: int = 2048,
+    seed: int = 11,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fit the multi-class NB model from a labeled corpus. Returns ONE
+    ``buckets * n_langs``-row table ``(b, lang, w, prior)`` over the FULL
+    (bucket x language) domain:
+
+    - ``w = ln((c_{lang,b} + 1) / (N_lang + B))`` — Laplace-smoothed
+      multinomial log-likelihood per hashed char-gram bucket;
+    - ``prior = ln((D_lang + 1) / (D + L))`` — smoothed class log-prior
+      over document counts.
+
+    NULL-labeled docs carry no supervision and are excluded. One gram
+    scan fits every language (conditional on the groupBy key, not on
+    per-class passes)."""
+    docs = docs.where(F.col(label_col).isNotNull())
+    gb = _char_gram_stream(docs, id_col, text_col, (label_col,)).select(
+        F.col(label_col).alias("lang"),
+        _hash_bucket(F.col("gram"), seed, buckets).alias("b"),
+    )
+    counts = gb.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("n"))
+    dp = docs.groupBy(F.col(label_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("dl")
+    )
+    dt = docs.agg(
+        F.count(F.lit(1)).alias("dd"),
+        F.countDistinct(F.col(label_col)).alias("ll"),
+    )
+    domain = (
+        docs.sparkSession.range(buckets)
+        .select(F.col("id").alias("b"))
+        .crossJoin(dp.select("lang"))
+    )
+    return (
+        domain.join(counts, ["lang", "b"], "left")
+        .join(totals, "lang")
+        .join(dp, "lang")
+        .crossJoin(dt)
+        .select(
+            "b",
+            "lang",
+            (
+                F.log(F.coalesce(F.col("c"), F.lit(0)) + 1)
+                - F.log(F.col("n") + buckets)
+            ).alias("w"),
+            (F.log(F.col("dl") + 1) - F.log(F.col("dd") + F.col("ll"))).alias(
+                "prior"
+            ),
+        )
+    )
+
+
+def lid_predict(
+    docs: DataFrame,
+    model: DataFrame,
+    buckets: int = 2048,
+    seed: int = 11,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Predict the language of each document under a fitted model (must
+    share ``buckets``/``seed``). Output ``(doc_id, pred_lang, n_grams)``;
+    docs with zero grams (text shorter than 2 chars) are dropped — no
+    feature evidence. Argmax ties break to the lexicographically greatest
+    language (pinned, mirrored in the oracle; the marker heuristic's rule).
+
+    Docs aggregate to distinct-bucket counts BEFORE the model join, so the
+    join input per doc is bounded by min(n_grams, buckets) rows. ``docs``
+    may be a STREAMING DataFrame: static model, stream-static join.
+    ``broadcast_model=True`` opts into a broadcast hint (the model is
+    buckets x n_langs rows by construction); left off by default so AQE
+    decides from measured size, as with nb_quality_score."""
+    db = (
+        _char_gram_stream(docs, id_col, text_col)
+        .select("id", _hash_bucket(F.col("gram"), seed, buckets).alias("b"))
+        .groupBy("id", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = F.broadcast(model) if broadcast_model else model
+    scores = (
+        db.join(m, "b")
+        .groupBy("id", "lang")
+        .agg(
+            (F.sum(F.col("cnt") * F.col("w")) + F.first("prior")).alias("_s"),
+            F.sum("cnt").alias("n_grams"),
+        )
+    )
+    # argmax as max_by over (score, lang) — same hash-partitioning as the
+    # score groupBy (no extra Exchange), and an aggregation rather than a
+    # rank window, so the whole score path stays streaming-expressible.
+    return scores.groupBy("id").agg(
+        F.expr("max_by(lang, struct(_s, lang))").alias("pred_lang"),
+        F.max("n_grams").cast("long").alias("n_grams"),
+    ).select(F.col("id").alias(id_col), "pred_lang", "n_grams")

@@ -3901,6 +3901,90 @@ def q_quality_classifier(spark, sf_dir):
     return nb_quality_classify(docs, "is_en")
 
 
+@register(
+    "language_id_model",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             ['en','qa','qb','qc'][(doc_id % 4) + 1] AS lang_true,
+             CASE doc_id % 4
+               WHEN 1 THEN TRANSLATE(LOWER(text), 'abcdefghijklmnopqrstuvwxyz',
+                                     'nopqrstuvwxyzabcdefghijklm')
+               WHEN 2 THEN TRANSLATE(LOWER(text), 'abcdefghijklmnopqrstuvwxyz',
+                                     'zyxwvutsrqponmlkjihgfedcba')
+               WHEN 3 THEN TRANSLATE(LOWER(text), 'abcdefghijklmnopqrstuvwxyz',
+                                     'fghijklmnopqrstuvwxyzabcde')
+               ELSE LOWER(text) END AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id, lang_true,
+             UNNEST(LIST_CONCAT(
+               LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(t) - 1),
+                              i -> SUBSTR(t, i, 2)),
+               LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(t) - 2),
+                              i -> SUBSTR(t, i, 3)))) AS gram
+      FROM d),
+    gb AS (SELECT doc_id, lang_true,
+                  ('0x' || SUBSTR(MD5('11:' || gram), 1, 8))::BIGINT % 2048 AS b
+           FROM g),
+    train AS (SELECT * FROM gb WHERE doc_id % 5 <> 0),
+    cnt AS (SELECT lang_true AS lang, b, COUNT(*) AS c
+            FROM train GROUP BY lang_true, b),
+    tot AS (SELECT lang, SUM(c) AS n FROM cnt GROUP BY lang),
+    dp AS (SELECT lang_true AS lang, COUNT(*) AS dl FROM d
+           WHERE doc_id % 5 <> 0 GROUP BY lang_true),
+    dt AS (SELECT COUNT(*) AS dd, COUNT(DISTINCT lang_true) AS ll FROM d
+           WHERE doc_id % 5 <> 0),
+    model AS (
+      SELECT dom.b, dp.lang,
+             LN(COALESCE(cnt.c, 0) + 1) - LN(tot.n + 2048) AS w,
+             LN(dp.dl + 1) - LN(dt.dd + dt.ll) AS prior
+      FROM (SELECT UNNEST(GENERATE_SERIES(0, 2047)) AS b) dom
+           CROSS JOIN dp
+           LEFT JOIN cnt ON cnt.b = dom.b AND cnt.lang = dp.lang
+           JOIN tot ON tot.lang = dp.lang
+           CROSS JOIN dt),
+    test AS (SELECT doc_id, b, COUNT(*) AS cnt FROM gb
+             WHERE doc_id % 5 = 0 GROUP BY doc_id, b),
+    scores AS (
+      SELECT t.doc_id, m.lang,
+             SUM(t.cnt * m.w) + ANY_VALUE(m.prior) AS s,
+             SUM(t.cnt) AS n_grams
+      FROM test t JOIN model m USING (b) GROUP BY t.doc_id, m.lang),
+    best AS (SELECT doc_id, lang, n_grams,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY s DESC, lang DESC) AS r
+             FROM scores)
+    SELECT b.doc_id, b.lang AS pred_lang,
+           d.lang_true AS true_lang,
+           CAST(b.n_grams AS BIGINT) AS n_grams
+    FROM best b JOIN d ON d.doc_id = b.doc_id
+    WHERE b.r = 1
+    """,
+)
+def q_language_id_model(spark, sf_dir):
+    """Model-based LID (``pipelines/lid.py``): multinomial NB over hashed
+    character 2-3-grams — the fastText-LID-family upgrade of the marker
+    heuristic in ``language_id``. Fit on the doc_id%5!=0 split of the
+    planted multilingual corpus (substitution-cipher languages over
+    ``documents``), predict the held-out split. The oracle re-derives the
+    complete fit+score+argmax in SQL, so the whole training pipeline —
+    gram stream, hashing, Laplace smoothing, priors, argmax ties — is
+    hash-checked, not just the prediction plumbing. Output carries
+    ``true_lang`` so accuracy is eyeballable from the result (NB = 1.0 on
+    this fixture; the marker baseline = 0.2, pytest-pinned floor)."""
+    from fdi_flow_spark.pipelines.lid import lid_fit, lid_predict, multilingual_docs
+
+    ml = multilingual_docs(load_table(spark, sf_dir, "documents"))
+    train = ml.where(F.col("doc_id") % 5 != 0)
+    test = ml.where(F.col("doc_id") % 5 == 0)
+    model = lid_fit(train, label_col="lang_true")
+    pred = lid_predict(test, model, broadcast_model=True)
+    return pred.join(
+        test.select("doc_id", F.col("lang_true").alias("true_lang")), "doc_id"
+    ).select("doc_id", "pred_lang", "true_lang", "n_grams")
+
+
 # ========================= composed FDI pipeline (r5c): the headline story
 
 
@@ -4604,11 +4688,14 @@ _WINDOW_PRIORITY = [
     # series_pacf (all r6 additions). With these in, every one of the 108
     # oracle-backed queries has faced the driver at least once.
     "kn_perplexity", "kn3_perplexity", "series_pacf",
+    # r7 NEW oracle: NB char-gram LID (placed straight into the window so
+    # it faces the driver the round it lands; gap_fill rotated out)
+    "language_id_model",
     # r6-driver-passed: drift / series analytics (cross_corr and
     # mad_outliers rotated OUT r7 — co-moment / robust-stat family twins
     # rolling_corr / series_profile stay in)
     "kalman1d_chunked", "page_hinkley_drift",
-    "rolling_corr", "gap_fill", "time_bucket_rollup",
+    "rolling_corr", "time_bucket_rollup",
     "series_profile", "value_histogram", "user_sessions",
     "pattern_search", "fdi_pipeline",
     # r6-driver-passed: text / curation (text_normalize rotated OUT r7 —
@@ -4709,6 +4796,9 @@ _WINDOW_EXCLUDED_ORACLES = {
     # kn_perplexity / kn3_perplexity / series_pacf (round-6 VERDICT item 2).
     # Each keeps pytest-hash evidence every run.
     "cross_corr",     # same co-moment kernel family as in-window rolling_corr
+    "gap_fill",       # driver-passed r6; sequence+explode fill family,
+                      # in-window via time_bucket_rollup (r7: slot freed for
+                      # the new language_id_model oracle)
     "mad_outliers",   # robust-stat percentile family; in-window via
                       # series_profile
     "text_normalize",  # pure-projection kernel; in-window via readability /
