@@ -122,15 +122,24 @@ def lid_fit(
         F.col(label_col).alias("lang"),
         _hash_bucket(F.col("gram"), seed, buckets).alias("b"),
     )
-    counts = gb.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("c"))
+    # ONE gram scan and ONE doc-level scan of the corpus, total (the
+    # lm.py contract): the aggregates are materialized via localCheckpoint
+    # — counts is <= buckets*langs rows, dp is n_langs rows — so the model
+    # plan (and anything scoring against it) re-reads the tiny checkpointed
+    # tables, never the corpus. Without this the lazy plan re-derived the
+    # gram stream per downstream leg (7 corpus scans, measured).
+    counts = (
+        gb.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    )
     totals = counts.groupBy("lang").agg(F.sum("c").alias("n"))
-    dp = docs.groupBy(F.col(label_col).alias("lang")).agg(
-        F.count(F.lit(1)).alias("dl")
+    dp = (
+        docs.groupBy(F.col(label_col).alias("lang"))
+        .agg(F.count(F.lit(1)).alias("dl"))
+        .localCheckpoint()
     )
-    dt = docs.agg(
-        F.count(F.lit(1)).alias("dd"),
-        F.countDistinct(F.col(label_col)).alias("ll"),
-    )
+    # class-count totals derive from dp (n_langs rows) — identical values
+    # to aggregating the corpus again, without the extra scan
+    dt = dp.agg(F.sum("dl").alias("dd"), F.count(F.lit(1)).alias("ll"))
     domain = (
         docs.sparkSession.range(buckets)
         .select(F.col("id").alias("b"))

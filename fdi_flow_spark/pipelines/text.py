@@ -416,7 +416,13 @@ def tfidf_fit(
     form. One gram scan; df aggregates the per-(doc, bucket) count table,
     never a second corpus scan."""
     stream = _bucket_stream(docs, buckets, seed, id_col, text_col)
-    tf = stream.groupBy("id", "b").agg(F.count("*").alias("tf"))
+    # Materialize the per-(doc, bucket) count table: both the df leg and
+    # the n_docs leg aggregate it, and without the checkpoint each lazily
+    # re-derives the gram stream — a second and third corpus scan in the
+    # executed plan (measured; the repeated-scan audit now pins this).
+    # tf is bounded by n_docs * buckets rows of ints — far smaller than
+    # the corpus it summarizes.
+    tf = stream.groupBy("id", "b").agg(F.count("*").alias("tf")).localCheckpoint()
     df_t = tf.groupBy("b").agg(F.count("*").alias("df"))
     n_docs = tf.select("id").distinct().agg(F.count("*").alias("n_docs"))
     domain = docs.sparkSession.range(buckets).select(F.col("id").alias("b"))

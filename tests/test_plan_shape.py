@@ -432,3 +432,39 @@ def test_knn_label_rides_scorer_no_corpus_broadcast(spark):
     plan = _plan(pred, "simple")
     assert "BroadcastExchange" not in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_repeated_scan_audit_invariant(spark):
+    """r6 round-close audit, now pinned in CI (r6 VERDICT item 8): no
+    query's executed plan may scan any source table 3+ times. The LM
+    family once re-derived the corpus-count tables per downstream leg (7
+    scans of documents before the lm.py localCheckpoint); tfidf_fit's tf
+    table was lazily re-derived by both its df and n_docs legs (3 scans);
+    language_id_model landed at 7 before the same fix. Dropping any of
+    those localCheckpoints turns this test red. Counts are parquet
+    Location lines in the formatted physical plan of the RETURNED frame —
+    checkpointed intermediates (materialized once, at build) no longer
+    appear, which is exactly the invariant: the executed per-run plan
+    re-reads summaries, not the corpus."""
+    import re
+
+    from fdi_flow_spark.plans.registry import QUERIES
+
+    max_scans = {
+        "lm_perplexity": 1,
+        "kn_perplexity": 1,
+        "kn3_perplexity": 1,
+        "tfidf_vectors": 1,
+        "language_id_model": 2,  # predict gram scan + true-label attach
+        "ngram_jaccard_pairs": 0,  # fully checkpointed shingle table
+    }
+    for name, cap in max_scans.items():
+        plan = _plan(QUERIES[name](spark, SF))
+        counts: dict = {}
+        for line in plan.splitlines():
+            m = re.search(r"Location:.*/(\w+)\.parquet", line)
+            if m:
+                counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+        worst = max(counts.values(), default=0)
+        assert worst <= cap, (name, counts)
+        assert worst < 3, (name, counts)  # the audit's global invariant
