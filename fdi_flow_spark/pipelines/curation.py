@@ -376,3 +376,111 @@ def domain_filter(
         n_blocked.cast("bigint").alias("n_blocked"),
         (n_blocked == 0).alias("keep"),
     )
+
+
+def curation_stream_score(
+    docs: DataFrame,
+    corpus_digests: DataFrame,
+    nb_model: DataFrame,
+    dsir_model: DataFrame,
+    min_tokens: int = 30,
+    nb_buckets: int = 1024,
+    nb_seed: int = 7,
+    dsir_buckets: int = 1024,
+    dsir_seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The composed ingest-curation stage as ONE streaming-executable
+    plan: unicode cleanup -> token-count gate -> exact-dedup flag against
+    the persisted corpus digest table -> NB quality score AND DSIR
+    importance weight. Output, one row per surviving doc:
+    ``(doc_id, is_exact_dup, n_grams, quality_score, quality_pred,
+    dsir_log_weight)`` (scores rounded to 6 dp).
+
+    Why this composes on a STREAM (where chaining the individual
+    operators would not): every stateful stage is folded into a single
+    ``groupBy(doc)`` aggregation. The NB gram stream and the DSIR gram
+    stream are the SAME stream (lowercase unigrams+bigrams, per
+    occurrence), so one explode carries BOTH hashed bucket columns; both
+    models cover their full bucket domains (inner joins never drop a
+    gram), both joins are stream-static, and the exact-dup flag is a
+    stream-static join on the 16-byte digest BEFORE the explode, carried
+    through the aggregation with ``first()``. One stateful operator
+    total -- Structured Streaming's chained-aggregation restriction never
+    triggers. Batch input runs the identical plan (parity-tested).
+
+    The near-dup leg (``dedup.near_dup_candidates_against``) is NOT
+    folded in: its band explode is a different fan-out axis and its
+    best-match rank needs a second stateful aggregation — it runs as its
+    own stream stage (stream-parity-tested in test_streaming), exactly
+    how a production ingest splits the two.
+    """
+    from fdi_flow_spark.pipelines.text import clean_docs
+
+    cleaned = clean_docs(docs, id_col, text_col)
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    gated = cleaned.where(F.size(toks) >= min_tokens)
+    digests = corpus_digests.select(
+        F.col(corpus_digests.columns[0]).alias("_dg"), F.lit(True).alias("_hit")
+    )
+    flagged = (
+        gated.withColumn("_dg", F.md5(F.col(text_col)))
+        .join(digests, "_dg", "left")
+        .withColumn("is_exact_dup", F.coalesce(F.col("_hit"), F.lit(False)))
+        .drop("_dg", "_hit")
+    )
+    # selection._gram_stream's exact gram definition, re-derived inline so
+    # the dup flag rides the explode (a join back to the stream would be
+    # the stream-stream join this operator exists to avoid)
+    toks2 = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    bigrams = F.expr(
+        """
+        transform(sequence(1, size(_t) - 1),
+                  i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))
+        """
+    )
+    grams = F.when(F.size("_t") >= 2, F.concat(F.col("_t"), bigrams)).otherwise(
+        F.col("_t")
+    )
+    g = (
+        flagged.select(
+            F.col(id_col).alias("id"), F.col("is_exact_dup"), toks2.alias("_t")
+        )
+        .where(F.size("_t") >= 1)
+        .select("id", "is_exact_dup", F.explode(grams).alias("gram"))
+        .select(
+            "id",
+            "is_exact_dup",
+            _hash_bucket(F.col("gram"), nb_seed, nb_buckets).alias("_bn"),
+            _hash_bucket(F.col("gram"), dsir_seed, dsir_buckets).alias("_bd"),
+        )
+    )
+    nbm = nb_model.select(
+        F.col("b").alias("_bn"), F.col("w").alias("_w"), F.col("prior").alias("_pr")
+    )
+    dsm = dsir_model.select(F.col("b").alias("_bd"), F.col("logr").alias("_lr"))
+    return (
+        g.join(nbm, "_bn")
+        .join(dsm, "_bd")
+        .groupBy("id")
+        .agg(
+            F.first("is_exact_dup").alias("is_exact_dup"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.round(F.sum("_w") + F.first("_pr"), 6).alias("quality_score"),
+            ((F.sum("_w") + F.first("_pr")) > 0).alias("quality_pred"),
+            F.round(F.sum("_lr"), 6).alias("dsir_log_weight"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "is_exact_dup",
+            "n_grams",
+            "quality_score",
+            "quality_pred",
+            "dsir_log_weight",
+        )
+    )

@@ -302,6 +302,36 @@ def bm25_rank(
     return ranked.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
+def _clean_str(t: str | None) -> str:
+    """The normalize_text cleaning kernel on one string: NFC, strip control
+    chars (C0 except newline, plus DEL), collapse space runs, trim
+    spaces/newlines at the edges. Shared by the report operator
+    (``normalize_text``) and the text-passthrough one (``clean_docs``) so
+    the two can never drift."""
+    import re
+    import unicodedata
+
+    t = unicodedata.normalize("NFC", t or "")
+    t = re.sub(r"[\x00-\x09\x0b-\x1f\x7f]", "", t)
+    return re.sub(r" +", " ", t).strip(" \n")
+
+
+def clean_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``normalize_text``'s cleanup as a text PASSTHROUGH: same kernel,
+    output ``(id_col, text_col)`` with the cleaned text replacing the raw —
+    the ingest-stage shape downstream operators compose over. Pure
+    Arrow-batched projection; ``docs`` may be a STREAMING DataFrame."""
+
+    @F.pandas_udf("string")
+    def clean(s: pd.Series) -> pd.Series:
+        return pd.Series([_clean_str(t) for t in s])
+
+    keep = [c for c in docs.columns if c not in (text_col,)]
+    return docs.select(*keep, clean(F.col(text_col)).alias(text_col))
+
+
 def normalize_text(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -319,21 +349,13 @@ def normalize_text(
     everything around it is a pure projection — zero shuffle at any scale.
     The DuckDB oracle replays the identical steps with ``NFC_NORMALIZE`` +
     ``REGEXP_REPLACE``, value-checked through lengths and the checksum."""
-    import re
-    import unicodedata
-
-    ctrl = re.compile(r"[\x00-\x09\x0b-\x1f\x7f]")
-    squash = re.compile(r" +")
-
     @F.pandas_udf("struct<n_clean: bigint, clean_md5: string>")
     def clean(s: pd.Series) -> pd.DataFrame:
         import hashlib
 
         outs, hashes = [], []
         for t in s:
-            t = unicodedata.normalize("NFC", t or "")
-            t = ctrl.sub("", t)
-            t = squash.sub(" ", t).strip(" \n")
+            t = _clean_str(t)
             outs.append(len(t))
             hashes.append(hashlib.md5(t.encode("utf-8")).hexdigest())
         return pd.DataFrame({"n_clean": outs, "clean_md5": hashes})

@@ -110,6 +110,193 @@ def build_x10(spark) -> None:
     print(f"built {X10} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
 
+X100 = os.path.join(_REPO, ".scaling", "x100")
+
+# r7 (round-6 VERDICT item 6): 100x rehearsal for the ~10 scale-relevant
+# family heads. 10x showed linearity; 100x (~1.7 GB) is where the next
+# constant breaks (band-bucket skew, component-round growth, probe
+# fan-out). Unbounded rolling_corr/cross_corr are deliberately ABSENT:
+# at 100x the series axis the S^2 pair join is the documented
+# anti-pattern — the group-bounded variant is measured instead (custom
+# entry below, the plant-topology contract).
+X100_QUERIES = [
+    "minhash_dedup_pairs",   # LSH banding
+    "dedup_components",      # star-contraction rounds
+    "dedup_incremental",     # prebuilt-index shard arrival
+    "cosine_topk_ivfpq",     # IVF-PQ probe (train + probe in-flight)
+    "dsir_weights",          # hashed-gram count tables
+    "ewma_chunked",          # chunk-parallel recurrence scan
+    "kalman1d_chunked",      # rank-indexed-gain recurrence scan
+    "token_counts",          # linear projection baseline
+    "bm25_search",           # broadcast stats + fixed-k TakeOrdered
+    "language_id_model",     # NB LID fit+score (r7)
+]
+
+
+def build_x100(spark) -> None:
+    """100x corpus = ten re-keyed copies of the x10 corpus (second-level
+    key shift 10*_SHIFT per copy; event_type gains a second `_d{i}`
+    suffix so the series axis reaches 100x distinct series)."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(X100, exist_ok=True)
+    done = os.path.join(X100, "_BUILT")
+    if os.path.exists(done):
+        return
+    t0 = time.perf_counter()
+
+    def shifted(table, copies_spec):
+        src = spark.read.parquet(f"{X10}/{table}.parquet")
+        parts = []
+        for i in range(COPIES):
+            c = src
+            for col, kind in copies_spec.items():
+                if kind == "key":
+                    c = c.withColumn(col, F.col(col) + F.lit(i * 10 * _SHIFT))
+                elif kind == "suffix" and i > 0:
+                    c = c.withColumn(col, F.concat(F.col(col), F.lit(f"_d{i}")))
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{X100}/{table}.parquet")
+
+    for t in ("region", "nation"):
+        spark.read.parquet(f"{BASE}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{X100}/{t}.parquet"
+        )
+    shifted("customer", {"c_custkey": "key"})
+    shifted("supplier", {"s_suppkey": "key"})
+    shifted("part", {"p_partkey": "key"})
+    shifted("orders", {"o_orderkey": "key", "o_custkey": "key"})
+    shifted(
+        "lineitem",
+        {"l_orderkey": "key", "l_partkey": "key", "l_suppkey": "key"},
+    )
+    shifted(
+        "events",
+        {"event_id": "key", "user_id": "key", "event_type": "suffix"},
+    )
+    shifted("documents", {"doc_id": "key"})
+    shifted("embeddings", {"vec_id": "key"})
+    with open(done, "w") as f:
+        f.write("ok\n")
+    print(f"built {X100} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+
+def run_x100(spark, REG) -> None:
+    """Measure t(100x)/t(1x) for the family heads + the group-bounded
+    rolling-corr scale path + the LSH bucket-skew probe; merge an 'x100'
+    block into SCALING.json (the 10x block is left untouched)."""
+    build_x100(spark)
+    from fdi_flow_spark.sources.tables import TABLES, load_table
+
+    for d in (BASE, X100):
+        for t in TABLES:
+            load_table(spark, d, t).count()
+    wide = spark.range(0, 10_000, 1, spark.sparkContext.defaultParallelism)
+    wide.groupBy((wide.id % 97).alias("k")).count().count()
+    wide.mapInPandas(lambda it: it, schema="id long").count()
+
+    n1 = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_N1", "2")))
+    n100 = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_N100", "1")))
+    entries = [(name, REG[name]) for name in X100_QUERIES]
+    entries.append(("rolling_corr_grouped", _grouped_rolling_corr))
+    results: dict[str, dict] = {}
+    for name, fn in entries:
+        rec: dict = {}
+        for label, d, n_runs in (("1", BASE, n1), ("100", X100, n100)):
+            ts = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                ts.append(time.perf_counter() - t0)
+            rec[f"t{label}"] = round(statistics.median(ts), 3)
+            rec[f"rows{label}"] = fn(spark, d).count()
+        rec["time_ratio"] = (
+            round(rec["t100"] / rec["t1"], 2) if rec["t1"] > 0 else None
+        )
+        rec["rows_ratio"] = (
+            round(rec["rows100"] / rec["rows1"], 2) if rec["rows1"] else None
+        )
+        results[name] = rec
+        print(f"x100 {name}: {rec}", file=sys.stderr)
+        spark.catalog.clearCache()
+
+    skew = {
+        "x1": _lsh_bucket_skew(spark, BASE),
+        "x100": _lsh_bucket_skew(spark, X100),
+    }
+    print(f"lsh_bucket_skew: {skew}", file=sys.stderr)
+
+    sidecar = os.path.join(_REPO, "SCALING.json")
+    try:
+        with open(sidecar) as f:
+            out = json.load(f)
+    except (OSError, ValueError):
+        out = {}
+    out["x100"] = {
+        "base": BASE,
+        "copies": COPIES * 10,
+        "n_runs": {"x1": n1, "x100": n100},
+        "queries": results,
+        "lsh_bucket_skew": skew,
+    }
+    with open(sidecar, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"scaling_x100_written": len(results)}))
+
+
+def _grouped_rolling_corr(spark, sf_dir):
+    """Group-bounded rolling correlation — the measured scale path: each
+    union copy is one 'plant' (the trailing _c/_d tag), so group size is
+    the ORIGINAL series count at every scale and total pairs grow
+    linearly with data."""
+    from pyspark.sql import functions as F
+
+    from fdi_flow_spark.operators.analytics import rolling_corr_pairs
+    from fdi_flow_spark.sources.tables import events_series
+
+    s = events_series(spark, sf_dir).withColumn(
+        "plant",
+        F.regexp_extract("series_id", r"(_c\d+)?(_d\d+)?$", 0),
+    )
+    return rolling_corr_pairs(s, 20, group_col="plant")
+
+
+def _lsh_bucket_skew(spark, sf_dir) -> dict:
+    """Band-bucket size distribution of the MinHash LSH banding at this
+    scale — the constant that breaks first under exact-twin explosions
+    (every doc's copies share every band bucket)."""
+    from pyspark.sql import functions as F
+
+    from fdi_flow_spark.pipelines.dedup import minhash_signatures
+    from fdi_flow_spark.sources.tables import load_table
+
+    sig = minhash_signatures(load_table(spark, sf_dir, "documents"))
+    banded = sig.select(
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 7), b -> concat(cast(b as string), ':', "
+                "array_join(slice(signature, b*4+1, 4), ',')))"
+            )
+        ).alias("band", "bucket")
+    )
+    sizes = banded.groupBy("band", "bucket").count()
+    row = sizes.agg(
+        F.max("count").alias("max"),
+        F.expr("percentile_approx(count, 0.99)").alias("p99"),
+        F.expr("percentile_approx(count, 0.5)").alias("p50"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    ).first()
+    return {
+        "max_bucket": int(row["max"]),
+        "p99_bucket": int(row["p99"]),
+        "p50_bucket": int(row["p50"]),
+        "n_buckets": int(row["n_buckets"]),
+    }
+
+
 def main() -> None:
     from fdi_flow_spark.core.session import get_spark
     from fdi_flow_spark.plans.registry import QUERIES as REG
@@ -118,10 +305,14 @@ def main() -> None:
         import shutil
 
         shutil.rmtree(X10, ignore_errors=True)
+        shutil.rmtree(X100, ignore_errors=True)
 
     spark = get_spark(app_name="fdi_flow_spark-scaling")
     spark.sparkContext.setLogLevel("ERROR")
     build_x10(spark)
+    if "--x100" in sys.argv:
+        run_x100(spark, REG)
+        return
 
     # warm: scans + one shuffle + python workers
     from fdi_flow_spark.sources.tables import TABLES, load_table

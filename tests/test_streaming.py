@@ -823,3 +823,103 @@ def test_streaming_tokenizers_equal_batch(spark):
             spark.catalog.dropTempView(name)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_composed_curation_equals_batch(spark):
+    """The composed ingest stage (r6 VERDICT item 9): clean -> token gate
+    -> exact-dedup flag vs persisted digests -> NB quality + DSIR weight,
+    ONE streaming query (single stateful agg — both gram streams fused).
+    Streamed shards must equal the batch run of the same plan, and the
+    composed scores must equal the standalone operators'."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fdi_flow_spark.pipelines.curation import curation_stream_score
+    from fdi_flow_spark.pipelines.quality_model import nb_quality_fit, nb_quality_score
+    from fdi_flow_spark.pipelines.selection import dsir_fit, dsir_score
+    from fdi_flow_spark.pipelines.text import clean_docs
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} alpha beta gamma delta epsilon zeta") for i in range(8)],
+        "doc_id long, text string",
+    )
+    digests = corpus.select(F.md5("text").alias("digest")).distinct()
+    train = spark.createDataFrame(
+        [(i, "clean measured prose alpha beta gamma", True) for i in range(6)]
+        + [(100 + i, "spam click buy spam click now", False) for i in range(6)],
+        "doc_id long, text string, label boolean",
+    )
+    nb_model = nb_quality_fit(train, "label", buckets=256)
+    target = spark.createDataFrame(
+        [(i, "curated alpha beta prose sample text") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(i, "random web junk click buy now stuff") for i in range(4)],
+        "doc_id long, text string",
+    )
+    dsir_model = dsir_fit(raw, target, buckets=256)
+
+    shard_rows = [
+        # exact dup of corpus doc 3 AFTER cleanup (control char + double
+        # space) — proves clean runs before the digest join
+        (1000, "corpus doc 3 alpha\x01 beta  gamma delta epsilon zeta"),
+        (1001, "clean measured prose alpha beta gamma sample text here"),
+        (1002, "spam click buy spam click now junk stuff again today"),
+        (1003, "too short"),  # gated out by min_tokens
+        (1004, "curated alpha beta prose sample text with more words"),
+    ]
+    batch = spark.createDataFrame(shard_rows, "doc_id long, text string")
+
+    def compose(df):
+        return curation_stream_score(
+            df, digests, nb_model, dsir_model,
+            min_tokens=5, nb_buckets=256, dsir_buckets=256,
+        )
+
+    expect = sorted(tuple(r) for r in compose(batch).collect())
+    assert len(expect) == 4  # 1003 gated
+    by_id = {r[0]: r for r in expect}
+    assert by_id[1000][1] is True  # dup flagged through the cleanup
+    assert by_id[1001][1] is False
+
+    # composed scores == standalone operators on the cleaned, gated shard
+    gated = clean_docs(batch).where(F.col("doc_id") != 1003)
+    nb_alone = {
+        r["doc_id"]: (r["score"], r["pred"])
+        for r in nb_quality_score(gated, nb_model, buckets=256).collect()
+    }
+    ds_alone = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_score(gated, dsir_model, buckets=256).collect()
+    }
+    for did, row in by_id.items():
+        assert abs(row[3] - nb_alone[did][0]) < 1e-9, (did, row)
+        assert row[4] == nb_alone[did][1]
+        assert abs(row[5] - ds_alone[did]) < 1e-9
+
+    d = tempfile.mkdtemp(prefix="fdi_curation_stream_")
+    try:
+        batch.where("doc_id <= 1001").coalesce(1).write.mode("append").parquet(d)
+        batch.where("doc_id > 1001").coalesce(1).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            compose(stream)
+            .writeStream.format("memory")
+            .queryName("curation_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.table("curation_sink").collect())
+        assert got == expect
+        spark.catalog.dropTempView("curation_sink")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
