@@ -161,8 +161,10 @@ BENCH_QUERIES = [
     "unigram_tokenize",
     "kn_perplexity",
     "kn3_perplexity",
-    # r7: NB char-gram LID (model-based upgrade of language_id)
+    # r7: NB char-gram LID (model-based upgrade of language_id) + the
+    # composed ingest-curation stage (clean/gate/dedup-flag/NB/DSIR)
     "language_id_model",
+    "curation_scored",
 ]
 
 

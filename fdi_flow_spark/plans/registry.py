@@ -2866,6 +2866,130 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
+_GRAMS_CTE = (
+    "LIST_CONCAT(tk, CASE WHEN LEN(tk) >= 2 THEN "
+    "LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 1), "
+    "i -> tk[i] || ' ' || tk[i + 1]) ELSE CAST([] AS VARCHAR[]) END)"
+)
+
+
+@register(
+    "curation_scored",
+    f"""
+    WITH corpus AS (SELECT doc_id, text, lang, source FROM documents
+                    WHERE doc_id % 3 = 0),
+    arr0 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN '  ' ELSE '' END || text ||
+             CASE WHEN doc_id % 7 = 0 THEN CHR(7) ELSE '' END AS text
+      FROM documents WHERE doc_id % 3 <> 0
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, '  ' || text AS text
+      FROM corpus WHERE doc_id % 2 = 0),
+    arr AS (SELECT doc_id,
+            TRIM(REGEXP_REPLACE(REGEXP_REPLACE(NFC_NORMALIZE(text),
+                 '[\\x00-\\x09\\x0b-\\x1f\\x7f]', '', 'g'), ' +', ' ', 'g'),
+                 ' ' || CHR(10)) AS text
+            FROM arr0),
+    gated AS (
+      SELECT * FROM (
+        SELECT doc_id, text,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'),
+                           t -> LENGTH(t) > 0) AS tk
+        FROM arr) WHERE LEN(tk) >= 30),
+    dg AS (SELECT DISTINCT MD5(text) AS d FROM corpus),
+    flags AS (SELECT g.doc_id, (dg.d IS NOT NULL) AS is_exact_dup, g.tk
+              FROM gated g LEFT JOIN dg ON MD5(g.text) = dg.d),
+    ctoks AS (SELECT lang = 'en' AS label, source,
+              LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'),
+                          t -> LENGTH(t) > 0) AS tk
+              FROM corpus),
+    cg AS (SELECT label, source, UNNEST({_GRAMS_CTE}) AS gram
+           FROM ctoks WHERE LEN(tk) >= 1),
+    cgb AS (SELECT label, source,
+                   ('0x' || SUBSTR(MD5('7:' || gram), 1, 8))::BIGINT % 1024 AS b
+            FROM cg),
+    nbc AS (SELECT b, COUNT(*) FILTER (WHERE label) AS c1,
+                   COUNT(*) FILTER (WHERE NOT label) AS c0
+            FROM cgb GROUP BY b),
+    nbt AS (SELECT SUM(c1) AS n1, SUM(c0) AS n0 FROM nbc),
+    nbd AS (SELECT COUNT(*) FILTER (WHERE lang = 'en') AS d1,
+                   COUNT(*) FILTER (WHERE lang <> 'en') AS d0 FROM corpus),
+    dom AS (SELECT UNNEST(GENERATE_SERIES(0, 1023)) AS b),
+    nbm AS (SELECT dom.b,
+            LN(COALESCE(nbc.c1, 0) + 1) - LN(nbt.n1 + 1024)
+            - LN(COALESCE(nbc.c0, 0) + 1) + LN(nbt.n0 + 1024) AS w,
+            LN(nbd.d1 + 1) - LN(nbd.d0 + 1) AS prior
+            FROM dom LEFT JOIN nbc ON nbc.b = dom.b
+                 CROSS JOIN nbt CROSS JOIN nbd),
+    rc AS (SELECT b, COUNT(*) AS cr FROM cgb GROUP BY b),
+    tc AS (SELECT b, COUNT(*) AS ct FROM cgb WHERE source = 'src0' GROUP BY b),
+    nr AS (SELECT SUM(cr) AS nr FROM rc),
+    ntc AS (SELECT COALESCE(SUM(ct), 0) AS nt FROM tc),
+    dsm AS (SELECT dom.b,
+            LN(COALESCE(tc.ct, 0) + 1) - LN(ntc.nt + 1024)
+            - LN(COALESCE(rc.cr, 0) + 1) + LN(nr.nr + 1024) AS logr
+            FROM dom LEFT JOIN rc ON rc.b = dom.b
+                 LEFT JOIN tc ON tc.b = dom.b
+                 CROSS JOIN nr CROSS JOIN ntc),
+    ag AS (SELECT doc_id, is_exact_dup, UNNEST({_GRAMS_CTE}) AS gram
+           FROM flags WHERE LEN(tk) >= 1),
+    agb AS (SELECT doc_id, is_exact_dup,
+                   ('0x' || SUBSTR(MD5('7:' || gram), 1, 8))::BIGINT % 1024 AS b
+            FROM ag),
+    scored AS (SELECT a.doc_id,
+               ANY_VALUE(a.is_exact_dup) AS is_exact_dup,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               SUM(n.w) + ANY_VALUE(n.prior) AS qs,
+               ROUND(SUM(d.logr), 6) AS dsir_log_weight
+               FROM agb a JOIN nbm n USING (b) JOIN dsm d USING (b)
+               GROUP BY a.doc_id)
+    SELECT doc_id, is_exact_dup, n_grams,
+           ROUND(qs, 6) AS quality_score, qs > 0 AS quality_pred,
+           dsir_log_weight
+    FROM scored
+    """,
+)
+def q_curation_scored(spark, sf_dir):
+    """The composed streaming ingest stage (``curation_stream_score``) run
+    batch-side and hash-proved END TO END: unicode cleanup (dirt planted
+    on doc_id%5 / %7 so the clean stage provably runs before the digest
+    join) -> token gate -> exact-dedup flag vs the doc_id%3=0 'corpus'
+    slice's digests -> NB quality (fit on the corpus's lang='en' label)
+    AND DSIR weight (corpus -> src0 target), both models full-bucket-
+    domain so arriving grams unseen at fit time are scored, not dropped.
+    The oracle re-derives all four stages plus both model fits in SQL —
+    the same plan the streaming twin executes per micro-batch
+    (batch==stream parity in tests/test_streaming.py)."""
+    from fdi_flow_spark.pipelines.curation import curation_stream_score
+    from fdi_flow_spark.pipelines.quality_model import nb_quality_fit
+    from fdi_flow_spark.pipelines.selection import dsir_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 3 == 0)
+    arriving = docs.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 0, F.lit("  ")).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\x07")).otherwise(F.lit("")),
+        ).alias("text"),
+    ).unionByName(
+        # planted re-ingests: re-keyed corpus docs with leading dirt, so
+        # the exact-dup flag provably fires THROUGH the cleanup stage
+        corpus.where(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.lit("  "), F.col("text")).alias("text"),
+        )
+    )
+    nb_model = nb_quality_fit(
+        corpus.withColumn("is_en", F.col("lang") == "en"), "is_en"
+    )
+    dsir_model = dsir_fit(corpus, corpus.where(F.col("source") == "src0"))
+    digests = corpus.select(F.md5("text").alias("digest")).distinct()
+    return curation_stream_score(arriving, digests, nb_model, dsir_model)
+
+
 # ----------------------------------------------- LLM-pipeline surface (r5)
 
 _LINE_B1 = "subscribe to our newsletter today"
@@ -4688,9 +4812,9 @@ _WINDOW_PRIORITY = [
     # series_pacf (all r6 additions). With these in, every one of the 108
     # oracle-backed queries has faced the driver at least once.
     "kn_perplexity", "kn3_perplexity", "series_pacf",
-    # r7 NEW oracle: NB char-gram LID (placed straight into the window so
-    # it faces the driver the round it lands; gap_fill rotated out)
-    "language_id_model",
+    # r7 NEW oracles, placed straight into the window so they face the
+    # driver the round they land (gap_fill / source_mix rotated out)
+    "language_id_model", "curation_scored",
     # r6-driver-passed: drift / series analytics (cross_corr and
     # mad_outliers rotated OUT r7 — co-moment / robust-stat family twins
     # rolling_corr / series_profile stay in)
@@ -4701,7 +4825,7 @@ _WINDOW_PRIORITY = [
     # r6-driver-passed: text / curation (text_normalize rotated OUT r7 —
     # projection-kernel family stays covered by readability/gopher_filter)
     "quality_classifier", "tfidf_vectors", "gopher_filter", "ngram_counts",
-    "readability", "text_repetition", "source_mix",
+    "readability", "text_repetition",
     "domain_filter",
     # never-driver-checked: span-level + incremental dedup, contamination
     "span_contamination", "duplicated_spans", "dedup_incremental",
@@ -4799,6 +4923,9 @@ _WINDOW_EXCLUDED_ORACLES = {
     "gap_fill",       # driver-passed r6; sequence+explode fill family,
                       # in-window via time_bucket_rollup (r7: slot freed for
                       # the new language_id_model oracle)
+    "source_mix",     # driver-passed r6; quota-window kernel family of
+                      # quota_sample (driver-passed r5); slot freed for the
+                      # new curation_scored oracle
     "mad_outliers",   # robust-stat percentile family; in-window via
                       # series_profile
     "text_normalize",  # pure-projection kernel; in-window via readability /
