@@ -202,8 +202,39 @@ def run_x100(spark, REG) -> None:
     n100 = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_N100", "1")))
     entries = [(name, REG[name]) for name in X100_QUERIES]
     entries.append(("rolling_corr_grouped", _grouped_rolling_corr))
-    results: dict[str, dict] = {}
+
+    # incremental + resumable: a single x100 query can run minutes, so the
+    # sidecar is merged after EVERY entry and present entries are skipped
+    # on restart (kill/timeout loses one query, not the run)
+    sidecar = os.path.join(_REPO, "SCALING.json")
+
+    def _load() -> dict:
+        try:
+            with open(sidecar) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def _merge(key, value) -> None:
+        out = _load()
+        blk = out.setdefault(
+            "x100",
+            {"base": BASE, "copies": COPIES * 10, "n_runs": {"x1": n1, "x100": n100},
+             "queries": {}},
+        )
+        if key == "queries":
+            blk.setdefault("queries", {}).update(value)
+        else:
+            blk[key] = value
+        with open(sidecar, "w") as f:
+            json.dump(out, f, indent=1)
+
+    done = set(_load().get("x100", {}).get("queries", {}))
+    n_run = 0
     for name, fn in entries:
+        if name in done:
+            print(f"x100 {name}: already recorded, skipping", file=sys.stderr)
+            continue
         rec: dict = {}
         for label, d, n_runs in (("1", BASE, n1), ("100", X100, n100)):
             ts = []
@@ -219,32 +250,19 @@ def run_x100(spark, REG) -> None:
         rec["rows_ratio"] = (
             round(rec["rows100"] / rec["rows1"], 2) if rec["rows1"] else None
         )
-        results[name] = rec
+        _merge("queries", {name: rec})
+        n_run += 1
         print(f"x100 {name}: {rec}", file=sys.stderr)
         spark.catalog.clearCache()
 
-    skew = {
-        "x1": _lsh_bucket_skew(spark, BASE),
-        "x100": _lsh_bucket_skew(spark, X100),
-    }
-    print(f"lsh_bucket_skew: {skew}", file=sys.stderr)
-
-    sidecar = os.path.join(_REPO, "SCALING.json")
-    try:
-        with open(sidecar) as f:
-            out = json.load(f)
-    except (OSError, ValueError):
-        out = {}
-    out["x100"] = {
-        "base": BASE,
-        "copies": COPIES * 10,
-        "n_runs": {"x1": n1, "x100": n100},
-        "queries": results,
-        "lsh_bucket_skew": skew,
-    }
-    with open(sidecar, "w") as f:
-        json.dump(out, f, indent=1)
-    print(json.dumps({"scaling_x100_written": len(results)}))
+    if "lsh_bucket_skew" not in _load().get("x100", {}):
+        skew = {
+            "x1": _lsh_bucket_skew(spark, BASE),
+            "x100": _lsh_bucket_skew(spark, X100),
+        }
+        _merge("lsh_bucket_skew", skew)
+        print(f"lsh_bucket_skew: {skew}", file=sys.stderr)
+    print(json.dumps({"scaling_x100_written": n_run}))
 
 
 def _grouped_rolling_corr(spark, sf_dir):
