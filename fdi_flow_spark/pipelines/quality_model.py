@@ -90,9 +90,19 @@ def nb_quality_fit(
     g = _labeled_gram_stream(docs, id_col, text_col, label_col).withColumn(
         "b", _hash_bucket(F.col("gram"), seed, buckets)
     )
-    counts = g.groupBy("b").agg(
-        F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("c1"),
-        F.sum(F.when(F.col("label"), 0).otherwise(1)).alias("c0"),
+    # ONE gram scan + ONE doc-level scan, materialized (the lm.py/lid.py
+    # contract, now audited in test_plan_shape): counts is <= buckets rows
+    # and dprior is 1 row, but without the checkpoints every downstream
+    # leg — totals here, and the WHOLE fit inside any fit+score plan like
+    # curation_scored — lazily re-derives the corpus gram stream
+    # (curation_scored measured 10 documents scans before this).
+    counts = (
+        g.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("label"), 0).otherwise(1)).alias("c0"),
+        )
+        .localCheckpoint()
     )
     totals = counts.agg(
         F.coalesce(F.sum("c1"), F.lit(0)).alias("n1"),
@@ -101,7 +111,7 @@ def nb_quality_fit(
     dprior = docs.agg(
         F.sum(F.when(F.col(label_col).cast("boolean"), 1).otherwise(0)).alias("d1"),
         F.sum(F.when(F.col(label_col).cast("boolean"), 0).otherwise(1)).alias("d0"),
-    )
+    ).localCheckpoint()
     domain = docs.sparkSession.range(buckets).select(F.col("id").alias("b"))
     return (
         domain.join(counts, "b", "left")

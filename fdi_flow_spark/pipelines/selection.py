@@ -71,17 +71,23 @@ def dsir_fit(
     dropping rows. Bucket ``b`` gets Laplace-smoothed probabilities,
     ``p(b) = (count_b + 1) / (N + buckets)``, and
     ``logr = ln p_target(b) - ln p_raw(b)``."""
+    # One gram scan per corpus, materialized: both count tables are
+    # <= buckets rows, and without the checkpoints the totals legs below —
+    # and the whole fit inside any fit+score plan — lazily re-derive the
+    # corpus gram streams (the repeated-scan class test_plan_shape pins).
     raw_c = (
         _gram_stream(raw_docs, id_col, text_col)
         .withColumn("b", _hash_bucket(F.col("gram"), seed, buckets))
         .groupBy("b")
         .agg(F.count("*").alias("cr"))
+        .localCheckpoint()
     )
     tgt_c = (
         _gram_stream(target_docs, id_col, text_col)
         .withColumn("b", _hash_bucket(F.col("gram"), seed, buckets))
         .groupBy("b")
         .agg(F.count("*").alias("ct"))
+        .localCheckpoint()
     )
     raw_n = raw_c.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
     tgt_n = tgt_c.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))

@@ -2986,7 +2986,12 @@ def q_curation_scored(spark, sf_dir):
         corpus.withColumn("is_en", F.col("lang") == "en"), "is_en"
     )
     dsir_model = dsir_fit(corpus, corpus.where(F.col("source") == "src0"))
-    digests = corpus.select(F.md5("text").alias("digest")).distinct()
+    # materialized like the models: in production the digest table is
+    # PERSISTED next to the LSH band index (dedup_against contract), so
+    # the per-shard plan reads digests, never the corpus
+    digests = (
+        corpus.select(F.md5("text").alias("digest")).distinct().localCheckpoint()
+    )
     return curation_stream_score(arriving, digests, nb_model, dsir_model)
 
 

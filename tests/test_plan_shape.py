@@ -457,6 +457,11 @@ def test_repeated_scan_audit_invariant(spark):
         "tfidf_vectors": 1,
         "language_id_model": 2,  # predict gram scan + true-label attach
         "ngram_jaccard_pairs": 0,  # fully checkpointed shingle table
+        "quality_classifier": 1,  # fit checkpointed; one scoring scan
+        "dsir_weights": 1,        # fit checkpointed; one scoring scan
+        "curation_scored": 2,  # the arriving-shard union's two legs; both
+                               # model fits and the digest table are
+                               # materialized (was 10 before the fix)
     }
     for name, cap in max_scans.items():
         plan = _plan(QUERIES[name](spark, SF))
