@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     # composed ingest-curation stage (clean/gate/dedup-flag/NB/DSIR)
     "language_id_model",
     "curation_scored",
+    "dedup_components_grouped",
 ]
 
 

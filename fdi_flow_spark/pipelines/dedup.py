@@ -941,3 +941,65 @@ def dedup_against(
     return out.select(
         F.col("id").alias(id_col), "is_exact_dup", "near_dup_of", "est_jaccard"
     )
+
+
+def near_dup_components_grouped(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    seed: int = 42,
+    algorithm: str = "star",
+) -> DataFrame:
+    """Near-dup components with the EXACT-DEDUP-FIRST ordering — the
+    production pipeline shape the r7 100x rehearsal measured into
+    existence: running MinHash banding directly on a corpus with exact-
+    twin groups explodes the candidate join by the SQUARE of the group
+    size (measured: 100 twins per doc -> 85,228x the pairs, the whole
+    join cost). Here the corpus first collapses to one representative per
+    content digest (16-byte shuffle, the ``exact_dedup`` contract), LSH
+    banding + components run over REPRESENTATIVES only, and members
+    re-attach through their digest at the end.
+
+    Output ``(doc_id, component_id)`` over the WHOLE corpus, with
+    ``component_id`` = the smallest doc id in the component — IDENTICAL
+    to ``dedup_components(minhash_dedup_pairs(docs), docs)`` for any
+    ``threshold <= 1.0``: a MinHash signature is a pure function of the
+    text, so every exact twin shares its representative's signature,
+    every twin pair estimates jaccard 1.0 >= threshold (same component),
+    and every cross-group pair has the same estimate through any of its
+    members (same connectivity). The equality is pinned by a pytest
+    parity test on a planted-twin corpus; the 100x fixture runs ~2 orders
+    of magnitude less join work."""
+    base = docs.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_dg")
+    )
+    groups = base.groupBy("_dg").agg(F.min("id").alias("rep"))
+    reps = (
+        groups.join(
+            docs.select(F.col(id_col).alias("rep"), F.col(text_col)), "rep"
+        )
+        # materialize: the rep table feeds signatures AND the member
+        # re-attach; without the cut both legs re-derive the digest agg
+        .localCheckpoint()
+    )
+    rep_pairs = minhash_dedup_pairs(
+        reps, "rep", text_col, n, num_hashes, bands, threshold, seed
+    )
+    rep_comp = dedup_components(
+        rep_pairs,
+        docs=reps.select(F.col("rep").alias(id_col)),
+        id_col=id_col,
+        algorithm=algorithm,
+    ).select(F.col(id_col).alias("rep"), F.col("component_id").alias("_rc"))
+    # members inherit their representative's component; the component id
+    # stays the smallest doc id in the component because representatives
+    # are per-group minima and components are labeled by min rep
+    return (
+        base.join(reps.select("_dg", "rep"), "_dg")
+        .join(rep_comp, "rep")
+        .select(F.col("id").alias(id_col), F.col("_rc").alias("component_id"))
+    )

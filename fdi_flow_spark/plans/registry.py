@@ -2189,6 +2189,22 @@ def _register_dedup_components():
         pairs = minhash_dedup_pairs(docs, n=2, num_hashes=32, bands=8, threshold=0.2)
         return dedup_components(pairs, docs=docs)
 
+    @register("dedup_components_grouped", oracle)
+    def q_dedup_components_grouped(spark, sf_dir):
+        """The exact-dedup-FIRST ordering of the same clustering (r7 100x
+        rehearsal finding: twin groups explode the LSH candidate join by
+        the square of the group size — measured 85,228x pairs at 100x —
+        so production collapses exact duplicates to one representative
+        per digest BEFORE banding). Output is provably identical to
+        ``dedup_components`` (signatures are pure functions of text), so
+        it shares the recursive-closure oracle verbatim; a pytest parity
+        test additionally pins equality on a planted-twin corpus where
+        the orderings' costs diverge."""
+        from fdi_flow_spark.pipelines.dedup import near_dup_components_grouped
+
+        docs = load_table(spark, sf_dir, "documents")
+        return near_dup_components_grouped(docs)
+
 
 _register_dedup_components()
 
@@ -4904,6 +4920,10 @@ _WINDOW_EXCLUDED_ORACLES = {
                            # semantic_dedup (driver-passed r5)
     "dedup_exact",  # 16-byte digest hash-agg, groupBy family of in-window
                     # q1_pricing_summary
+    "dedup_components_grouped",  # r7: output-identical exact-dedup-first
+                                 # ordering of in-window dedup_components
+                                 # (same oracle verbatim); equality pinned
+                                 # by the planted-twin parity pytest
     "top_orders_per_customer",  # rank-window top-k per group, same
                                 # WindowGroupLimit kernel as in-window
                                 # cosine_topk

@@ -130,6 +130,9 @@ X100_QUERIES = [
     "token_counts",          # linear projection baseline
     "bm25_search",           # broadcast stats + fixed-k TakeOrdered
     "language_id_model",     # NB LID fit+score (r7)
+    "dedup_components_grouped",  # exact-dedup-FIRST ordering: the fix the
+                                 # minhash twin-explosion measurement calls
+                                 # for; same output, rep-only LSH join
 ]
 
 

@@ -564,3 +564,43 @@ def test_streaming_incremental_dedup_matches_batch(spark):
     finally:
         spark.catalog.dropTempView("inc_dedup_tbl")
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_grouped_components_equal_direct_on_planted_twins(spark):
+    """Exact-dedup-first near-dup components (the r7 100x-rehearsal
+    finding, operationalized): on a corpus with planted exact-twin groups
+    the grouped path must produce IDENTICAL component assignments to
+    running MinHash + components over the full corpus — signatures are
+    pure functions of text, so twins share connectivity."""
+    from pyspark.sql import functions as F
+
+    from fdi_flow_spark.pipelines.dedup import (
+        dedup_components,
+        minhash_dedup_pairs,
+        near_dup_components_grouped,
+    )
+    from fdi_flow_spark.sources.tables import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    twins = base
+    for i in (1, 2, 3):  # every doc gains 3 exact twins
+        twins = twins.unionByName(
+            base.select(
+                (F.col("doc_id") + 100_000 * i).alias("doc_id"), F.col("text")
+            )
+        )
+    direct = dedup_components(
+        minhash_dedup_pairs(twins), docs=twins, algorithm="star"
+    )
+    grouped = near_dup_components_grouped(twins)
+    d = {r["doc_id"]: r["component_id"] for r in direct.collect()}
+    g = {r["doc_id"]: r["component_id"] for r in grouped.collect()}
+    assert d == g
+    assert len(g) == twins.count()
+    # twins share components by construction
+    some = next(iter(d))
+    base_ids = [r["doc_id"] for r in base.limit(5).collect()]
+    for b in base_ids:
+        assert g[b] == g[b + 100_000] == g[b + 200_000] == g[b + 300_000]
