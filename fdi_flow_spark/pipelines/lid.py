@@ -21,11 +21,13 @@ Design at 100 TB (the quality_model contract, multi-class):
 - The model is ``buckets x n_langs`` rows over the FULL bucket domain —
   broadcastable by construction at any corpus size (2048 x 4 = 8 KB-ish
   here; lid.176-scale is 10^6 x 176 rows, still a broadcast).
-- Scoring aggregates each doc to its distinct-bucket counts FIRST, then
-  joins the model — the join input is bounded by min(n_grams, buckets)
-  rows per doc, never the raw gram stream; stream-static joinable, so
-  arriving documents can be scored by Structured Streaming against an
-  offline-fitted model (the fit/score split of DSIR and nb_quality).
+- Scoring joins the model PIVOTED to one row per bucket with a
+  per-language weight column, so the gram stream is never multiplied by
+  ``n_langs`` (176-fold at lid.176 scale), and the per-doc sums + priors
+  + argmax land in ONE aggregation — a single stateful operator, so
+  arriving documents score under Structured Streaming against an
+  offline-fitted model (the fit/score split of DSIR and nb_quality;
+  batch==stream parity in tests/test_streaming.py).
 """
 
 from __future__ import annotations
@@ -179,31 +181,50 @@ def lid_predict(
     feature evidence. Argmax ties break to the lexicographically greatest
     language (pinned, mirrored in the oracle; the marker heuristic's rule).
 
-    Docs aggregate to distinct-bucket counts BEFORE the model join, so the
-    join input per doc is bounded by min(n_grams, buckets) rows. ``docs``
-    may be a STREAMING DataFrame: static model, stream-static join.
-    ``broadcast_model=True`` opts into a broadcast hint (the model is
-    buckets x n_langs rows by construction); left off by default so AQE
-    decides from measured size, as with nb_quality_score."""
-    db = (
-        _char_gram_stream(docs, id_col, text_col)
-        .select("id", _hash_bucket(F.col("gram"), seed, buckets).alias("b"))
-        .groupBy("id", "b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    Plan shape: the model PIVOTS to one row per bucket with a per-language
+    weight column (the language set is read from the model — it is
+    ``n_langs`` rows of metadata, known at fit time), so the gram-stream
+    join never multiplies rows by ``n_langs`` (at lid.176 scale that is a
+    176-fold saving on the aggregation input), and the per-doc sums, the
+    prior addition (driver-side literals), and the argmax (``greatest``
+    over (score, lang) structs — ties to the greatest lang) all land in
+    ONE ``groupBy(doc)`` aggregation. One stateful operator total, so
+    ``docs`` may be a STREAMING DataFrame: pivoted model stream-static
+    join + a single aggregation (parity test in tests/test_streaming.py).
+    ``broadcast_model=True`` opts into a broadcast hint (the pivot is
+    ``buckets`` rows by construction); left off by default so AQE decides
+    from measured size, as with nb_quality_score."""
+    prow = sorted(
+        (r["lang"], float(r["prior"]))
+        for r in model.select("lang", "prior").distinct().collect()
     )
-    m = F.broadcast(model) if broadcast_model else model
-    scores = (
-        db.join(m, "b")
-        .groupBy("id", "lang")
-        .agg(
-            (F.sum(F.col("cnt") * F.col("w")) + F.first("prior")).alias("_s"),
-            F.sum("cnt").alias("n_grams"),
-        )
+    langs = [lang for lang, _ in prow]
+    priors = dict(prow)
+    pivoted = model.groupBy("b").agg(
+        *[
+            F.first(F.when(F.col("lang") == lang, F.col("w")), ignorenulls=True).alias(
+                f"_w{i}"
+            )
+            for i, lang in enumerate(langs)
+        ]
     )
-    # argmax as max_by over (score, lang) — same hash-partitioning as the
-    # score groupBy (no extra Exchange), and an aggregation rather than a
-    # rank window, so the whole score path stays streaming-expressible.
-    return scores.groupBy("id").agg(
-        F.expr("max_by(lang, struct(_s, lang))").alias("pred_lang"),
-        F.max("n_grams").cast("long").alias("n_grams"),
-    ).select(F.col("id").alias(id_col), "pred_lang", "n_grams")
+    g = _char_gram_stream(docs, id_col, text_col).select(
+        "id", _hash_bucket(F.col("gram"), seed, buckets).alias("b")
+    )
+    m = F.broadcast(pivoted) if broadcast_model else pivoted
+    scored = g.join(m, "b").groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        *[F.sum(f"_w{i}").alias(f"_s{i}") for i in range(len(langs))],
+    )
+    best = F.greatest(
+        *[
+            F.struct(
+                (F.col(f"_s{i}") + F.lit(priors[lang])).alias("s"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    return scored.select(
+        F.col("id").alias(id_col), best["lang"].alias("pred_lang"), "n_grams"
+    )

@@ -69,19 +69,30 @@ def test_lid_drops_featureless_docs_and_pins_ties(spark):
     )
 
 
-def test_lid_scoring_aggregates_before_model_join(spark):
-    """The scale contract: the model join input is per-doc distinct-bucket
-    counts, not the raw gram stream — assert a partial aggregate sits
-    below the join in the plan."""
+def test_lid_scoring_single_agg_no_lang_fanout(spark):
+    """The scale contract: the model joins PIVOTED (one row per bucket,
+    per-language weight columns), so the gram stream is never multiplied
+    by n_langs, and the whole score+prior+argmax lands in ONE aggregation
+    — a single hashpartitioning Exchange (the doc agg; the model side is
+    a BroadcastExchange) and one stateful operator, which is what makes
+    the same plan run on a stream."""
     import contextlib
     import io
 
-    train, test = _splits(spark)
-    model = lid_fit(train, label_col="lang_true")
+    train, _ = _splits(spark)
+    # materialize the model (its own build shuffles don't belong to the
+    # score path) and score plain docs (no fixture repartition)
+    model = lid_fit(train, label_col="lang_true").localCheckpoint()
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "dog ran far")], "doc_id long, text string"
+    )
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        lid_predict(test, model, broadcast_model=True).explain("formatted")
+        lid_predict(docs, model, broadcast_model=True).explain("simple")
     plan = buf.getvalue()
-    join_pos = plan.find("BroadcastHashJoin")
-    agg_pos = plan.find("HashAggregate")
-    assert join_pos != -1 and agg_pos != -1
+    assert "BroadcastHashJoin" in plan, plan
+    # exactly two hash Exchanges: the model PIVOT (bounded by
+    # buckets x n_langs rows — metadata-sized at any corpus) and the one
+    # per-doc aggregation; the gram stream itself never shuffles before
+    # the broadcast join and never fans out by n_langs
+    assert plan.count("Exchange hashpartitioning") == 2, plan

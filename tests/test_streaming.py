@@ -923,3 +923,46 @@ def test_streaming_composed_curation_equals_batch(spark):
         spark.catalog.dropTempView("curation_sink")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_lid_scoring_equals_batch(spark):
+    """LID scoring on a stream: offline-fit model, pivoted stream-static
+    join, ONE stateful aggregation (the plan-shape test pins the single
+    agg). Streamed predictions equal batch bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from fdi_flow_spark.pipelines.lid import lid_fit, lid_predict, multilingual_docs
+    from fdi_flow_spark.sources.tables import load_table
+
+    ml = multilingual_docs(load_table(spark, "/root/testdata/sf0.001", "documents"))
+    model = lid_fit(
+        ml.where("doc_id % 5 != 0"), label_col="lang_true"
+    ).localCheckpoint()
+    batch = ml.where("doc_id % 5 = 0").select("doc_id", "text")
+    expect = sorted(tuple(r) for r in lid_predict(batch, model).collect())
+    assert len(expect) > 0
+
+    d = tempfile.mkdtemp(prefix="fdi_lid_stream_")
+    try:
+        batch.where("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(d)
+        batch.where("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            lid_predict(stream, model)
+            .writeStream.format("memory")
+            .queryName("lid_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.table("lid_sink").collect())
+        assert got == expect
+        spark.catalog.dropTempView("lid_sink")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
