@@ -275,6 +275,37 @@ def main() -> None:
         "| grouped rolling-corr rows:", rc.count(),
     )
 
+    # 9. r7: model-based language ID (fastText-LID family), the composed
+    # streaming ingest stage, and exact-dedup-first near-dup components.
+    from fdi_flow_spark.pipelines.curation import curation_stream_score
+    from fdi_flow_spark.pipelines.dedup import near_dup_components_grouped
+    from fdi_flow_spark.pipelines.lid import lid_fit, lid_predict, multilingual_docs
+    from fdi_flow_spark.pipelines.quality_model import nb_quality_fit
+    from fdi_flow_spark.pipelines.selection import dsir_fit
+
+    ml = multilingual_docs(docs)
+    lid_model = lid_fit(ml.where("doc_id % 5 != 0"), label_col="lang_true")
+    lid_pred = lid_predict(ml.where("doc_id % 5 = 0"), lid_model)
+    acc = (
+        lid_pred.join(ml.select("doc_id", "lang_true"), "doc_id")
+        .agg(F.avg((F.col("pred_lang") == F.col("lang_true")).cast("double")))
+        .first()[0]
+    )
+
+    corpus = docs.where("doc_id % 3 = 0")
+    scored = curation_stream_score(  # same plan runs on a readStream
+        docs.where("doc_id % 3 != 0"),
+        corpus.select(F.md5("text").alias("digest")).distinct(),
+        nb_quality_fit(corpus.withColumn("is_en", F.col("lang") == "en"), "is_en"),
+        dsir_fit(corpus, corpus.where("source = 'src0'")),
+    )
+    comps = near_dup_components_grouped(docs)
+    print(
+        "LID accuracy on cipher langs:", round(acc, 3),
+        "| ingest-scored docs:", scored.count(),
+        "| dedup-first components:", comps.select("component_id").distinct().count(),
+    )
+
     spark.stop()
 
 
