@@ -214,7 +214,12 @@ def main() -> None:
     from fdi_flow_spark.pipelines.multimodal import audio_features, image_features
     from fdi_flow_spark.sources.sinks import materialize_media
 
-    media_path = os.path.join(tempfile.mkdtemp(prefix="bench_media_"), "media")
+    import atexit
+    import shutil
+
+    _media_root = tempfile.mkdtemp(prefix="bench_media_")
+    atexit.register(shutil.rmtree, _media_root, ignore_errors=True)
+    media_path = os.path.join(_media_root, "media")
     materialize_media(load_table(spark, sf_dir, "documents"), media_path)
 
     def _img_pre(spark, _sf):

@@ -157,13 +157,18 @@ def _paired_samples(
         F.col(VALUE).alias(xb),
     )
     if pairs is not None:
-        # Enforce the documented canonical order and dedupe BEFORE the
-        # fan-out: a reversed row would silently yield reversed-contract
-        # output, and a duplicated row would double-count every ts in the
-        # trailing-window co-moment sums downstream. The pair list is tiny
-        # (it is broadcast), so the filter+distinct cost is nil.
+        # Canonicalize and dedupe BEFORE the fan-out: a reversed row is
+        # folded into the documented a < b order (not silently dropped —
+        # the caller named the pair, whichever way round), a duplicated
+        # or double-listed (a,b)/(b,a) row would double-count every ts in
+        # the trailing-window co-moment sums, and a degenerate (x,x) row
+        # is discarded. The pair list is tiny (it is broadcast), so the
+        # transform+distinct cost is nil.
         canon = (
-            pairs.select("series_a", "series_b")
+            pairs.select(
+                F.least("series_a", "series_b").alias("series_a"),
+                F.greatest("series_a", "series_b").alias("series_b"),
+            )
             .where(F.col("series_a") < F.col("series_b"))
             .dropDuplicates(["series_a", "series_b"])
         )

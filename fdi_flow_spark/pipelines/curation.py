@@ -423,8 +423,14 @@ def curation_stream_score(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
     )
     gated = cleaned.where(F.size(toks) >= min_tokens)
-    digests = corpus_digests.select(
-        F.col(corpus_digests.columns[0]).alias("_dg"), F.lit(True).alias("_hit")
+    # defensive distinct: a duplicate row in the persisted digest table
+    # would fan every matching doc out through the left join and silently
+    # multiply its gram counts and both scores (the static side is 16-byte
+    # digests, so the dedup is ~free)
+    digests = (
+        corpus_digests.select(F.col(corpus_digests.columns[0]).alias("_dg"))
+        .dropDuplicates()
+        .withColumn("_hit", F.lit(True))
     )
     flagged = (
         gated.withColumn("_dg", F.md5(F.col(text_col)))
@@ -432,21 +438,13 @@ def curation_stream_score(
         .withColumn("is_exact_dup", F.coalesce(F.col("_hit"), F.lit(False)))
         .drop("_dg", "_hit")
     )
-    # selection._gram_stream's exact gram definition, re-derived inline so
-    # the dup flag rides the explode (a join back to the stream would be
-    # the stream-stream join this operator exists to avoid)
-    toks2 = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
-    )
-    bigrams = F.expr(
-        """
-        transform(sequence(1, size(_t) - 1),
-                  i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))
-        """
-    )
-    grams = F.when(F.size("_t") >= 2, F.concat(F.col("_t"), bigrams)).otherwise(
-        F.col("_t")
-    )
+    # selection.gram_exprs is THE shared gram definition (DSIR / NB /
+    # here), applied inline so the dup flag rides the explode (a join
+    # back to the stream would be the stream-stream join this operator
+    # exists to avoid)
+    from fdi_flow_spark.pipelines.selection import gram_exprs
+
+    toks2, grams = gram_exprs(text_col)
     g = (
         flagged.select(
             F.col(id_col).alias("id"), F.col("is_exact_dup"), toks2.alias("_t")

@@ -971,12 +971,24 @@ def near_dup_components_grouped(
     text, so every exact twin shares its representative's signature,
     every twin pair estimates jaccard 1.0 >= threshold (same component),
     and every cross-group pair has the same estimate through any of its
-    members (same connectivity). The equality is pinned by a pytest
-    parity test on a planted-twin corpus; the 100x fixture runs ~2 orders
-    of magnitude less join work."""
-    base = docs.select(
-        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_dg")
+    members (same connectivity). Docs whose text yields NO shingles
+    (fewer than ``n`` tokens, empty, or NULL) are forced singletons —
+    the direct path gives them no pairs AT ALL, not even with exact
+    twins, so collapsing them by digest would merge what the direct path
+    leaves apart. The equality is pinned by a pytest parity test on a
+    planted-twin corpus (including shingle-less twins); the 100x fixture
+    runs ~2 orders of magnitude less join work."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
+    flagged = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col),
+        # coalesce: size() of a NULL text is NULL, and NULL falls through
+        # BOTH a `where(_sh)` and a `where(~_sh)` — the NULL-text doc
+        # would silently vanish from the output instead of going the
+        # singleton route
+        F.coalesce(F.size(toks) >= n, F.lit(False)).alias("_sh"),
     )
+    base = flagged.where("_sh").select("id", F.md5(F.col(text_col)).alias("_dg"))
     groups = base.groupBy("_dg").agg(F.min("id").alias("rep"))
     reps = (
         groups.join(
@@ -998,8 +1010,12 @@ def near_dup_components_grouped(
     # members inherit their representative's component; the component id
     # stays the smallest doc id in the component because representatives
     # are per-group minima and components are labeled by min rep
-    return (
+    attached = (
         base.join(reps.select("_dg", "rep"), "_dg")
         .join(rep_comp, "rep")
         .select(F.col("id").alias(id_col), F.col("_rc").alias("component_id"))
     )
+    singletons = flagged.where(~F.col("_sh")).select(
+        F.col("id").alias(id_col), F.col("id").alias("component_id")
+    )
+    return attached.unionByName(singletons)

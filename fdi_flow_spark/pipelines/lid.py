@@ -149,7 +149,12 @@ def lid_fit(
     )
     return (
         domain.join(counts, ["lang", "b"], "left")
-        .join(totals, "lang")
+        # LEFT join + coalesce: a labeled language whose docs yield zero
+        # grams (all texts < 2 chars) has no totals row; an inner join
+        # would silently drop its whole (b, lang) slice from the model —
+        # breaking the full-domain contract and making it unpredictable.
+        # With n = 0 its weights collapse to the pure-Laplace ln(1/B).
+        .join(totals, "lang", "left")
         .join(dp, "lang")
         .crossJoin(dt)
         .select(
@@ -157,7 +162,7 @@ def lid_fit(
             "lang",
             (
                 F.log(F.coalesce(F.col("c"), F.lit(0)) + 1)
-                - F.log(F.col("n") + buckets)
+                - F.log(F.coalesce(F.col("n"), F.lit(0)) + buckets)
             ).alias("w"),
             (F.log(F.col("dl") + 1) - F.log(F.col("dd") + F.col("ll"))).alias(
                 "prior"

@@ -38,17 +38,10 @@ def _labeled_gram_stream(
     """Per-occurrence lowercase word unigrams + bigrams keeping the label:
     ``(id, label, gram)`` — the DSIR feature map (selection.py:37-56) with
     the supervision column carried through."""
+    from fdi_flow_spark.pipelines.selection import gram_exprs
+
     docs = ensure_min_parallelism(docs, id_col)
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
-    bigrams = F.expr(
-        """
-        transform(sequence(1, size(_t) - 1),
-                  i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))
-        """
-    )
-    grams = F.when(F.size("_t") >= 2, F.concat(F.col("_t"), bigrams)).otherwise(
-        F.col("_t")
-    )
+    toks, grams = gram_exprs(text_col)
     return (
         docs.select(
             F.col(id_col).alias("id"),

@@ -34,12 +34,16 @@ from fdi_flow_spark.core.partitioning import ensure_min_parallelism
 from fdi_flow_spark.pipelines.curation import _hash_bucket
 
 
-def _gram_stream(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-occurrence lowercase word unigrams + bigrams: ``(id, gram)``.
-    Occurrence-weighted (not distinct) — DSIR's product over feature
-    occurrences, like the LM bigram stream and unlike the dedup shingles."""
-    docs = ensure_min_parallelism(docs, id_col)
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+def gram_exprs(text_col: str):
+    """The ONE definition of the unigram+bigram feature map shared by
+    DSIR, the NB quality classifier, and the composed ingest stage
+    (whose composed-vs-standalone score parity REQUIRES all three to
+    tokenize identically — a drifted copy would break it silently).
+    Returns ``(toks, grams)`` Column builders; the caller must alias the
+    token array as ``_t`` before evaluating ``grams``."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
     bigrams = F.expr(
         """
         transform(sequence(1, size(_t) - 1),
@@ -49,6 +53,15 @@ def _gram_stream(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     grams = F.when(F.size("_t") >= 2, F.concat(F.col("_t"), bigrams)).otherwise(
         F.col("_t")
     )
+    return toks, grams
+
+
+def _gram_stream(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-occurrence lowercase word unigrams + bigrams: ``(id, gram)``.
+    Occurrence-weighted (not distinct) — DSIR's product over feature
+    occurrences, like the LM bigram stream and unlike the dedup shingles."""
+    docs = ensure_min_parallelism(docs, id_col)
+    toks, grams = gram_exprs(text_col)
     return (
         docs.select(F.col(id_col).alias("id"), toks.alias("_t"))
         .where(F.size("_t") >= 1)

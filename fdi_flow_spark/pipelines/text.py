@@ -8,6 +8,9 @@ parquet at I/O speed with full column pruning.
 
 from __future__ import annotations
 
+import re
+import unicodedata
+
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
@@ -302,18 +305,20 @@ def bm25_rank(
     return ranked.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
+_CTRL_RE = re.compile(r"[\x00-\x09\x0b-\x1f\x7f]")
+_SPACE_RUN_RE = re.compile(r" +")
+
+
 def _clean_str(t: str | None) -> str:
     """The normalize_text cleaning kernel on one string: NFC, strip control
     chars (C0 except newline, plus DEL), collapse space runs, trim
     spaces/newlines at the edges. Shared by the report operator
     (``normalize_text``) and the text-passthrough one (``clean_docs``) so
-    the two can never drift."""
-    import re
-    import unicodedata
-
+    the two can never drift. Patterns precompiled at module level — this
+    runs per document inside the ingest path's Arrow batches."""
     t = unicodedata.normalize("NFC", t or "")
-    t = re.sub(r"[\x00-\x09\x0b-\x1f\x7f]", "", t)
-    return re.sub(r" +", " ", t).strip(" \n")
+    t = _CTRL_RE.sub("", t)
+    return _SPACE_RUN_RE.sub(" ", t).strip(" \n")
 
 
 def clean_docs(

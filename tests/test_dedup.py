@@ -584,6 +584,15 @@ def test_grouped_components_equal_direct_on_planted_twins(spark):
     base = load_table(spark, "/root/testdata/sf0.001", "documents").select(
         "doc_id", "text"
     )
+    # plant shingle-less twins (single-token and NULL text): the direct
+    # path gives them NO pairs — not even with their exact twins — so the
+    # grouped path must force them singleton rather than digest-collapse
+    base = base.unionByName(
+        spark.createDataFrame(
+            [(900_001, "hello"), (900_002, "hello"), (900_003, None)],
+            "doc_id long, text string",
+        )
+    )
     twins = base
     for i in (1, 2, 3):  # every doc gains 3 exact twins
         twins = twins.unionByName(
