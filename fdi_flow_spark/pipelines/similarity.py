@@ -379,39 +379,182 @@ def cosine_topk_ivf(
     )
 
 
+def cosine_near_dup_blocked(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_block: int = 8192,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs with NO driver-side corpus
+    materialization — the beyond-broadcast *exact* path (the approximate
+    beyond-broadcast path is ``cosine_near_dup_lsh``).
+
+    Grid self-join on hash-assigned row blocks: every row lands in one of
+    ``n_blocks`` buckets by id hash; each block packs into a single row
+    (``collect_list`` of ``(id, vec)`` structs); the upper-triangle
+    block-pair grid (``blk_a <= blk_b``, generated distributed via
+    ``spark.range`` — never a driver-side pair list) equi-joins the packed
+    table twice; each joined row streams through an Arrow-batched BLAS
+    matmul emitting only above-threshold pairs. Total arithmetic is the
+    same O(n^2 d) as the broadcast path, but per-task memory is
+    ``2 * rows_per_block * d * 8`` bytes regardless of corpus size, and
+    the only driver work is a count() when ``n_blocks`` is not given.
+    Data movement is O(n * n_blocks) — each block ships once per partner
+    block — the unavoidable cost of *exact* all-pairs at scale.
+
+    Output contract is identical to ``cosine_near_dup_pairs``:
+    ``(id_a, id_b, cosine)`` with ``id_a < id_b``, cosine rounded to 6 dp,
+    zero vectors clamped (cosine ~0, never NaN). Each unordered pair is
+    examined in exactly one block-pair task, so no dedup pass is needed.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    spark = emb.sparkSession
+    schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    base = emb.select(
+        F.col(id_col).cast("long").alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    if n_blocks is None:
+        n = base.count()  # distributed aggregate; no row data reaches the driver
+        if n == 0:
+            return spark.createDataFrame([], schema)
+        n_blocks = max(1, -(-n // rows_per_block))
+    nb = int(n_blocks)
+    # Pack each hash block into one row. localCheckpoint: the pack feeds BOTH
+    # replication legs below — without the cut the corpus scan + block agg
+    # would run twice (the repeated-scan audit is a CI invariant).
+    packed = (
+        base.withColumn("_blk", F.pmod(F.xxhash64("_id"), F.lit(nb)))
+        .groupBy("_blk")
+        .agg(F.collect_list(F.struct("_id", "_v")).alias("_pack"))
+        .localCheckpoint(eager=False)
+    )
+    # Upper-triangle block grid, generated distributed (nb^2 never touches
+    # the driver even at nb ~ 10^4) and broadcast — so replicating a block to
+    # its partner pairs is map-side.
+    grid = (
+        spark.range(nb * nb)
+        .select(
+            (F.col("id") / nb).cast("long").alias("_ba"),
+            F.pmod(F.col("id"), F.lit(nb)).alias("_bb"),
+        )
+        .where(F.col("_ba") <= F.col("_bb"))
+    )
+    from pyspark.sql.functions import broadcast
+
+    # BlockMatrix-multiply shape: replicate each block to every pair key it
+    # participates in, then ONE shuffle keyed by (ba, bb) groups the two
+    # sides together. Keying by the pair (not by one block id) spreads the
+    # O(n * nb) replicated bytes evenly over reducers — a join keyed on one
+    # side would concentrate a block's entire partner set in one task.
+    side_a = packed.join(broadcast(grid), packed["_blk"] == grid["_ba"]).select(
+        "_ba", "_bb", F.col("_pack").alias("_p"), F.lit(0).alias("_side")
+    )
+    side_b = packed.join(broadcast(grid), packed["_blk"] == grid["_bb"]).select(
+        "_ba", "_bb", F.col("_pack").alias("_p"), F.lit(1).alias("_side")
+    )
+    joined = (
+        side_a.unionByName(side_b)
+        .groupBy("_ba", "_bb")
+        .agg(
+            F.first(F.when(F.col("_side") == 0, F.col("_p")), ignorenulls=True).alias(
+                "_pa"
+            ),
+            F.first(F.when(F.col("_side") == 1, F.col("_p")), ignorenulls=True).alias(
+                "_pb"
+            ),
+        )
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                pa, pb = row["_pa"], row["_pb"]
+                if pa is None or pb is None or not len(pa) or not len(pb):
+                    continue
+                ida = np.array([r["_id"] for r in pa], dtype=np.int64)
+                A = np.array([r["_v"] for r in pa], dtype=np.float64)
+                idb = np.array([r["_id"] for r in pb], dtype=np.int64)
+                B = np.array([r["_v"] for r in pb], dtype=np.float64)
+                An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+                Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+                S = An @ Bn.T
+                mask = S >= threshold
+                if row["_ba"] == row["_bb"]:
+                    mask &= ida[:, None] < idb[None, :]
+                i, j = np.nonzero(mask)
+                if not len(i):
+                    continue
+                lo = np.minimum(ida[i], idb[j])
+                hi = np.maximum(ida[i], idb[j])
+                yield pd.DataFrame(
+                    {"id_a": lo, "id_b": hi, "cosine": np.round(S[i, j], 6)}
+                )
+
+    return joined.select("_ba", "_bb", "_pa", "_pb").mapInPandas(fn, schema)
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_collect_rows: int = 2_000_000,
+    strategy: str = "auto",
+    rows_per_block: int = 8192,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (driver mandate §2.9):
     every ``(id_a, id_b)`` with ``id_a < id_b`` and cosine >= ``threshold``.
     Zero vectors score cosine ~0 (clamped norms), never NaN.
 
-    Execution: the corpus matrix is L2-normalized once on the driver and
-    broadcast; candidate rows stream through a blocked BLAS matmul, emitting
-    only above-threshold upper-triangle pairs — the shuffle carries matches,
-    never the O(n^2) pair space. Valid while one side fits in a broadcast;
-    the collect itself is capped at ``max_collect_rows + 1`` rows (a LIMIT
-    pushed into the scan — no separate count pass) and points at
-    ``cosine_near_dup_lsh``, the beyond-broadcast path, instead of letting
-    the driver OOM mid-collect.
+    ``strategy='broadcast'``: the corpus matrix is L2-normalized once on the
+    driver and broadcast; candidate rows stream through a blocked BLAS
+    matmul, emitting only above-threshold upper-triangle pairs — the shuffle
+    carries matches, never the O(n^2) pair space. Fast while one side fits
+    in a broadcast; the collect is capped at ``max_collect_rows + 1`` rows
+    (a LIMIT pushed into the scan — no separate count pass).
+
+    ``strategy='blocked'``: ``cosine_near_dup_blocked`` — same exact output,
+    no driver-side corpus materialization (grid self-join on hash blocks).
+
+    ``strategy='auto'`` (default): broadcast under the cap, blocked beyond
+    it — the cap is a fast-path switch, not a hard ceiling.
     """
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
+    if strategy not in ("auto", "broadcast", "blocked"):
+        raise ValueError(
+            f"strategy must be 'auto', 'broadcast' or 'blocked', got {strategy!r}"
+        )
+    if strategy == "blocked":
+        return cosine_near_dup_blocked(
+            emb, threshold, id_col, vec_col, rows_per_block=rows_per_block
+        )
     rows = (
         emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
         .limit(max_collect_rows + 1)
         .collect()
     )
     if len(rows) > max_collect_rows:
+        if strategy == "auto":
+            return cosine_near_dup_blocked(
+                emb, threshold, id_col, vec_col, rows_per_block=rows_per_block
+            )
         raise ValueError(
-            f"cosine_near_dup_pairs broadcasts the corpus (> "
-            f"max_collect_rows={max_collect_rows} rows); use "
-            "cosine_near_dup_lsh for beyond-broadcast corpora"
+            f"cosine_near_dup_pairs(strategy='broadcast') collects the corpus "
+            f"(> max_collect_rows={max_collect_rows} rows); use "
+            "strategy='blocked' (exact) or cosine_near_dup_lsh (approximate) "
+            "for beyond-broadcast corpora"
         )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     spark = emb.sparkSession

@@ -1100,12 +1100,19 @@ def q_spectral_windows(spark, sf_dir):  # precedent — golden-tested kernel)
     .spectral_features``): band-energy fractions, dominant frequency,
     spectral entropy per 64-sample window — G1 segmentation into ONE
     Arrow-batched ``mapInPandas`` FFT pass (batch-matrix rfft, not
-    per-row)."""
+    per-row). The ``band_energy`` array is posexploded to scalar
+    ``(band, energy)`` rows here: the driver's rows-only check
+    canonicalizes every output column, and array cells are unhashable
+    under its pandas sort (the r1 ``observer_replay`` failure mode)."""
     from fdi_flow_spark.operators import spectral_features
 
-    return spectral_features(
+    feats = spectral_features(
         events_series(spark, sf_dir), window_size=64, step=32, sample_rate=1.0, n_bands=4
     )
+    scalar_cols = [f.name for f in feats.schema.fields if f.name != "band_energy"]
+    return feats.select(
+        *scalar_cols, F.posexplode("band_energy").alias("band", "energy")
+    ).withColumn("energy", F.round("energy", 6))
 
 
 @register("bandpass_filter")  # rows-only: whole-series FFT
@@ -2419,6 +2426,29 @@ def q_knn(spark, sf_dir):
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (driver mandate §2.9), exact."""
     return cosine_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "embedding_near_dup_blocked",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.4
+    """,
+)
+def q_embedding_near_dup_blocked(spark, sf_dir):
+    """Exact near-dup pairs via the block-grid self-join (r8): hash-assigned
+    row blocks, upper-triangle block-pair grid, BLAS matmul per pair task —
+    the corpus NEVER touches the driver (the broadcast path's 2M-row cap is
+    a fast-path switch, not a ceiling). Same oracle as ``embedding_near_dup``:
+    the two paths are output-identical by construction and by pytest parity."""
+    from fdi_flow_spark.pipelines.similarity import cosine_near_dup_blocked
+
+    return cosine_near_dup_blocked(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, rows_per_block=256
+    )
 
 
 @register("embedding_near_dup_lsh")  # rows-only (approximate; recall in pytest)
@@ -4811,56 +4841,53 @@ def q_series_profile(spark, sf_dir):
 
 
 # ------------------------------------------------------------ registry order
-# The correctness driver checks the FIRST 50 registered queries. Since r4
-# all 50 slots are oracle-backed AND kernel-diverse: every observer replay
-# gained a fixture-literal recursive-CTE oracle, so the replay twins sit
-# outside the window (pytest-hash-checked) and the freed slots carry the
-# codec-chain proofs instead. Oracle-backed queries outside the window
-# (_WINDOW_EXCLUDED_ORACLES) are NOT re-proved by their in-window twins —
-# they are distinct implementations — but each one is hash-checked against
-# its own oracle every pytest run via ``tests/test_oracle_queries.py``'s
-# parametrization over ORACLES.
+# The correctness driver checks the FIRST 50 registered queries (full
+# hash-vs-oracle for oracle-backed entries, rows-only for the rest — and the
+# rows-only check still canonicalizes every output column, so window queries
+# must emit scalar columns only; see spectral_windows). Oracle-backed queries
+# outside the window (_WINDOW_EXCLUDED_ORACLES) are NOT re-proved by their
+# in-window twins — they are distinct implementations — but each one is
+# hash-checked against its own oracle every pytest run via
+# ``tests/test_oracle_queries.py``'s parametrization over ORACLES.
 _WINDOW_PRIORITY = [
-    # --- r6 rotation: per round-5 VERDICT, the window is led by the 29
-    # oracle-backed queries that had NEVER appeared in a driver CORRECTNESS
-    # round (they pass pytest's oracle rehearsal every run, but the driver
-    # gate is the hard signal). 21 r5-driver-passed sentinels stay to keep
-    # the relational core + one representative of each major kernel family
-    # under the driver's eye.
-    #
-    # --- r7 rotation (round-6 VERDICT item 2): the LAST 3 oracle-backed
-    # queries never seen by the driver — kn_perplexity, kn3_perplexity,
-    # series_pacf (all r6 additions). With these in, every one of the 108
-    # oracle-backed queries has faced the driver at least once.
-    "kn_perplexity", "kn3_perplexity", "series_pacf",
-    # r7 NEW oracles, placed straight into the window so they face the
-    # driver the round they land (gap_fill / source_mix rotated out)
+    # --- r8 rotation (round-7 VERDICT items 1+3): first, the 5 oracle-backed
+    # queries that have NEVER had a green driver check — the observer replay
+    # trio's only driver contact was r1 under the harness array-column
+    # TypeError (before their conversion to element-wise recursive-CTE
+    # oracles), multimodal_image_resize gained its oracle after its last
+    # window slot, and dedup_components_grouped landed post-window in r7b.
+    "observer_replay_kalman", "observer_replay_sliding",
+    "observer_replay_luenberger", "multimodal_image_resize",
+    "dedup_components_grouped",
+    # r8 NEW oracle, in-window the round it lands: the block-grid exact
+    # cosine path (removes the broadcast path's driver-collect ceiling)
+    "embedding_near_dup_blocked",
+    # --- the 16 rows-only registry queries with ZERO driver contact to date
+    # (round-7 VERDICT item 3): the driver's rows-check catches
+    # environment-specific breakage pytest can't. simulate_linear_batch
+    # errored in r1 on array columns; flattened since — this re-checks it.
+    "bpe_tokenize", "unigram_tokenize", "forecast_predict_lstm",
+    "simulate_nonlinear_events", "simulate_linear_batch",
+    "cosine_topk_lsh", "cosine_topk_ivf", "cosine_topk_pq",
+    "cosine_topk_ivfpq", "embedding_near_dup_lsh",
+    "spectral_windows", "spline_smooth_resample", "multimodal_audio_bands",
+    "xgb_classify_embeddings", "lgbm_classify_embeddings",
+    "catboost_classify_embeddings",
+    # --- r7-passed second-round confirmations: the two r7-new oracles keep a
+    # consecutive-round check, plus family heads whose r7 window twins
+    # rotated out (chunked recurrences / co-moment windows / robust stats /
+    # text quality / end-to-end composition)
     "language_id_model", "curation_scored",
-    # r6-driver-passed: drift / series analytics (cross_corr and
-    # mad_outliers rotated OUT r7 — co-moment / robust-stat family twins
-    # rolling_corr / series_profile stay in)
-    "kalman1d_chunked", "page_hinkley_drift",
-    "rolling_corr", "time_bucket_rollup",
-    "series_profile", "value_histogram", "user_sessions",
-    "pattern_search", "fdi_pipeline",
-    # r6-driver-passed: text / curation (text_normalize rotated OUT r7 —
-    # projection-kernel family stays covered by readability/gopher_filter)
-    "quality_classifier", "tfidf_vectors", "gopher_filter", "ngram_counts",
-    "readability", "text_repetition",
-    "domain_filter",
-    # never-driver-checked: span-level + incremental dedup, contamination
-    "span_contamination", "duplicated_spans", "dedup_incremental",
-    "corpus_contamination", "corpus_decontaminate",
-    # never-driver-checked: selection + quantized ANN
-    "dsir_select", "pq_encode", "cosine_topk_q8",
-    # --- sentinels (all driver-passed in CORRECTNESS_r05): relational core
+    "kalman1d_chunked", "rolling_corr", "series_profile", "gopher_filter",
+    "fdi_pipeline",
+    # --- sentinels (driver-passed r5-r7): relational core
     "q1_pricing_summary", "q3_top_orders", "q5_nation_volume",
     "q6_revenue_change",
     # sentinels: window/scaler/segmenter/recurrence kernels
     "moving_average_valid", "standard_scaler", "ewma_closed_form",
     "segment_windows", "forecast_prep", "resample_linear",
     "asof_join_purchase",
-    # sentinels: simulation / observer replay + codec chains
+    # sentinels: simulation / observer + codec chains
     "observer_luenberger_events", "simulate_euler_events",
     "video_frame_features", "multimodal_image_features",
     # sentinels: dedup / similarity / text / curation representatives
@@ -4879,11 +4906,6 @@ _WINDOW_EXCLUDED_ORACLES = {
     # per-round swap rationale)
     "ewma_chunked",       # chunk-parallel scan twin of ewma_closed_form
     "holt_chunked",       # 2x2 affine-scan twin of holt_smoothing
-    "observer_replay_kalman",   # fixture-literal CTE twins of the
-    "observer_replay_sliding",  # events-driven O2/O3 oracles (same kernels,
-                                # control term live)
-    "observer_replay_luenberger",  # same recursive-CTE kernel family as
-                                   # in-window observer_luenberger_events
     "median_filter_zeros",  # zero-pad variant of median_filter_edge's kernel
     "moving_average_padded",  # edge-pad variant of moving_average_valid
     "resample_nearest",   # same resample() gather as in-window resample_linear
@@ -4896,9 +4918,6 @@ _WINDOW_EXCLUDED_ORACLES = {
                           # (driver-passed r1-r5)
     "video_frame_sample",  # sequence+explode kernel in-window via
                            # segment_windows
-    "multimodal_image_resize",  # second BMP-decode proof (resize gather);
-                                # codec chain in-window via
-                                # multimodal_image_features
     "simulate_discrete_events",  # same applyInPandas-sim + recursive-CTE
                                  # family as in-window simulate_euler_events
     "observer_kalman_events",    # same observer-replay kernel family as
@@ -4920,10 +4939,6 @@ _WINDOW_EXCLUDED_ORACLES = {
                            # semantic_dedup (driver-passed r5)
     "dedup_exact",  # 16-byte digest hash-agg, groupBy family of in-window
                     # q1_pricing_summary
-    "dedup_components_grouped",  # r7: output-identical exact-dedup-first
-                                 # ordering of in-window dedup_components
-                                 # (same oracle verbatim); equality pinned
-                                 # by the planted-twin parity pytest
     "top_orders_per_customer",  # rank-window top-k per group, same
                                 # WindowGroupLimit kernel as in-window
                                 # cosine_topk
@@ -4953,8 +4968,52 @@ _WINDOW_EXCLUDED_ORACLES = {
                       # new curation_scored oracle
     "mad_outliers",   # robust-stat percentile family; in-window via
                       # series_profile
-    "text_normalize",  # pure-projection kernel; in-window via readability /
-                       # gopher_filter
+    "text_normalize",  # pure-projection kernel; in-window via gopher_filter
+    # --- r8 rotation: driver-passed in CORRECTNESS_r07 (hash_match=true in
+    # the committed artifact), rotated OUT to free slots for the 5 oracles
+    # with no green driver check, the new embedding_near_dup_blocked oracle,
+    # and the 16 zero-driver-contact rows-only queries (round-7 VERDICT
+    # items 1+3). Each keeps pytest-hash evidence every suite run.
+    "kn_perplexity", "kn3_perplexity",  # three-layer KN backoff family;
+                                        # count-table LM machinery in-window
+                                        # via language_id_model
+    "series_pacf",        # Durbin-Levinson projection chain; window-analytics
+                          # family in-window via rolling_corr
+    "page_hinkley_drift",  # cumulative-deviation scan family of in-window
+                           # kalman1d_chunked's carry chain
+    "time_bucket_rollup",  # bucketed grouped-agg family of in-window
+                           # q1_pricing_summary
+    "value_histogram",    # width_bucket grouped agg, family of in-window
+                          # series_profile
+    "user_sessions",      # sessionization gaps-and-islands window kernel,
+                          # family of in-window rolling_corr
+    "pattern_search",     # z-normalized sliding-distance kernel, family of
+                          # in-window segment_windows + cosine_topk
+    "quality_classifier",  # NB count-table scoring; model family in-window
+                           # via language_id_model / curation_scored
+    "tfidf_vectors",      # hashed-gram join + idf agg; in-window via
+                          # curation_scored's tfidf stage
+    "ngram_counts",       # gram explode + count agg; in-window via
+                          # language_id_model's gram scan
+    "readability",        # pure-projection token stats; in-window via
+                          # gopher_filter
+    "text_repetition",    # Gopher repetition fractions; in-window via
+                          # gopher_filter
+    "domain_filter",      # regex-projection + broadcast semi-join family of
+                          # in-window curation_pipeline stages
+    "span_contamination",  # hashed k-token window join; in-window via
+                           # span_dedup
+    "duplicated_spans",   # same _token_windows kernel as in-window span_dedup
+    "dedup_incremental",  # prebuilt band-index probe; banding kernel
+                          # in-window via minhash_dedup_pairs
+    "corpus_contamination",  # hashed-gram broadcast join; in-window via
+    "corpus_decontaminate",  # span_dedup + curation_pipeline's decontam stage
+    "dsir_select",        # importance-weight top-k; TakeOrdered family of
+                          # in-window cosine_topk
+    "pq_encode",          # fused Arrow-pass PQ encode; quantization family
+                          # in-window via cosine_topk_pq/ivfpq (rows checks)
+    "cosine_topk_q8",     # SQ8 scored top-k; in-window via cosine_topk +
+                          # cosine_topk_pq
 }
 
 

@@ -194,10 +194,75 @@ def test_near_dup_zero_norm_no_nan(spark):
 
 
 def test_near_dup_collect_guard_raises(spark, emb):
-    """Over-threshold corpora must be refused with a pointer at the LSH
-    path instead of collecting to the driver."""
-    with pytest.raises(ValueError, match="cosine_near_dup_lsh"):
-        cosine_near_dup_pairs(emb, threshold=0.4, max_collect_rows=10)
+    """strategy='broadcast' must refuse over-threshold corpora with a
+    pointer at the scale paths instead of collecting to the driver."""
+    with pytest.raises(ValueError, match="blocked"):
+        cosine_near_dup_pairs(
+            emb, threshold=0.4, max_collect_rows=10, strategy="broadcast"
+        )
+
+
+def test_near_dup_auto_falls_back_to_blocked(spark, emb):
+    """strategy='auto' beyond the broadcast cap routes to the block-grid
+    exact path — same pairs, no error (the cap is a switch, not a ceiling)."""
+    golden = _golden_pairs(emb, 0.4)
+    got = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs(
+            emb, threshold=0.4, max_collect_rows=10, rows_per_block=64
+        ).collect()
+    }
+    assert got == golden
+
+
+def test_near_dup_blocked_parity_with_broadcast(spark, emb):
+    """The block-grid exact path is row-identical (ids AND rounded cosines)
+    to the broadcast path, across block counts that force multi-block grids
+    and a diagonal-only grid."""
+    from fdi_flow_spark.pipelines.similarity import cosine_near_dup_blocked
+
+    base = sorted(
+        map(tuple, cosine_near_dup_pairs(emb, threshold=0.4, strategy="broadcast").collect())
+    )
+    for nb in (1, 7):
+        got = sorted(
+            map(tuple, cosine_near_dup_blocked(emb, threshold=0.4, n_blocks=nb).collect())
+        )
+        assert got == base, f"n_blocks={nb}"
+
+
+def test_near_dup_blocked_zero_norm_and_empty(spark):
+    """Blocked path: zero vectors clamp (no NaN pairs), empty corpus gives
+    an empty result through the count-derived block path."""
+    from fdi_flow_spark.pipelines.similarity import cosine_near_dup_blocked
+
+    emb = _tie_fixture(spark)
+    rows = cosine_near_dup_blocked(emb, threshold=0.4, n_blocks=3).collect()
+    assert all(not np.isnan(r.cosine) for r in rows)
+    assert all(6 not in (r.id_a, r.id_b) for r in rows)
+    none = emb.where(F.col("vec_id") < 0)
+    assert cosine_near_dup_blocked(none, threshold=0.4).count() == 0
+
+
+def test_near_dup_blocked_no_driver_materialization(spark, emb):
+    """The blocked path must never pull corpus rows to the driver: plan
+    construction (including the count-based block sizing) runs with
+    DataFrame.collect / toPandas / toLocalIterator forbidden."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    from fdi_flow_spark.pipelines.similarity import cosine_near_dup_blocked
+
+    def _forbidden(self, *a, **k):  # pragma: no cover - failure path
+        raise AssertionError("driver-side row materialization in blocked path")
+
+    with mock.patch.object(DataFrame, "collect", _forbidden), mock.patch.object(
+        DataFrame, "toPandas", _forbidden
+    ), mock.patch.object(DataFrame, "toLocalIterator", _forbidden):
+        out = cosine_near_dup_blocked(emb, threshold=0.4, rows_per_block=64)
+    # executing the plan afterwards still yields the exact pairs
+    assert {(r.id_a, r.id_b) for r in out.collect()} == _golden_pairs(emb, 0.4)
 
 
 def test_ivf_index_roundtrip_and_pruning(spark, tmp_path):
