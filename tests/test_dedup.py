@@ -613,3 +613,87 @@ def test_grouped_components_equal_direct_on_planted_twins(spark):
     base_ids = [r["doc_id"] for r in base.limit(5).collect()]
     for b in base_ids:
         assert g[b] == g[b + 100_000] == g[b + 200_000] == g[b + 300_000]
+
+
+def test_minhash_bucket_cap_output_identical_and_chunks_bounded(spark):
+    """r8 (VERDICT r7 item 4): a planted 150-member exact-twin group puts
+    >=150 rows in every band bucket — 11k+ pairs in one reducer under the
+    plain self-join. With ``max_bucket_rows`` set, oversize buckets route
+    through the salted chunk grid: the OUTPUT must be bit-identical (ids,
+    est_jaccard) and per-chunk membership stays ~cap, so no reducer sees
+    more than ~cap^2 pair checks."""
+    from pyspark.sql import functions as F
+
+    from fdi_flow_spark.pipelines.dedup import minhash_dedup_pairs
+    from fdi_flow_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    twin = docs.limit(1).select(F.lit(0).alias("k"), "text")
+    planted = docs.unionByName(
+        spark.range(150)
+        .select((F.col("id") + 500_000).alias("doc_id"))
+        .crossJoin(twin)
+        .select("doc_id", "text")
+    )
+    uncapped = sorted(
+        map(tuple, minhash_dedup_pairs(planted, max_bucket_rows=None).collect())
+    )
+    capped = sorted(
+        map(tuple, minhash_dedup_pairs(planted, max_bucket_rows=32).collect())
+    )
+    assert len(uncapped) > 11_000  # the skew is real on this fixture
+    assert capped == uncapped
+    # chunk-boundedness: the grid assigns chunk = xxhash64(id) % ceil(m/cap);
+    # verify via the same formula that no chunk of the planted group exceeds
+    # a small multiple of the cap (uniform hash -> ~cap members per chunk)
+    m, cap = 150, 32
+    nc = -(-m // cap)
+    chunks = (
+        spark.range(150)
+        .select((F.col("id") + 500_000).alias("id"))
+        .select(F.pmod(F.xxhash64("id"), F.lit(nc)).alias("c"))
+        .groupBy("c")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in chunks) <= 3 * cap
+    # corpora with no oversize buckets: the default cap changes nothing
+    plain_un = sorted(
+        map(tuple, minhash_dedup_pairs(docs, max_bucket_rows=None).collect())
+    )
+    plain_cap = sorted(map(tuple, minhash_dedup_pairs(docs).collect()))
+    assert plain_un == plain_cap
+
+
+def test_near_dup_components_default_is_grouped_with_direct_optout(spark):
+    """r8: the end-to-end entry point defaults to the digest-collapse
+    ordering (the plan contains the md5 digest stage) while
+    ``exact_first=False`` opts back out to the direct composition — and
+    both give identical labels on the real corpus."""
+    import contextlib
+    import io
+
+    from fdi_flow_spark.pipelines.dedup import near_dup_components
+    from fdi_flow_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    grouped = near_dup_components(docs)
+    direct = near_dup_components(docs, exact_first=False)
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("extended")
+        return buf.getvalue()
+
+    # the digest-collapse stage groups on the content digest alias `_dg`
+    # (md5 alone is no marker — shingle hashing is md5-based in both paths)
+    assert "_dg" in plan_of(grouped)
+    assert "_dg" not in plan_of(direct)
+    g = {r["doc_id"]: r["component_id"] for r in grouped.collect()}
+    d = {r["doc_id"]: r["component_id"] for r in direct.collect()}
+    assert g == d
