@@ -398,6 +398,13 @@ def curation_stream_score(
     ``(doc_id, is_exact_dup, n_grams, quality_score, quality_pred,
     dsir_log_weight)`` (scores rounded to 6 dp).
 
+    CONTRACT (ADVICE r7): ``corpus_digests`` must hold digests of the
+    corpus text AFTER ``clean_docs`` — the arriving side is digested
+    post-cleanup, so raw-text corpus digests would silently never flag a
+    corpus doc whose text the cleanup alters (double spaces, control
+    chars). Build it as
+    ``clean_docs(corpus).select(F.md5("text"))...distinct()``.
+
     Why this composes on a STREAM (where chaining the individual
     operators would not): every stateful stage is folded into a single
     ``groupBy(doc)`` aggregation. The NB gram stream and the DSIR gram

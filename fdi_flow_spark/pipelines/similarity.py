@@ -88,6 +88,16 @@ def _blocked_partial_topk(candidates: DataFrame, q_ids, q_mat, k: int, metric: s
                 )
                 S = d2
                 order_scores = S
+            # NaN guard (ADVICE r7): NaN vector components propagate into
+            # the l2 distances (cosine is norm-clamped). Left alone they
+            # poison BOTH selections — np.partition can pick NaN at the
+            # kk-th slot (`<=` then drops every candidate for that query),
+            # and an emitted NaN becomes SQL NULL, which sorts FIRST in the
+            # downstream ascending rank. Pin non-finite scores to the
+            # worst-possible value instead, so NaN candidates rank last in
+            # batch selection and in the global rank alike.
+            order_scores = np.where(np.isfinite(order_scores), order_scores, np.inf)
+            S = -order_scores if metric == "cosine" else order_scores
             nc = len(nid)
             carried = {c: pdf[c].to_numpy() for c in carry_cols}
             kk = min(k + 1, nc)  # +1 so a self-pair can be dropped later

@@ -2948,7 +2948,10 @@ _GRAMS_CTE = (
                LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'),
                            t -> LENGTH(t) > 0) AS tk
         FROM arr) WHERE LEN(tk) >= 30),
-    dg AS (SELECT DISTINCT MD5(text) AS d FROM corpus),
+    dg AS (SELECT DISTINCT MD5(
+             TRIM(REGEXP_REPLACE(REGEXP_REPLACE(NFC_NORMALIZE(text),
+                  '[\\x00-\\x09\\x0b-\\x1f\\x7f]', '', 'g'), ' +', ' ', 'g'),
+                  ' ' || CHR(10))) AS d FROM corpus),
     flags AS (SELECT g.doc_id, (dg.d IS NOT NULL) AS is_exact_dup, g.tk
               FROM gated g LEFT JOIN dg ON MD5(g.text) = dg.d),
     ctoks AS (SELECT lang = 'en' AS label, source,
@@ -3039,9 +3042,17 @@ def q_curation_scored(spark, sf_dir):
     dsir_model = dsir_fit(corpus, corpus.where(F.col("source") == "src0"))
     # materialized like the models: in production the digest table is
     # PERSISTED next to the LSH band index (dedup_against contract), so
-    # the per-shard plan reads digests, never the corpus
+    # the per-shard plan reads digests, never the corpus. Digests are of
+    # the CLEANED corpus text (ADVICE r7): curation_stream_score digests
+    # arriving text AFTER clean_docs, so a raw-text digest table would
+    # silently never flag any corpus doc whose text cleanup alters.
+    from fdi_flow_spark.pipelines.text import clean_docs
+
     digests = (
-        corpus.select(F.md5("text").alias("digest")).distinct().localCheckpoint()
+        clean_docs(corpus.select("doc_id", "text"))
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+        .localCheckpoint()
     )
     return curation_stream_score(arriving, digests, nb_model, dsir_model)
 
@@ -4117,12 +4128,16 @@ def q_quality_classifier(spark, sf_dir):
            WHERE doc_id % 5 <> 0),
     model AS (
       SELECT dom.b, dp.lang,
-             LN(COALESCE(cnt.c, 0) + 1) - LN(tot.n + 2048) AS w,
+             LN(COALESCE(cnt.c, 0) + 1) - LN(COALESCE(tot.n, 0) + 2048) AS w,
              LN(dp.dl + 1) - LN(dt.dd + dt.ll) AS prior
       FROM (SELECT UNNEST(GENERATE_SERIES(0, 2047)) AS b) dom
            CROSS JOIN dp
            LEFT JOIN cnt ON cnt.b = dom.b AND cnt.lang = dp.lang
-           JOIN tot ON tot.lang = dp.lang
+           -- LEFT + COALESCE mirrors lid_fit: a labeled language whose
+           -- docs yield ZERO grams (all texts < 2 chars) keeps its
+           -- pure-Laplace LN(1/2048) slice instead of silently dropping
+           -- out of the model (ADVICE r7)
+           LEFT JOIN tot ON tot.lang = dp.lang
            CROSS JOIN dt),
     test AS (SELECT doc_id, b, COUNT(*) AS cnt FROM gb
              WHERE doc_id % 5 = 0 GROUP BY doc_id, b),

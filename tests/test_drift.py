@@ -265,6 +265,46 @@ def test_rolling_corr_pairs_bounded_paths_match_full(spark):
     pd.testing.assert_frame_equal(sub, sel)
 
 
+def test_pair_list_canonicalization_property(spark):
+    """r7-ADVICE pin: messy pair lists — reversed rows, (a,b)+(b,a)
+    double-listing, duplicated rows, degenerate (x,x) — must yield the
+    SAME result as the clean canonical list (folded, deduped, self-pairs
+    dropped), never doubled co-moment sums or silent drops. Property runs
+    over several seeded shuffles of the mess."""
+    from fdi_flow_spark.operators import rolling_corr_pairs
+
+    rng = np.random.default_rng(35)
+    xs = {k: rng.normal(0, 1, 60) for k in "abc"}
+    df = make_long(spark, xs)
+    clean = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], "series_a string, series_b string"
+    )
+
+    def run(op, pairs_df):
+        cols = ["series_a", "series_b"] + (
+            ["ts"] if op is rolling_corr_pairs else []
+        )
+        return op(df, pairs=pairs_df).toPandas().set_index(cols).sort_index()
+
+    for op in (cross_corr_pairs, rolling_corr_pairs):
+        want = run(op, clean)
+        mess_rows = [
+            ("b", "a"),  # reversed — must fold, not drop
+            ("a", "b"),  # duplicate of the fold target
+            ("a", "c"),
+            ("c", "a"),  # double-listed other way round
+            ("b", "b"),  # degenerate
+        ]
+        for seed in (0, 1, 2):
+            shuffled = list(mess_rows)
+            np.random.default_rng(seed).shuffle(shuffled)
+            mess = spark.createDataFrame(
+                shuffled, "series_a string, series_b string"
+            )
+            got = run(op, mess)
+            pd.testing.assert_frame_equal(got, want)
+
+
 # --------------------------------------------------------------- gap fill
 
 def test_gap_fill_linear_matches_pandas(spark):

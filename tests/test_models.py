@@ -303,6 +303,38 @@ def test_trbdf2_matches_tight_rk45_on_van_der_pol_stiff():
     assert explicit_evals > 5 * implicit_evals, (explicit_evals, implicit_evals)
 
 
+def test_trbdf2_singular_iteration_matrix_retries_not_crashes():
+    """r7-ADVICE pin: a singular Newton iteration matrix (pathological FD
+    Jacobian) must surface as a Newton failure -> halve-h retry with a
+    fresh Jacobian, NOT a LinAlgError crash. Forced deterministically by
+    making the first np.linalg.solve calls raise; the completed run must
+    match the unpatched golden."""
+    from unittest import mock
+
+    from fdi_flow_spark.models import NonlinearStateSpaceModel
+
+    f_raw, g_raw = _vdp(5.0)
+    m = NonlinearStateSpaceModel(f_raw, g_raw)
+    tf, dt = 1.0, 0.01
+    u = np.zeros((int(tf / dt), 1))
+    x0 = [2.0, 0.0]
+    golden = m.simulate(u, x0, tf, dt, method="Radau", rtol=1e-6, atol=1e-9)
+
+    real_solve = np.linalg.solve
+    state = {"left": 3}
+
+    def flaky_solve(a, b):
+        if state["left"] > 0:
+            state["left"] -= 1
+            raise np.linalg.LinAlgError("Singular matrix")
+        return real_solve(a, b)
+
+    with mock.patch.object(np.linalg, "solve", flaky_solve):
+        res = m.simulate(u, x0, tf, dt, method="Radau", rtol=1e-6, atol=1e-9)
+    assert state["left"] == 0  # the failure path genuinely exercised
+    np.testing.assert_allclose(res["states"], golden["states"], atol=1e-5)
+
+
 def test_trbdf2_accuracy_on_stiff_linear_plant():
     """Parity vs machine-precision ZOH on a stiff linear plant wrapped as a
     user f/g: TR-BDF2 at default tolerances stays within ~rtol of exact."""

@@ -244,6 +244,26 @@ def test_near_dup_blocked_zero_norm_and_empty(spark):
     assert cosine_near_dup_blocked(none, threshold=0.4).count() == 0
 
 
+def test_blocked_scorer_nan_candidates_rank_last(spark):
+    """ADVICE r7: an l2-path candidate with NaN components must rank LAST,
+    not poison the vectorized top-k threshold (np.partition picks NaN at the
+    kk-th slot -> `<=` drops every candidate for the query in that batch)."""
+    from fdi_flow_spark.pipelines.similarity import knn_classify_exact
+
+    rows = [(i, [float(i), float(i)], i % 2) for i in range(8)]
+    rows.append((100, [float("nan"), 1.0], 1))  # NaN train vector
+    train = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    test = spark.createDataFrame(
+        [(200, [0.5, 0.5]), (201, [7.0, 7.0])], "vec_id long, embedding array<double>"
+    )
+    out = knn_classify_exact(train, test, k=3)
+    got = {r.vec_id: r.pred_label for r in out.collect()}
+    # every query keeps its full finite neighborhood; the NaN row never wins
+    assert set(got) == {200, 201}
+    assert got[200] == 0  # neighbors 0,1,2 -> labels 0,1,0
+    assert got[201] == 1  # neighbors 7,6,5 -> labels 1,0,1
+
+
 def test_near_dup_blocked_no_driver_materialization(spark, emb):
     """The blocked path must never pull corpus rows to the driver: plan
     construction (including the count-based block sizing) runs with

@@ -842,10 +842,14 @@ def test_streaming_composed_curation_equals_batch(spark):
     from fdi_flow_spark.pipelines.text import clean_docs
 
     corpus = spark.createDataFrame(
-        [(i, f"corpus doc {i} alpha beta gamma delta epsilon zeta") for i in range(8)],
+        [(i, f"corpus doc {i} alpha beta gamma delta epsilon zeta") for i in range(8)]
+        # corpus doc whose RAW text cleanup alters (double space): the
+        # digest table must be built over CLEANED text or its re-ingest
+        # below would silently never flag (the r7 ADVICE contract gap)
+        + [(8, "corpus doc 8 alpha  beta gamma delta epsilon zeta")],
         "doc_id long, text string",
     )
-    digests = corpus.select(F.md5("text").alias("digest")).distinct()
+    digests = clean_docs(corpus).select(F.md5("text").alias("digest")).distinct()
     train = spark.createDataFrame(
         [(i, "clean measured prose alpha beta gamma", True) for i in range(6)]
         + [(100 + i, "spam click buy spam click now", False) for i in range(6)],
@@ -870,6 +874,9 @@ def test_streaming_composed_curation_equals_batch(spark):
         (1002, "spam click buy spam click now junk stuff again today"),
         (1003, "too short"),  # gated out by min_tokens
         (1004, "curated alpha beta prose sample text with more words"),
+        # re-ingest of corpus doc 8, whose RAW text differs from its
+        # cleaned form — flags ONLY because digests are of cleaned text
+        (1005, "corpus doc 8 alpha beta  gamma delta epsilon zeta"),
     ]
     batch = spark.createDataFrame(shard_rows, "doc_id long, text string")
 
@@ -880,10 +887,11 @@ def test_streaming_composed_curation_equals_batch(spark):
         )
 
     expect = sorted(tuple(r) for r in compose(batch).collect())
-    assert len(expect) == 4  # 1003 gated
+    assert len(expect) == 5  # 1003 gated
     by_id = {r[0]: r for r in expect}
     assert by_id[1000][1] is True  # dup flagged through the cleanup
     assert by_id[1001][1] is False
+    assert by_id[1005][1] is True  # dirty-raw corpus doc flags via cleaned digest
 
     # composed scores == standalone operators on the cleaned, gated shard
     gated = clean_docs(batch).where(F.col("doc_id") != 1003)

@@ -72,6 +72,28 @@ def test_train_learns_planted_pieces_and_compresses(spark):
     assert sum(math.exp(lp) for _, lp in vocab) == pytest.approx(1.0, abs=1e-9)
 
 
+def test_driver_backend_one_scan_guard_no_count_job(spark):
+    """r7-ADVICE pin: the driver backend's max_word_types OOM guard rides
+    the capped collect itself (LIMIT + post-hoc length check) — a separate
+    DataFrame.count job would re-derive the whole word aggregation, i.e. a
+    second corpus scan. Forbid count() outright for BOTH the success path
+    and the over-cap ValueError path."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    docs = _planted_docs(spark)
+
+    def _forbidden(self, *a, **k):  # pragma: no cover - failure path
+        raise AssertionError("unigram driver backend ran a count job")
+
+    with mock.patch.object(DataFrame, "count", _forbidden):
+        vocab = unigram_train(docs, vocab_size=12, max_piece_len=6)
+        assert vocab
+        with pytest.raises(ValueError, match="max_word_types"):
+            unigram_train(docs, vocab_size=12, max_word_types=2)
+
+
 def test_tokenize_matches_driver_viterbi(spark):
     docs = _planted_docs(spark, n=12)
     vocab = unigram_train(docs, vocab_size=10, max_piece_len=4)
