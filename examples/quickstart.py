@@ -293,9 +293,15 @@ def main() -> None:
     )
 
     corpus = docs.where("doc_id % 3 = 0")
+    from fdi_flow_spark.pipelines.text import clean_docs
+
     scored = curation_stream_score(  # same plan runs on a readStream
         docs.where("doc_id % 3 != 0"),
-        corpus.select(F.md5("text").alias("digest")).distinct(),
+        # contract: digests of the CLEANED corpus text (the arriving side
+        # is digested post-cleanup)
+        clean_docs(corpus.select("doc_id", "text"))
+        .select(F.md5("text").alias("digest"))
+        .distinct(),
         nb_quality_fit(corpus.withColumn("is_en", F.col("lang") == "en"), "is_en"),
         dsir_fit(corpus, corpus.where("source = 'src0'")),
     )
@@ -304,6 +310,25 @@ def main() -> None:
         "LID accuracy on cipher langs:", round(acc, 3),
         "| ingest-scored docs:", scored.count(),
         "| dedup-first components:", comps.select("component_id").distinct().count(),
+    )
+
+    # 10. r8: exact cosine near-dup without a driver ceiling (block-grid
+    # self-join — same output as the broadcast path, corpus never
+    # collected), and the default end-to-end components entry point
+    # (digest-collapse first; exact_first=False opts out).
+    from fdi_flow_spark.pipelines.dedup import near_dup_components
+    from fdi_flow_spark.pipelines.similarity import (
+        cosine_near_dup_blocked,
+        cosine_near_dup_pairs,
+    )
+
+    exact_pairs = cosine_near_dup_pairs(emb, threshold=0.4)  # broadcast fast path
+    blocked_pairs = cosine_near_dup_blocked(emb, threshold=0.4, rows_per_block=256)
+    default_comps = near_dup_components(docs)  # grouped execution by default
+    print(
+        "exact cosine pairs:", exact_pairs.count(),
+        "| blocked path pairs (identical):", blocked_pairs.count(),
+        "| default components:", default_comps.select("component_id").distinct().count(),
     )
 
     spark.stop()

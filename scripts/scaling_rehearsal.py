@@ -133,6 +133,12 @@ X100_QUERIES = [
     "dedup_components_grouped",  # exact-dedup-FIRST ordering: the fix the
                                  # minhash twin-explosion measurement calls
                                  # for; same output, rep-only LSH join
+    "embedding_near_dup_blocked",  # r8: block-grid EXACT cosine pairs —
+                                   # O(n^2) arithmetic is inherent, so the
+                                   # honest expectation at 100x input is
+                                   # ~10^4x work; this entry records the
+                                   # measured constant (BLAS per block-pair,
+                                   # no driver collect at any size)
 ]
 
 
