@@ -513,6 +513,157 @@ def cosine_near_dup_blocked(
     return joined.select("_ba", "_bb", "_pa", "_pb").mapInPandas(fn, schema)
 
 
+def _blocked_bipartite_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    metric: str,
+    id_col: str,
+    vec_col: str,
+    carry_cols=None,
+    rows_per_block: int = 8192,
+    q_blocks: int | None = None,
+    c_blocks: int | None = None,
+) -> DataFrame:
+    """Bipartite block-grid partial top-k with NO driver-side collect on
+    EITHER side — the beyond-broadcast twin of ``_blocked_partial_topk``
+    (which broadcasts the query matrix, capping the query set at driver
+    memory).
+
+    Both sides pack into hash blocks (one row per block); each side
+    replicates across the other's block axis (``explode(sequence(...))``)
+    and ONE equi-join on the ``(q_block, c_block)`` pair key meets them —
+    the pair key spreads the O(Q*ncb + C*nqb) replicated bytes evenly over
+    reducers. Each block-pair task runs one BLAS matmul and emits the
+    tie-closed per-query top-(k+1) within that candidate block; the
+    surviving rows are O(Q * c_blocks * k), which the caller's global rank
+    window cuts exactly. Non-finite scores rank last (same NaN contract as
+    the broadcast scorer).
+
+    Output: ``(query_id, neighbor_id, _score, *carry_cols)`` — same
+    contract as ``_blocked_partial_topk``.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    carry_cols = list(carry_cols or [])
+    spark = candidates.sparkSession
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("_score", DoubleType()),
+        ]
+        + [StructField(c, candidates.schema[c].dataType) for c in carry_cols]
+    )
+    q = queries.select(
+        F.col(id_col).cast("long").alias("_qid"), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    c = candidates.select(
+        F.col(id_col).cast("long").alias("_nid"),
+        _as_double(F.col(vec_col)).alias("_v"),
+        *[F.col(cc) for cc in carry_cols],
+    )
+    if q_blocks is None:
+        nq = q.count()
+        if nq == 0:
+            return spark.createDataFrame([], out_schema)
+        q_blocks = max(1, -(-nq // rows_per_block))
+    if c_blocks is None:
+        ncnt = c.count()
+        if ncnt == 0:
+            return spark.createDataFrame([], out_schema)
+        c_blocks = max(1, -(-ncnt // rows_per_block))
+    nqb, ncb = int(q_blocks), int(c_blocks)
+    qpack = (
+        q.withColumn("_qb", F.pmod(F.xxhash64("_qid"), F.lit(nqb)))
+        .groupBy("_qb")
+        .agg(F.collect_list(F.struct("_qid", "_qv")).alias("_qp"))
+    )
+    cpack = (
+        c.withColumn("_cb", F.pmod(F.xxhash64("_nid"), F.lit(ncb)))
+        .groupBy("_cb")
+        .agg(F.collect_list(F.struct("_nid", "_v", *carry_cols)).alias("_cp"))
+    )
+    qrep = qpack.withColumn("_cb", F.explode(F.sequence(F.lit(0), F.lit(ncb - 1))))
+    crep = cpack.withColumn("_qb", F.explode(F.sequence(F.lit(0), F.lit(nqb - 1))))
+    joined = qrep.join(crep, ["_qb", "_cb"])
+
+    def fn(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                qp, cp = row["_qp"], row["_cp"]
+                if qp is None or cp is None or not len(qp) or not len(cp):
+                    continue
+                qid = np.array([r["_qid"] for r in qp], dtype=np.int64)
+                Q = np.array([r["_qv"] for r in qp], dtype=np.float64)
+                nid = np.array([r["_nid"] for r in cp], dtype=np.int64)
+                C = np.array([r["_v"] for r in cp], dtype=np.float64)
+                if metric == "cosine":
+                    qn = np.maximum(np.linalg.norm(Q, axis=1), 1e-12)
+                    cn = np.maximum(np.linalg.norm(C, axis=1), 1e-12)
+                    S = (C @ Q.T) / np.outer(cn, qn)  # (nc, nq)
+                    order = -S
+                else:
+                    order = (
+                        (C * C).sum(axis=1)[:, None]
+                        - 2.0 * (C @ Q.T)
+                        + (Q * Q).sum(axis=1)[None, :]
+                    )
+                order = np.where(np.isfinite(order), order, np.inf)
+                S = -order if metric == "cosine" else order
+                nc = len(nid)
+                kk = min(k + 1, nc)  # +1 so a self-pair can drop later
+                if kk < nc:
+                    thresh = np.partition(order, kk - 1, axis=0)[kk - 1]
+                    ci, qj = np.nonzero(order <= thresh[None, :])
+                else:
+                    ci, qj = np.nonzero(np.ones((nc, len(qid)), dtype=bool))
+                out = {
+                    "query_id": qid[qj],
+                    "neighbor_id": nid[ci],
+                    "_score": S[ci, qj],
+                }
+                for cc in carry_cols:
+                    vals = np.array([r[cc] for r in cp])
+                    out[cc] = vals[ci]
+                yield pd.DataFrame(out)
+
+    return joined.select("_qp", "_cp").mapInPandas(fn, schema=out_schema)
+
+
+def cosine_topk_blocked(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_block: int = 8192,
+) -> DataFrame:
+    """Exact top-k cosine neighbors with NO driver-side collect on either
+    side — the beyond-broadcast twin of ``cosine_topk_bruteforce`` (whose
+    query matrix must fit a broadcast). Identical output contract:
+    ``(query_id, rank, neighbor_id, cosine)``, cosine rounded to 6 dp,
+    ties by neighbor_id ASC, self-pairs excluded. Use when the query set
+    itself is corpus-sized (e.g. all-pairs k-NN graphs for SemDeDup-style
+    pipelines)."""
+    partial = _blocked_bipartite_topk(
+        queries, candidates, k, "cosine", id_col, vec_col, rows_per_block=rows_per_block
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_score").desc(), F.col("neighbor_id").asc())
+    return (
+        partial.where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            F.round("_score", 6).alias("cosine"),
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -668,33 +819,66 @@ def knn_classify_exact(
     vec_col: str = "embedding",
     label_col: str = "label",
     weights: str = "uniform",
+    strategy: str = "auto",
+    max_collect_rows: int = 2_000_000,
+    rows_per_block: int = 8192,
 ) -> DataFrame:
     """Exact KNN classification (reference D1 semantics: minkowski p=2,
     majority vote; ``weights='distance'`` uses 1/d vote weights).
 
     Output ``(vec_id, pred_label)``. Vote ties break by (vote DESC, label ASC);
     distance ties rank by train id ASC — both pinned for determinism.
-    """
-    # The *test* set is the broadcast side (it is the bounded "query" set);
-    # the train corpus streams through the BLAS-blocked scorer — so KNN
-    # classification scales with training-set size, the 100 TB axis.
-    qrows = test.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).collect()
-    q_ids = [r[0] for r in qrows]
-    q_mat = np.array([r["_v"] for r in qrows], dtype=np.float64)
-    if len(q_ids) == 0:
-        return train.sparkSession.createDataFrame(
-            [], schema=f"vec_id long, pred_label {train.schema[label_col].dataType.simpleString()}"
+
+    ``strategy='broadcast'``: the TEST set (the "query" side) collects to
+    the driver and broadcasts; the train corpus streams through the BLAS-
+    blocked scorer — scales with training-set size, caps the test set at
+    driver memory. ``'blocked'``: the bipartite block grid
+    (``_blocked_bipartite_topk``) — neither side touches the driver, for
+    corpus-sized test sets. ``'auto'`` (default): broadcast under
+    ``max_collect_rows``, blocked beyond it. All strategies are
+    output-identical (pytest parity)."""
+    if strategy not in ("auto", "broadcast", "blocked"):
+        raise ValueError(
+            f"strategy must be 'auto', 'broadcast' or 'blocked', got {strategy!r}"
         )
     tr = train.select(
         F.col(id_col), F.col(vec_col), F.col(label_col).alias("_tl")
     )
-    # The train label rides through the blocked scorer's output schema, so
-    # the vote below touches only the O(|Q|*k) surviving rows — no join back
-    # against the train corpus (a corpus-sized broadcast would kill the
-    # driver at the 10^9-candidate scale the scorer is designed for).
-    partial = _blocked_partial_topk(
-        tr, q_ids, q_mat, k, "l2", id_col, vec_col, carry_cols=["_tl"]
-    )
+    partial = None
+    if strategy != "blocked":
+        qrows = (
+            test.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+            .limit(max_collect_rows + 1)
+            .collect()
+        )
+        if len(qrows) > max_collect_rows:
+            if strategy == "broadcast":
+                raise ValueError(
+                    f"knn_classify_exact(strategy='broadcast') collects the test "
+                    f"set (> max_collect_rows={max_collect_rows} rows); use "
+                    "strategy='blocked'"
+                )
+        else:
+            q_ids = [r[0] for r in qrows]
+            q_mat = np.array([r["_v"] for r in qrows], dtype=np.float64)
+            if len(q_ids) == 0:
+                return train.sparkSession.createDataFrame(
+                    [],
+                    schema=f"vec_id long, pred_label {train.schema[label_col].dataType.simpleString()}",
+                )
+            # The train label rides through the blocked scorer's output
+            # schema, so the vote below touches only the O(|Q|*k) surviving
+            # rows — no join back against the train corpus (a corpus-sized
+            # broadcast would kill the driver at the 10^9-candidate scale
+            # the scorer is designed for).
+            partial = _blocked_partial_topk(
+                tr, q_ids, q_mat, k, "l2", id_col, vec_col, carry_cols=["_tl"]
+            )
+    if partial is None:  # blocked, or auto beyond the cap
+        partial = _blocked_bipartite_topk(
+            test, tr, k, "l2", id_col, vec_col, carry_cols=["_tl"],
+            rows_per_block=rows_per_block,
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("_score").asc(), F.col("neighbor_id").asc())
     knn = partial.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= k)
     if weights == "distance":

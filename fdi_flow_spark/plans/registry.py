@@ -2374,6 +2374,24 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk_bruteforce(emb.where(F.col("vec_id") % 25 == 0), emb, k=5)
 
 
+@register("cosine_topk_blocked", ORACLES["cosine_topk"])
+def q_cosine_topk_blocked(spark, sf_dir):
+    """Exact top-k via the bipartite block grid (r8): NEITHER side touches
+    the driver — both sides pack into hash blocks, replicate across the
+    other's block axis, and meet in ONE equi-join on the (q_block, c_block)
+    pair key; per-task BLAS partial top-k, global rank cut. The
+    beyond-broadcast twin of ``cosine_topk`` (whose query matrix must fit a
+    broadcast): use it when the query set is corpus-sized (all-pairs k-NN
+    graphs). Same oracle verbatim — output-identical by contract and pytest
+    parity."""
+    from fdi_flow_spark.pipelines.similarity import cosine_topk_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_blocked(
+        emb.where(F.col("vec_id") % 25 == 0), emb, k=5, rows_per_block=256
+    )
+
+
 @register("cosine_topk_lsh")  # rows-only (approximate; recall tested in pytest)
 def q_cosine_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4911,7 +4929,10 @@ _WINDOW_PRIORITY = [
     "observer_luenberger_events", "simulate_euler_events",
     "video_frame_features", "multimodal_image_features",
     # sentinels: dedup / similarity / text / curation representatives
-    "dedup_components", "minhash_dedup_pairs", "cosine_topk",
+    # (cosine_topk_blocked is the NEW r8 bipartite-grid path, in-window the
+    # round it lands; the broadcast twin cosine_topk — driver-passed r5-r7
+    # — moves to the excluded list, same oracle)
+    "dedup_components", "minhash_dedup_pairs", "cosine_topk_blocked",
     "token_counts", "curation_pipeline", "span_dedup",
 ]
 
@@ -5032,8 +5053,11 @@ _WINDOW_EXCLUDED_ORACLES = {
                           # in-window cosine_topk
     "pq_encode",          # fused Arrow-pass PQ encode; quantization family
                           # in-window via cosine_topk_pq/ivfpq (rows checks)
-    "cosine_topk_q8",     # SQ8 scored top-k; in-window via cosine_topk +
-                          # cosine_topk_pq
+    "cosine_topk_q8",     # SQ8 scored top-k; in-window via the topk family
+    "cosine_topk",        # r8 swap: broadcast-path top-k, driver-passed
+                          # r5-r7; its bipartite-grid twin
+                          # cosine_topk_blocked (same oracle verbatim)
+                          # takes the window slot the round it lands
 }
 
 

@@ -91,8 +91,11 @@ def main() -> None:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
+    # Always merge into the existing sidecar (a --force or named re-run must
+    # never clobber the other queries' records); --force only disables the
+    # per-name skip below.
     results: dict = {}
-    if os.path.exists(SIDECAR) and not force:
+    if os.path.exists(SIDECAR):
         try:
             with open(SIDECAR) as f:
                 doc = json.load(f)
@@ -111,7 +114,8 @@ def main() -> None:
 
     names = only or list(queries)
     for i, name in enumerate(names):
-        if name in results and not force and results[name].get("err") in (None, "no_oracle"):
+        done = results.get(name, {})
+        if not force and (done.get("hash_match") or done.get("err") == "no_oracle"):
             continue
         rec = {
             "rows_match": None,
@@ -124,20 +128,22 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             sdf = queries[name](spark, SF_DIR)
+            # toPandas exercises the driver's array-column fragility; the
+            # value multiset comes from collect() — pandas would turn NULL
+            # doubles into NaN and falsely diverge from DuckDB's None
             spandas = sdf.toPandas()
             rec["spark_rows"] = _driver_style_canon(spandas)
             if name not in oracles:
                 rec["err"] = "no_oracle"
             else:
+                srows = [tuple(r) for r in sdf.collect()]
                 res = con.execute(oracles[name])
                 duck_cols = [d[0] for d in res.description]
                 duck_rows = res.fetchall()
                 rec["oracle_rows"] = len(duck_rows)
-                rec["rows_match"] = rec["spark_rows"] == rec["oracle_rows"]
-                rec["schema_match"] = sorted(spandas.columns) == sorted(duck_cols)
-                ms = _multiset(
-                    list(spandas.columns), list(map(tuple, spandas.itertuples(index=False)))
-                )
+                rec["rows_match"] = len(srows) == rec["oracle_rows"]
+                rec["schema_match"] = sorted(sdf.columns) == sorted(duck_cols)
+                ms = _multiset(list(sdf.columns), srows)
                 md = _multiset(duck_cols, duck_rows)
                 rec["hash_match"] = bool(rec["rows_match"] and rec["schema_match"] and ms == md)
         except Exception:

@@ -244,6 +244,77 @@ def test_near_dup_blocked_zero_norm_and_empty(spark):
     assert cosine_near_dup_blocked(none, threshold=0.4).count() == 0
 
 
+def test_cosine_topk_blocked_parity_with_bruteforce(spark, emb):
+    """r8: the bipartite block-grid top-k is row-identical (ranks, ids,
+    rounded cosines) to the broadcast bruteforce across block sizes that
+    force multi-block grids on both axes."""
+    from fdi_flow_spark.pipelines.similarity import (
+        cosine_topk_blocked,
+        cosine_topk_bruteforce,
+    )
+
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    want = sorted(map(tuple, cosine_topk_bruteforce(q, emb, k=5).collect()))
+    for rpb in (13, 1000):
+        got = sorted(
+            map(tuple, cosine_topk_blocked(q, emb, k=5, rows_per_block=rpb).collect())
+        )
+        assert got == want, f"rows_per_block={rpb}"
+
+
+def test_knn_strategies_identical_and_auto_fallback(spark, emb):
+    """r8: knn_classify_exact strategy='blocked' (bipartite grid, no driver
+    collect of the test set) equals the broadcast path, for uniform AND
+    distance weights; 'auto' beyond the cap falls back instead of raising;
+    'broadcast' beyond the cap raises with a pointer."""
+    from fdi_flow_spark.pipelines.similarity import knn_classify_exact
+
+    tr = emb.where(F.col("vec_id") % 2 == 0)
+    te = emb.where(F.col("vec_id") % 2 == 1)
+    for w in ("uniform", "distance"):
+        base = sorted(map(tuple, knn_classify_exact(tr, te, k=5, weights=w).collect()))
+        blocked = sorted(
+            map(
+                tuple,
+                knn_classify_exact(
+                    tr, te, k=5, weights=w, strategy="blocked", rows_per_block=17
+                ).collect(),
+            )
+        )
+        assert blocked == base, w
+    auto = sorted(
+        map(tuple, knn_classify_exact(tr, te, k=5, max_collect_rows=10).collect())
+    )
+    assert auto == sorted(map(tuple, knn_classify_exact(tr, te, k=5).collect()))
+    with pytest.raises(ValueError, match="blocked"):
+        knn_classify_exact(tr, te, k=5, strategy="broadcast", max_collect_rows=10)
+
+
+def test_bipartite_blocked_no_driver_materialization(spark, emb):
+    """The bipartite grid must never pull rows to the driver on EITHER
+    side: construction (incl. both count-based block sizings) runs with
+    collect/toPandas/toLocalIterator forbidden."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    from fdi_flow_spark.pipelines.similarity import (
+        cosine_topk_blocked,
+        cosine_topk_bruteforce,
+    )
+
+    def _forbidden(self, *a, **k):  # pragma: no cover - failure path
+        raise AssertionError("driver-side row materialization in bipartite path")
+
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    with mock.patch.object(DataFrame, "collect", _forbidden), mock.patch.object(
+        DataFrame, "toPandas", _forbidden
+    ), mock.patch.object(DataFrame, "toLocalIterator", _forbidden):
+        out = cosine_topk_blocked(q, emb, k=5, rows_per_block=64)
+    got = sorted(map(tuple, out.collect()))
+    assert got == sorted(map(tuple, cosine_topk_bruteforce(q, emb, k=5).collect()))
+
+
 def test_blocked_scorer_nan_candidates_rank_last(spark):
     """ADVICE r7: an l2-path candidate with NaN components must rank LAST,
     not poison the vectorized top-k threshold (np.partition picks NaN at the
