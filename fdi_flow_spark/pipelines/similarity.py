@@ -402,17 +402,18 @@ def cosine_near_dup_blocked(
     beyond-broadcast path is ``cosine_near_dup_lsh``).
 
     Grid self-join on hash-assigned row blocks: every row lands in one of
-    ``n_blocks`` buckets by id hash; each block packs into a single row
-    (``collect_list`` of ``(id, vec)`` structs); the upper-triangle
-    block-pair grid (``blk_a <= blk_b``, generated distributed via
-    ``spark.range`` — never a driver-side pair list) equi-joins the packed
-    table twice; each joined row streams through an Arrow-batched BLAS
-    matmul emitting only above-threshold pairs. Total arithmetic is the
-    same O(n^2 d) as the broadcast path, but per-task memory is
-    ``2 * rows_per_block * d * 8`` bytes regardless of corpus size, and
-    the only driver work is a count() when ``n_blocks`` is not given.
-    Data movement is O(n * n_blocks) — each block ships once per partner
-    block — the unavoidable cost of *exact* all-pairs at scale.
+    ``n_blocks`` buckets by id hash, replicates (row-level) to every
+    block-pair key it participates in (side A to partners >= its block,
+    side B to partners <= it — upper triangle, each unordered pair once),
+    and ONE ``groupBy(pair_key).applyInPandas`` meets the two sides with a
+    BLAS matmul per block-pair, emitting only above-threshold pairs. Total
+    arithmetic is the same O(n^2 d) as the broadcast path, but per-task
+    memory is ``~2 * rows_per_block * d * 8`` bytes regardless of corpus
+    size (the shuffle moves compact spillable UnsafeRows; no collect_list
+    buffers — a packed-block draft OOM'd an 8 GiB JVM at a 196-block
+    grid), and the only driver work is a count() when ``n_blocks`` is not
+    given. Data movement is O(n * n_blocks) — each row ships once per
+    partner block — the unavoidable cost of *exact* all-pairs at scale.
 
     Output contract is identical to ``cosine_near_dup_pairs``:
     ``(id_a, id_b, cosine)`` with ``id_a < id_b``, cosine rounded to 6 dp,
@@ -439,78 +440,61 @@ def cosine_near_dup_blocked(
             return spark.createDataFrame([], schema)
         n_blocks = max(1, -(-n // rows_per_block))
     nb = int(n_blocks)
-    # Pack each hash block into one row. localCheckpoint: the pack feeds BOTH
-    # replication legs below — without the cut the corpus scan + block agg
-    # would run twice (the repeated-scan audit is a CI invariant).
-    packed = (
-        base.withColumn("_blk", F.pmod(F.xxhash64("_id"), F.lit(nb)))
-        .groupBy("_blk")
-        .agg(F.collect_list(F.struct("_id", "_v")).alias("_pack"))
-        .localCheckpoint(eager=False)
+    # BlockMatrix-multiply shape, ROW-LEVEL (r8 x100 finding): an earlier
+    # draft packed each block into one collect_list row and met pairs with
+    # a hash aggregation — whole blocks then sat in agg buffers and a 196-
+    # block grid OOM'd an 8 GiB JVM. Here each ROW replicates to its pair
+    # keys (side A to every partner >= its block, side B to every partner
+    # <= it), the shuffle moves compact spill-friendly UnsafeRows, and
+    # applyInPandas materializes exactly ONE block-pair per group —
+    # per-task memory is ~2 * rows_per_block * d * 8 bytes, independent of
+    # corpus size and block count. Keying by the PAIR spreads the
+    # O(n * nb) replicated bytes evenly over reducers.
+    tagged = base.withColumn("_blk", F.pmod(F.xxhash64("_id"), F.lit(nb)))
+    side_a = tagged.select(
+        F.col("_blk").alias("_ba"),
+        F.explode(F.sequence(F.col("_blk"), F.lit(nb - 1))).alias("_bb"),
+        F.lit(0).alias("_side"),
+        "_id",
+        "_v",
     )
-    # Upper-triangle block grid, generated distributed (nb^2 never touches
-    # the driver even at nb ~ 10^4) and broadcast — so replicating a block to
-    # its partner pairs is map-side.
-    grid = (
-        spark.range(nb * nb)
-        .select(
-            (F.col("id") / nb).cast("long").alias("_ba"),
-            F.pmod(F.col("id"), F.lit(nb)).alias("_bb"),
+    side_b = tagged.select(
+        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("_ba"),
+        F.col("_blk").alias("_bb"),
+        F.lit(1).alias("_side"),
+        "_id",
+        "_v",
+    )
+    both = side_a.unionByName(side_b)
+
+    def fn(key, pdf):
+        ba, bb = key
+        a = pdf[pdf["_side"] == 0]
+        b = pdf[pdf["_side"] == 1]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ida = a["_id"].to_numpy(dtype=np.int64)
+        A = np.array(a["_v"].tolist(), dtype=np.float64)
+        idb = b["_id"].to_numpy(dtype=np.int64)
+        B = np.array(b["_v"].tolist(), dtype=np.float64)
+        An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+        S = An @ Bn.T
+        mask = S >= threshold
+        if ba == bb:
+            mask &= ida[:, None] < idb[None, :]
+        i, j = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ida[i], idb[j]),
+                "id_b": np.maximum(ida[i], idb[j]),
+                "cosine": np.round(S[i, j], 6),
+            }
         )
-        .where(F.col("_ba") <= F.col("_bb"))
-    )
-    from pyspark.sql.functions import broadcast
 
-    # BlockMatrix-multiply shape: replicate each block to every pair key it
-    # participates in, then ONE shuffle keyed by (ba, bb) groups the two
-    # sides together. Keying by the pair (not by one block id) spreads the
-    # O(n * nb) replicated bytes evenly over reducers — a join keyed on one
-    # side would concentrate a block's entire partner set in one task.
-    side_a = packed.join(broadcast(grid), packed["_blk"] == grid["_ba"]).select(
-        "_ba", "_bb", F.col("_pack").alias("_p"), F.lit(0).alias("_side")
-    )
-    side_b = packed.join(broadcast(grid), packed["_blk"] == grid["_bb"]).select(
-        "_ba", "_bb", F.col("_pack").alias("_p"), F.lit(1).alias("_side")
-    )
-    joined = (
-        side_a.unionByName(side_b)
-        .groupBy("_ba", "_bb")
-        .agg(
-            F.first(F.when(F.col("_side") == 0, F.col("_p")), ignorenulls=True).alias(
-                "_pa"
-            ),
-            F.first(F.when(F.col("_side") == 1, F.col("_p")), ignorenulls=True).alias(
-                "_pb"
-            ),
-        )
-    )
-
-    def fn(batches):
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                pa, pb = row["_pa"], row["_pb"]
-                if pa is None or pb is None or not len(pa) or not len(pb):
-                    continue
-                ida = np.array([r["_id"] for r in pa], dtype=np.int64)
-                A = np.array([r["_v"] for r in pa], dtype=np.float64)
-                idb = np.array([r["_id"] for r in pb], dtype=np.int64)
-                B = np.array([r["_v"] for r in pb], dtype=np.float64)
-                An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
-                Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
-                S = An @ Bn.T
-                mask = S >= threshold
-                if row["_ba"] == row["_bb"]:
-                    mask &= ida[:, None] < idb[None, :]
-                i, j = np.nonzero(mask)
-                if not len(i):
-                    continue
-                lo = np.minimum(ida[i], idb[j])
-                hi = np.maximum(ida[i], idb[j])
-                yield pd.DataFrame(
-                    {"id_a": lo, "id_b": hi, "cosine": np.round(S[i, j], 6)}
-                )
-
-    return joined.select("_ba", "_bb", "_pa", "_pb").mapInPandas(fn, schema)
+    return both.groupBy("_ba", "_bb").applyInPandas(fn, schema)
 
 
 def _blocked_bipartite_topk(
@@ -530,15 +514,17 @@ def _blocked_bipartite_topk(
     (which broadcasts the query matrix, capping the query set at driver
     memory).
 
-    Both sides pack into hash blocks (one row per block); each side
-    replicates across the other's block axis (``explode(sequence(...))``)
-    and ONE equi-join on the ``(q_block, c_block)`` pair key meets them —
-    the pair key spreads the O(Q*ncb + C*nqb) replicated bytes evenly over
-    reducers. Each block-pair task runs one BLAS matmul and emits the
-    tie-closed per-query top-(k+1) within that candidate block; the
-    surviving rows are O(Q * c_blocks * k), which the caller's global rank
-    window cuts exactly. Non-finite scores rank last (same NaN contract as
-    the broadcast scorer).
+    Both sides land in hash blocks; each row replicates across the other
+    side's block axis (``explode(sequence(...))``) and ONE
+    ``groupBy((q_block, c_block)).applyInPandas`` meets them — the pair
+    key spreads the O(Q*ncb + C*nqb) replicated bytes evenly over
+    reducers, and each task materializes exactly one block-pair (rows
+    shuffle as spillable UnsafeRows, never collect_list buffers). Each
+    block-pair task runs one BLAS matmul and emits the tie-closed
+    per-query top-(k+1) within that candidate block; the surviving rows
+    are O(Q * c_blocks * k), which the caller's global rank window cuts
+    exactly. Non-finite scores rank last (same NaN contract as the
+    broadcast scorer).
 
     Output: ``(query_id, neighbor_id, _score, *carry_cols)`` — same
     contract as ``_blocked_partial_topk``.
@@ -575,61 +561,72 @@ def _blocked_bipartite_topk(
             return spark.createDataFrame([], out_schema)
         c_blocks = max(1, -(-ncnt // rows_per_block))
     nqb, ncb = int(q_blocks), int(c_blocks)
-    qpack = (
-        q.withColumn("_qb", F.pmod(F.xxhash64("_qid"), F.lit(nqb)))
-        .groupBy("_qb")
-        .agg(F.collect_list(F.struct("_qid", "_qv")).alias("_qp"))
+    # Row-level replication + applyInPandas over the (q_block, c_block)
+    # pair key — same memory rationale as cosine_near_dup_blocked: rows
+    # shuffle as compact spillable UnsafeRows and each task materializes
+    # exactly one block-pair, so per-task memory is bounded by
+    # 2 * rows_per_block regardless of either side's total size.
+    qrep = q.select(
+        F.pmod(F.xxhash64("_qid"), F.lit(nqb)).alias("_qb"),
+        F.explode(F.sequence(F.lit(0), F.lit(ncb - 1))).alias("_cb"),
+        F.lit(0).alias("_side"),
+        F.col("_qid").alias("_id"),
+        F.col("_qv").alias("_vec"),
+        *[
+            F.lit(None).cast(candidates.schema[cc].dataType).alias(cc)
+            for cc in carry_cols
+        ],
     )
-    cpack = (
-        c.withColumn("_cb", F.pmod(F.xxhash64("_nid"), F.lit(ncb)))
-        .groupBy("_cb")
-        .agg(F.collect_list(F.struct("_nid", "_v", *carry_cols)).alias("_cp"))
+    crep = c.select(
+        F.explode(F.sequence(F.lit(0), F.lit(nqb - 1))).alias("_qb"),
+        F.pmod(F.xxhash64("_nid"), F.lit(ncb)).alias("_cb"),
+        F.lit(1).alias("_side"),
+        F.col("_nid").alias("_id"),
+        F.col("_v").alias("_vec"),
+        *[F.col(cc) for cc in carry_cols],
     )
-    qrep = qpack.withColumn("_cb", F.explode(F.sequence(F.lit(0), F.lit(ncb - 1))))
-    crep = cpack.withColumn("_qb", F.explode(F.sequence(F.lit(0), F.lit(nqb - 1))))
-    joined = qrep.join(crep, ["_qb", "_cb"])
+    both = qrep.unionByName(crep)
+    empty = {
+        "query_id": pd.Series([], dtype="int64"),
+        "neighbor_id": pd.Series([], dtype="int64"),
+        "_score": pd.Series([], dtype="float64"),
+    }
 
-    def fn(batches):
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                qp, cp = row["_qp"], row["_cp"]
-                if qp is None or cp is None or not len(qp) or not len(cp):
-                    continue
-                qid = np.array([r["_qid"] for r in qp], dtype=np.int64)
-                Q = np.array([r["_qv"] for r in qp], dtype=np.float64)
-                nid = np.array([r["_nid"] for r in cp], dtype=np.int64)
-                C = np.array([r["_v"] for r in cp], dtype=np.float64)
-                if metric == "cosine":
-                    qn = np.maximum(np.linalg.norm(Q, axis=1), 1e-12)
-                    cn = np.maximum(np.linalg.norm(C, axis=1), 1e-12)
-                    S = (C @ Q.T) / np.outer(cn, qn)  # (nc, nq)
-                    order = -S
-                else:
-                    order = (
-                        (C * C).sum(axis=1)[:, None]
-                        - 2.0 * (C @ Q.T)
-                        + (Q * Q).sum(axis=1)[None, :]
-                    )
-                order = np.where(np.isfinite(order), order, np.inf)
-                S = -order if metric == "cosine" else order
-                nc = len(nid)
-                kk = min(k + 1, nc)  # +1 so a self-pair can drop later
-                if kk < nc:
-                    thresh = np.partition(order, kk - 1, axis=0)[kk - 1]
-                    ci, qj = np.nonzero(order <= thresh[None, :])
-                else:
-                    ci, qj = np.nonzero(np.ones((nc, len(qid)), dtype=bool))
-                out = {
-                    "query_id": qid[qj],
-                    "neighbor_id": nid[ci],
-                    "_score": S[ci, qj],
-                }
-                for cc in carry_cols:
-                    vals = np.array([r[cc] for r in cp])
-                    out[cc] = vals[ci]
-                yield pd.DataFrame(out)
+    def fn(key, pdf):
+        qs = pdf[pdf["_side"] == 0]
+        cs = pdf[pdf["_side"] == 1]
+        if not len(qs) or not len(cs):
+            return pd.DataFrame(dict(empty, **{cc: [] for cc in carry_cols}))
+        qid = qs["_id"].to_numpy(dtype=np.int64)
+        Q = np.array(qs["_vec"].tolist(), dtype=np.float64)
+        nid = cs["_id"].to_numpy(dtype=np.int64)
+        C = np.array(cs["_vec"].tolist(), dtype=np.float64)
+        if metric == "cosine":
+            qn = np.maximum(np.linalg.norm(Q, axis=1), 1e-12)
+            cn = np.maximum(np.linalg.norm(C, axis=1), 1e-12)
+            S = (C @ Q.T) / np.outer(cn, qn)  # (nc, nq)
+            order = -S
+        else:
+            order = (
+                (C * C).sum(axis=1)[:, None]
+                - 2.0 * (C @ Q.T)
+                + (Q * Q).sum(axis=1)[None, :]
+            )
+        order = np.where(np.isfinite(order), order, np.inf)
+        S = -order if metric == "cosine" else order
+        nc = len(nid)
+        kk = min(k + 1, nc)  # +1 so a self-pair can drop later
+        if kk < nc:
+            thresh = np.partition(order, kk - 1, axis=0)[kk - 1]
+            ci, qj = np.nonzero(order <= thresh[None, :])
+        else:
+            ci, qj = np.nonzero(np.ones((nc, len(qid)), dtype=bool))
+        out = {"query_id": qid[qj], "neighbor_id": nid[ci], "_score": S[ci, qj]}
+        for cc in carry_cols:
+            out[cc] = cs[cc].to_numpy()[ci]
+        return pd.DataFrame(out)
 
-    return joined.select("_qp", "_cp").mapInPandas(fn, schema=out_schema)
+    return both.groupBy("_qb", "_cb").applyInPandas(fn, schema=out_schema)
 
 
 def cosine_topk_blocked(

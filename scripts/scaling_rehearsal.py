@@ -139,6 +139,9 @@ X100_QUERIES = [
                                    # ~10^4x work; this entry records the
                                    # measured constant (BLAS per block-pair,
                                    # no driver collect at any size)
+    "cosine_topk_blocked",  # r8: bipartite grid top-k — candidate side
+                            # grows 100x, query side fixed-k per query;
+                            # work is O(|Q| * |C|) BLAS, no broadcast
 ]
 
 
