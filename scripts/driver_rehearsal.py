@@ -2,7 +2,7 @@
 """Local rehearsal of the driver's CORRECTNESS gate at its OWN scale factor
 (sf0.01), over ALL registry queries — not just the 50-slot window.
 
-The driver checks only the first 50 registered queries per round; with 135
+The driver checks only the first 50 registered queries per round; with 136
 registry queries a full re-confirmation takes ~3 rounds of rotation. This
 script (r7 VERDICT item 9) runs the same shape of check locally each round
 — row count + schema-width + pandas-dtype + order-insensitive canonical
