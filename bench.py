@@ -169,8 +169,10 @@ BENCH_QUERIES = [
     "language_id_model",
     "curation_scored",
     "dedup_components_grouped",
-    # r8: block-grid exact cosine pairs (the no-driver-ceiling exact path)
+    # r8: block-grid exact cosine pairs + bipartite block-grid top-k (the
+    # no-driver-ceiling exact paths)
     "embedding_near_dup_blocked",
+    "cosine_topk_blocked",
 ]
 
 
