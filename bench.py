@@ -23,11 +23,20 @@ scale are codegen/JIT-dominated and swing ±40% run to run, which round 2
 demonstrated by "regressing" untouched queries, and round-4 spreads showed
 occasional multi-second environmental spikes on Arrow-path queries (a
 median of 5 tolerates two disturbed passes where a median of 3 tolerates
-one). Rated queries whose suite median brushes the 2x gate (>1.25x the
-baseline) get an isolated re-measure in a quiet context; the sidecar
-records both numbers and the gate ratio uses the smaller honest measure
-(r7 VERDICT item 5). The registry import is local so the driver can run
-this file standalone from the repo root.
+one).
+
+Load calibration (r9): a fixed fast calibration query is timed at the
+start of every pass; per-pass timings are divided by that pass's
+load_factor (calibration time / best observed, clamped [1, 3]) before the
+medians that feed the gate ratios — ambient host load tripped the
+recorded worst_ratio three rounds running while the quiet plan cost was
+~1x. Raw medians and the full calibration trace ride in the sidecar, so
+the adjudication is data, not prose. Rated queries whose normalized suite
+median still brushes the 2x gate (>1.25x the baseline) get an isolated
+re-measure with its own calibration; the gate uses the isolated
+normalized median itself (not min(suite, isolated) — that one-sided
+adjustment could only lower ratios; r8 ADVICE). The registry import is
+local so the driver can run this file standalone from the repo root.
 """
 
 from __future__ import annotations
@@ -258,7 +267,28 @@ def main() -> None:
     # cold run and the later passes measure the steady state
     import gc
 
+    # Load calibration (r8 VERDICT items 2+7): ambient host load has tripped
+    # the recorded worst_ratio three rounds running (embedding_near_dup
+    # 2.00x/1.78x while its quiet plan cost is ~0.95x). A fixed, fast,
+    # JVM-only calibration query timed at the START of every pass measures
+    # that pass's load; per-pass timings are normalized by the pass's
+    # load_factor (calib / best-observed calib, clamped to [1, 3]) before
+    # the medians that feed the 2x gate. Raw medians are recorded alongside,
+    # so the sidecar shows exactly how much normalization was applied.
+    CALIB_QUERY = "q6_revenue_change"
+
+    def _calibrate() -> float:
+        fn = QUERIES[CALIB_QUERY]
+        best = float("inf")
+        for _ in range(3):  # min of 3: the best run is the least-loaded one
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        return best
+
+    calib_times: list[float] = []
     for _ in range(n_runs):
+        calib_times.append(_calibrate())
         for name in BENCH_QUERIES:
             fn = BENCH_OVERRIDES.get(name) or QUERIES[name]
             start = time.perf_counter()
@@ -275,7 +305,21 @@ def main() -> None:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
-    timings = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
+    calib_ref = min(calib_times)
+    load_factors = [
+        min(3.0, max(1.0, c / calib_ref)) if calib_ref > 0 else 1.0
+        for c in calib_times
+    ]
+    timings_raw = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
+    # load-normalized medians: each pass's timing divided by that pass's
+    # load_factor — these feed the gate ratios so the recorded worst_ratio
+    # reflects plan cost, not whichever pass the host happened to be busy in
+    timings = {
+        name: round(
+            statistics.median(t / lf for t, lf in zip(ts, load_factors)), 3
+        )
+        for name, ts in runs.items()
+    }
     spread = {
         name: [round(min(ts), 3), round(max(ts), 3)] for name, ts in runs.items()
     }
@@ -291,16 +335,19 @@ def main() -> None:
     except (OSError, KeyError, ValueError):
         pass
 
-    # Isolation re-measure (r7 VERDICT item 5): with 100+ queries per pass,
-    # a query's in-suite timing can absorb neighbor-query heap effects
-    # (embedding_near_dup: isolated 0.446s == baseline, in-suite 0.62-1.21s
-    # — adjudicated as measurement noise in r6 AND r7). Any rated query
-    # whose suite median brushes the gate (>1.25x baseline) is re-measured
-    # in a quiet context — cache drop + both GCs, then 3 back-to-back timed
-    # executions of the FULL call (per-call collects/broadcasts stay inside
-    # the timed region; nothing is pre-warmed). Both numbers go to the
-    # sidecar; the gate ratio uses the smaller of the two honest measures,
-    # so worst_ratio reflects plan cost, not suite context.
+    # Isolation re-measure (r7 VERDICT item 5; reworked r9 per the r8
+    # VERDICT + ADVICE): with 100+ queries per pass, a query's in-suite
+    # timing can absorb neighbor-query heap effects. Any rated query whose
+    # load-normalized suite median still brushes the gate (>1.25x baseline)
+    # is re-measured in a quiet context — cache drop + both GCs, then 3
+    # back-to-back timed executions of the FULL call — with its OWN
+    # calibration immediately before, so a loaded isolation window (the r8
+    # embedding_near_dup failure: the isolated number came out WORSE than
+    # the suite median because the host was still busy) is normalized the
+    # same way the suite passes are. The gate then uses the isolated
+    # normalized median ITSELF — not min(suite, isolated), which was a
+    # one-sided adjustment that could only ever lower the reported ratios
+    # (r8 ADVICE). Both raw and normalized numbers go to the sidecar.
     isolated: dict[str, dict[str, float]] = {}
     for name in sorted(timings):
         b = base.get(name)
@@ -309,15 +356,24 @@ def main() -> None:
         spark.catalog.clearCache()
         gc.collect()
         spark.sparkContext._jvm.System.gc()
+        iso_calib = _calibrate()
+        iso_lf = min(3.0, max(1.0, iso_calib / calib_ref)) if calib_ref > 0 else 1.0
         fn = BENCH_OVERRIDES.get(name) or QUERIES[name]
         ts = []
         for _ in range(3):
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             ts.append(time.perf_counter() - start)
-        iso = round(statistics.median(ts), 3)
-        isolated[name] = {"suite": timings[name], "isolated": iso}
-        timings[name] = min(timings[name], iso)
+        iso_raw = round(statistics.median(ts), 3)
+        iso = round(iso_raw / iso_lf, 3)
+        isolated[name] = {
+            "suite": timings_raw[name],
+            "suite_norm": timings[name],
+            "isolated": iso_raw,
+            "isolated_norm": iso,
+            "iso_load_factor": round(iso_lf, 3),
+        }
+        timings[name] = iso
 
     total = round(sum(timings.values()), 3)
 
@@ -342,13 +398,24 @@ def main() -> None:
     # stdout line (driver stdout-tail capture truncated the r3-r5 lines;
     # stdout must stay under ~1 KB).
     spread_doc = {
-        "medians": timings,
+        "medians": timings,  # load-normalized (these feed the gate ratios)
+        "medians_raw": timings_raw,
         "spread": spread,
         "vs_baseline": ratios,
         # suite-vs-isolated medians for every gate-brushing query: the
         # delta IS the suite-context noise, recorded here once instead of
         # being adjudicated in prose each round
         "isolated": isolated,
+        # per-pass load calibration (r8 VERDICT item 7): CALIB_QUERY timed
+        # (min of 3) at the start of every pass; load_factor = calib / best
+        # observed, clamped [1, 3]. Factors near 1.0 mean the normalized
+        # and raw medians coincide — adjudication is mechanical, not prose.
+        "calibration": {
+            "query": CALIB_QUERY,
+            "times": [round(c, 3) for c in calib_times],
+            "ref": round(calib_ref, 3),
+            "load_factors": [round(f, 3) for f in load_factors],
+        },
         "n_runs": n_runs,
         "sf": sf,
     }
@@ -385,6 +452,10 @@ def main() -> None:
                 "worst_ratio_vs_baseline": worst_r,
                 "worst_query": worst_q,
                 "geomean_ratio_vs_baseline": geomean,
+                # peak per-pass load factor from the calibration query: 1.0
+                # means a quiet run (ratios are raw); >1 means that much
+                # ambient load was normalized out (detail in the sidecar)
+                "max_load_factor": round(max(load_factors), 3),
                 "detail": "bench_spread.json",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
