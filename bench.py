@@ -182,6 +182,9 @@ BENCH_QUERIES = [
     # no-driver-ceiling exact paths)
     "embedding_near_dup_blocked",
     "cosine_topk_blocked",
+    # r9: persisted-index IVF-PQ probe (builds once per process, so the
+    # median over passes measures the probe plan, not quantizer training)
+    "cosine_topk_ivfpq_probe",
 ]
 
 

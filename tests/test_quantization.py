@@ -210,3 +210,48 @@ def test_ivfpq_residual_mode_recall_and_roundtrip(spark, emb, tmp_path_factory):
         .reset_index(drop=True)
     )
     assert from_index.equals(inflight) and len(from_index) > 0
+
+
+def test_registry_ivfpq_probe_query_pruned_and_recall(spark):
+    """r9 (VERDICT r8 item 4): the registry's ``cosine_topk_ivfpq_probe``
+    exercises the persisted-index probe shape — the index builds once per
+    (process, sf_dir), repeat calls reuse it (measuring the probe plan a
+    100 TB deployment runs, not quantizer training), the postings read is
+    partition-pruned, and recall vs the exact kernel clears a floor."""
+    import contextlib
+    import io
+
+    from fdi_flow_spark.pipelines.similarity import cosine_topk_bruteforce
+    from fdi_flow_spark.plans import registry
+
+    q = registry.QUERIES["cosine_topk_ivfpq_probe"]
+    out = q(spark, SF_DIR)
+    # the first call built and memoized the index for this sf_dir
+    assert SF_DIR in registry._IVFPQ_INDEX_CACHE
+    path = registry._IVFPQ_INDEX_CACHE[SF_DIR]
+
+    # probe plan: the postings scan must carry a partition filter on cell
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cell" in pf[0], plan
+
+    # second call reuses the persisted index (same memoized path)
+    again = q(spark, SF_DIR)
+    assert registry._IVFPQ_INDEX_CACHE[SF_DIR] == path
+    ap = again.toPandas()
+    assert len(ap) > 0
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    ex = (
+        cosine_topk_bruteforce(queries, emb, k=5)
+        .toPandas()
+        .groupby("query_id")["neighbor_id"]
+        .apply(set)
+    )
+    got = ap.groupby("query_id")["neighbor_id"].apply(set)
+    recall = np.mean([len(ex[i] & got.get(i, set())) / 5 for i in ex.index])
+    assert recall >= 0.45  # same floor as the in-flight IVF-PQ variant
