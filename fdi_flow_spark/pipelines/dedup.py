@@ -287,6 +287,11 @@ def minhash_dedup_pairs(
     # after banding means shingle explode + min-agg + banding all run
     # exactly once; the rows are bands-times replicated but spill-friendly
     # (localCheckpoint stores MEMORY_AND_DISK), ~5 KB/doc at the defaults.
+    # Scale honesty: the checkpoint writes about the same bytes the
+    # self-join's own exchange moves, so the worst case is ~2x the
+    # no-guard plan's I/O — bounded, and cheaper than re-running the
+    # shingle explode + min-agg per consumer when exchange reuse doesn't
+    # kick in (three consumers reference this subtree).
     sig = minhash_signatures(docs, id_col, text_col, n, num_hashes, seed)
     banded = sig.select(
         "id",
