@@ -78,6 +78,7 @@ def main() -> None:
         "pairs_expected": EXPECTED_ROWS,
         "sec": elapsed,
         "ok": ok,
+        "task_slots": int(cpus),
     }
     if err:
         rec["error"] = err
@@ -87,7 +88,10 @@ def main() -> None:
             doc = json.load(f)
     except (OSError, ValueError):
         doc = {}
-    doc.setdefault("x100", {})["blocked_mem_4g"] = rec
+    # keyed by slot count: the finding is memory-per-task-slot, so runs at
+    # different parallelism are siblings, not overwrites
+    blk = doc.setdefault("x100", {}).setdefault("blocked_mem_4g", {})
+    blk[f"slots{cpus}"] = rec
     with open(sidecar, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps(rec))
