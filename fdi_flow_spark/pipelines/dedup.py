@@ -279,20 +279,25 @@ def minhash_dedup_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    # Materialize the BANDED projection once (r9, VERDICT r8 item 1): the
-    # self-join consumes it on both sides and the bucket-size guard reads it
-    # a third time — checkpointing upstream of banding (the r7/r8 shape) let
-    # every consumer re-run the band-string build (64 minhashes -> 8 strings
-    # per doc), which is where the r8 guard's +80% went. One checkpoint
-    # after banding means shingle explode + min-agg + banding all run
-    # exactly once; the rows are bands-times replicated but spill-friendly
-    # (localCheckpoint stores MEMORY_AND_DISK), ~5 KB/doc at the defaults.
-    # Scale honesty: the checkpoint writes about the same bytes the
-    # self-join's own exchange moves, so the worst case is ~2x the
-    # no-guard plan's I/O — bounded, and cheaper than re-running the
-    # shingle explode + min-agg per consumer when exchange reuse doesn't
-    # kick in (three consumers reference this subtree).
-    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes, seed)
+    # Materialize the SIGNATURES once (SERIALIZED — a 64-long array held as
+    # a deserialized JVM object graph is ~10x its bytes): the banding
+    # self-join consumes them on both sides and the bucket-size guard a
+    # third time, and without the cut every consumer would re-run the
+    # shingle explode + min-hash aggregate (full corpus passes). The
+    # banding PROJECTION itself is deliberately NOT checkpointed: an r9
+    # draft materialized the banded rows too (bands-times-replicated
+    # signatures, ~1 GB per call at the x100 rehearsal scale) and those
+    # retained blocks OOM'd the 8 GiB x100 JVM across the rehearsal's
+    # repeated calls — recomputing the band strings from the signature
+    # checkpoint is CPU-only and exchange reuse already shares the
+    # self-join's banding work between its two sides. (Same failure class
+    # as the star loop's r7 deserialized-caching fix; caught the same way,
+    # by the x100 rehearsal.)
+    from pyspark import StorageLevel
+
+    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes, seed).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     banded = sig.select(
         "id",
         "signature",
@@ -302,7 +307,7 @@ def minhash_dedup_pairs(
                 f"concat(cast(b as string), ':', array_join(slice(signature, b*{rows_per_band}+1, {rows_per_band}), ',')))"
             )
         ).alias("band", "bucket"),
-    ).localCheckpoint(eager=True)
+    )
 
     def _self_pairs(side):
         a = side.alias("a")
