@@ -474,15 +474,13 @@ def _ivfpq_probe_plan(queries, C, books, nprobe, id_col, vec_col):
     """Driver-side probe planning: collect the query matrix, pick each
     query's ``nprobe`` nearest cells, and precompute the per-query ADC
     lookup tables. Returns None when there are no queries."""
+    from fdi_flow_spark.pipelines.similarity import _collect_id_matrix
+
     spark = queries.sparkSession
-    qrows = queries.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).collect()
-    if not qrows:
+    q_ids, q_mat = _collect_id_matrix(queries, id_col, vec_col)
+    if len(q_ids) == 0:
         return None
     mm, _, sub = books.shape
-    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
-    q_mat = np.array([r["_v"] for r in qrows], dtype=np.float64)
     q_norm = np.maximum(np.linalg.norm(q_mat, axis=1), 1e-12)
     qn_mat = q_mat / q_norm[:, None]
     lut = np.stack(

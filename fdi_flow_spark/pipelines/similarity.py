@@ -32,6 +32,46 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _collect_id_matrix(df, id_col, vec_col, limit=None):
+    """Pull ``(ids int64, (n, d) float64 matrix)`` to the driver for the
+    broadcast fast-paths. Arrow-batched via ``DataFrame.toArrow`` when
+    available (one Arrow table instead of py4j Row objects — measurably
+    faster and allocation-light; r9), with a flat zero-copy reshape when
+    the list column is rectangular and null-free; falls back to the row
+    collect on any Arrow unavailability. ``limit`` caps the pull with a
+    LIMIT pushed into the scan (the broadcast-cap probes rely on it)."""
+    sel = df.select(
+        F.col(id_col).cast("long").alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    if limit is not None:
+        sel = sel.limit(limit)
+    try:
+        tbl = sel.toArrow()
+        ids = tbl.column(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        n = tbl.num_rows
+        if n == 0:
+            return ids, np.zeros((0, 0), dtype=np.float64)
+        col = tbl.column(1).combine_chunks()
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offsets)
+        values = col.flatten()  # offset-safe concatenation of the list rows
+        if (
+            col.null_count == 0
+            and values.null_count == 0
+            and len(widths)
+            and widths.min() == widths.max()
+            and widths[0] > 0
+        ):
+            flat = values.to_numpy(zero_copy_only=False)
+            return ids, flat.reshape(n, int(widths[0])).astype(np.float64, copy=False)
+        return ids, np.array(col.to_pylist(), dtype=np.float64)
+    except Exception:
+        rows = sel.collect()
+        ids = np.array([r["_id"] for r in rows], dtype=np.int64)
+        M = np.array([r["_v"] for r in rows], dtype=np.float64)
+        return ids, M
+
+
 def _blocked_partial_topk(candidates: DataFrame, q_ids, q_mat, k: int, metric: str,
                           id_col: str, vec_col: str, carry_cols=None) -> DataFrame:
     """mapInPandas blocked scorer: each Arrow batch of candidates is scored
@@ -149,9 +189,7 @@ def cosine_topk_bruteforce(
     BLAS-blocked partial top-k (see ``_blocked_partial_topk``), then a tiny
     global rank finishes the job.
     """
-    qrows = queries.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).collect()
-    q_ids = [r[0] for r in qrows]
-    q_mat = np.array([r["_v"] for r in qrows], dtype=np.float64)
+    q_ids, q_mat = _collect_id_matrix(queries, id_col, vec_col)
     spark = candidates.sparkSession
     if len(q_ids) == 0:
         return spark.createDataFrame(
@@ -352,17 +390,16 @@ def cosine_topk_ivf(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
     ).withColumn("_cell", assign_cell(F.col("_cv"))).withColumn("_cn", _norm(F.col("_cv")))
 
-    qrows = queries.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).collect()
-    if not qrows:
+    q_ids, Q = _collect_id_matrix(queries, id_col, vec_col)
+    if len(q_ids) == 0:
         return spark.createDataFrame(
             [], schema="query_id long, rank long, neighbor_id long, cosine double"
         )
-    Q = np.array([r["_v"] for r in qrows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     order = np.argsort(-(Qn @ C.T), axis=1)[:, : min(nprobe, len(C))]
     probe_rows = [
-        (int(r[0]), [int(c) for c in cells], [float(x) for x in vec])
-        for r, cells, vec in zip(qrows, order, Q)
+        (int(qid), [int(c) for c in cells], [float(x) for x in vec])
+        for qid, cells, vec in zip(q_ids, order, Q)
     ]
     probes = spark.createDataFrame(
         probe_rows, schema="query_id long, _cells array<int>, _qv array<double>"
@@ -744,12 +781,8 @@ def cosine_near_dup_pairs(
         return cosine_near_dup_blocked(
             emb, threshold, id_col, vec_col, rows_per_block=rows_per_block
         )
-    rows = (
-        emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
-        .limit(max_collect_rows + 1)
-        .collect()
-    )
-    if len(rows) > max_collect_rows:
+    ids, M = _collect_id_matrix(emb, id_col, vec_col, limit=max_collect_rows + 1)
+    if len(ids) > max_collect_rows:
         if strategy == "auto":
             return cosine_near_dup_blocked(
                 emb, threshold, id_col, vec_col, rows_per_block=rows_per_block
@@ -760,7 +793,6 @@ def cosine_near_dup_pairs(
             "strategy='blocked' (exact) or cosine_near_dup_lsh (approximate) "
             "for beyond-broadcast corpora"
         )
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
     spark = emb.sparkSession
     schema = StructType(
         [
@@ -771,7 +803,6 @@ def cosine_near_dup_pairs(
     )
     if len(ids) == 0:
         return spark.createDataFrame([], schema)
-    M = np.array([r["_v"] for r in rows], dtype=np.float64)
     Qn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     bq = spark.sparkContext.broadcast((ids, Qn))
 
@@ -889,12 +920,10 @@ def knn_classify_exact(
     )
     partial = None
     if strategy != "blocked":
-        qrows = (
-            test.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
-            .limit(max_collect_rows + 1)
-            .collect()
+        q_ids, q_mat = _collect_id_matrix(
+            test, id_col, vec_col, limit=max_collect_rows + 1
         )
-        if len(qrows) > max_collect_rows:
+        if len(q_ids) > max_collect_rows:
             if strategy == "broadcast":
                 raise ValueError(
                     f"knn_classify_exact(strategy='broadcast') collects the test "
@@ -902,8 +931,6 @@ def knn_classify_exact(
                     "strategy='blocked'"
                 )
         else:
-            q_ids = [r[0] for r in qrows]
-            q_mat = np.array([r["_v"] for r in qrows], dtype=np.float64)
             if len(q_ids) == 0:
                 return train.sparkSession.createDataFrame(
                     [],
@@ -999,17 +1026,16 @@ def ivf_query_index(
     for r in crows:
         C[int(r["_cell"])] = r["centroid"]
 
-    qrows = queries.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).collect()
-    if not qrows:
+    q_ids, Q = _collect_id_matrix(queries, id_col, vec_col)
+    if len(q_ids) == 0:
         return spark.createDataFrame(
             [], schema="query_id long, rank long, neighbor_id long, cosine double"
         )
-    Q = np.array([r["_v"] for r in qrows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     order = np.argsort(-(Qn @ C.T), axis=1)[:, : min(nprobe, len(C))]
     probe_rows = [
-        (int(r[0]), [int(c) for c in cells], [float(x) for x in vec])
-        for r, cells, vec in zip(qrows, order, Q)
+        (int(qid), [int(c) for c in cells], [float(x) for x in vec])
+        for qid, cells, vec in zip(q_ids, order, Q)
     ]
     probes = (
         spark.createDataFrame(
