@@ -188,6 +188,30 @@ BENCH_QUERIES = [
 ]
 
 
+def load_factors(calib_times: list[float]) -> list[float]:
+    """Per-pass load factor: calibration time / best observed, clamped to
+    [1, 3]. >=1 so normalization can only DISCOUNT load, never flatter a
+    quiet pass; capped at 3 so one absurd calibration reading can't make a
+    genuinely slow query look fast."""
+    ref = min(calib_times) if calib_times else 0.0
+    if ref <= 0:
+        return [1.0 for _ in calib_times]
+    return [min(3.0, max(1.0, c / ref)) for c in calib_times]
+
+
+def normalized_medians(
+    runs: dict[str, list[float]], factors: list[float]
+) -> dict[str, float]:
+    """Median over per-pass timings, each divided by that pass's load
+    factor — the figures the 2x gate rates."""
+    import statistics
+
+    return {
+        name: round(statistics.median(t / lf for t, lf in zip(ts, factors)), 3)
+        for name, ts in runs.items()
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -314,20 +338,12 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     calib_ref = min(calib_times)
-    load_factors = [
-        min(3.0, max(1.0, c / calib_ref)) if calib_ref > 0 else 1.0
-        for c in calib_times
-    ]
+    factors = load_factors(calib_times)
     timings_raw = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
     # load-normalized medians: each pass's timing divided by that pass's
     # load_factor — these feed the gate ratios so the recorded worst_ratio
     # reflects plan cost, not whichever pass the host happened to be busy in
-    timings = {
-        name: round(
-            statistics.median(t / lf for t, lf in zip(ts, load_factors)), 3
-        )
-        for name, ts in runs.items()
-    }
+    timings = normalized_medians(runs, factors)
     spread = {
         name: [round(min(ts), 3), round(max(ts), 3)] for name, ts in runs.items()
     }
@@ -422,7 +438,7 @@ def main() -> None:
             "query": CALIB_QUERY,
             "times": [round(c, 3) for c in calib_times],
             "ref": round(calib_ref, 3),
-            "load_factors": [round(f, 3) for f in load_factors],
+            "load_factors": [round(f, 3) for f in factors],
         },
         "n_runs": n_runs,
         "sf": sf,
@@ -463,7 +479,7 @@ def main() -> None:
                 # peak per-pass load factor from the calibration query: 1.0
                 # means a quiet run (ratios are raw); >1 means that much
                 # ambient load was normalized out (detail in the sidecar)
-                "max_load_factor": round(max(load_factors), 3),
+                "max_load_factor": round(max(factors), 3),
                 "detail": "bench_spread.json",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
