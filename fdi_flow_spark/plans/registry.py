@@ -4925,37 +4925,38 @@ def q_series_profile(spark, sf_dir):
 # hash-checked against its own oracle every pytest run via
 # ``tests/test_oracle_queries.py``'s parametrization over ORACLES.
 _WINDOW_PRIORITY = [
-    # --- r9 rotation (round-8 VERDICT item 3): the window is the 49 STALEST
-    # oracles by newest green driver check (r1-r5) plus the one new r9
-    # rows-query. Every r6-r8-green oracle moved to the excluded list (all
-    # re-proved every pytest run and in the sf0.01 driver-exact rehearsal);
-    # two r5-green oracles with in-window kernel twins deferred to r10
-    # (anti_join_quiet_customers, median_filter_edge) because the window
-    # holds exactly 50 and the new probe query takes a slot.
-    # last green r1-r2:
-    "ewma_chunked", "holt_chunked", "knn_accuracy", "median_filter_zeros",
-    "minhash_signatures", "moving_average_padded", "resample_nearest",
-    # last green r3:
-    "cube_order_stats", "minmax_scaler", "video_frame_sample",
-    # last green r4:
-    "corpus_hash_split", "dedup_exact", "embedding_near_dup",
-    "holt_smoothing", "kalman1d_filter", "observer_kalman_events",
-    "observer_sliding_events", "robust_scaler", "simulate_discrete_events",
-    "supervised_windows", "text_quality", "top_orders_per_customer",
-    # last green r5:
-    "bm25_search", "changepoint_scan", "cusum_drift",
-    "distinct_counts_by_status", "document_fingerprint", "dsir_weights",
-    "embedding_kmeans", "embedding_quantize", "events_stats_salted",
-    "failure_encoder", "knn_classify", "language_id", "line_dedup",
-    "lm_perplexity", "min_cost_supplier", "ngram_jaccard_pairs",
-    "orders_above_customer_avg", "pii_redact", "quota_sample",
-    "sales_rollup", "seasonal_decompose", "semantic_dedup",
-    "semi_join_urgent_customers", "series_acf", "set_ops_customer_cohorts",
-    "simhash_fingerprints", "token_pack",
-    # r9 NEW rows-query, in-window the round it lands (round-8 VERDICT item
-    # 4): the persisted-index IVF-PQ probe — the plan a 100 TB deployment
-    # runs (the in-flight cosine_topk_ivfpq retrains by documented design)
-    "cosine_topk_ivfpq_probe",
+    # --- r10 rotation (round-9 VERDICT item 1): the window is the 50 STALEST
+    # oracle-backed queries by newest green driver check. The no-oracle
+    # ivfpq probe is rotated OUT (its driver-execution evidence is banked in
+    # CORRECTNESS_r09 — 100 rows executed; recall floor + pruned-scan plan
+    # assertions live in tests/test_quantization.py) and the invariant below
+    # now FORBIDS any no-oracle query from occupying a window slot — a slot
+    # that cannot hash-match is a wasted check. The two r5-greens deferred
+    # in r9 enter first; then the r6/r7 cohorts; then the 20 alphabetically
+    # first r8-greens (the remaining 14 r8-greens are FIRST IN LINE for r11).
+    # Every r9-green oracle moved to the excluded list (all re-proved every
+    # pytest run and in the sf0.01 driver-exact rehearsal).
+    # last green r5 (deferred from the r9 window):
+    "anti_join_quiet_customers", "median_filter_edge",
+    # last green r6:
+    "cross_corr", "gap_fill", "mad_outliers", "source_mix", "text_normalize",
+    # last green r7:
+    "corpus_contamination", "corpus_decontaminate", "cosine_topk",
+    "cosine_topk_q8", "dedup_incremental", "domain_filter", "dsir_select",
+    "duplicated_spans", "kn3_perplexity", "kn_perplexity", "ngram_counts",
+    "page_hinkley_drift", "pattern_search", "pq_encode",
+    "quality_classifier", "readability", "series_pacf",
+    "span_contamination", "text_repetition", "tfidf_vectors",
+    "time_bucket_rollup", "user_sessions", "value_histogram",
+    # last green r8 (first 20 alphabetically; the rest queue for r11):
+    "asof_join_purchase", "cosine_topk_blocked", "curation_pipeline",
+    "curation_scored", "dedup_components", "dedup_components_grouped",
+    "embedding_near_dup_blocked", "ewma_closed_form", "fdi_pipeline",
+    "forecast_prep", "gopher_filter", "kalman1d_chunked",
+    "language_id_model", "minhash_dedup_pairs", "moving_average_valid",
+    "multimodal_image_features", "multimodal_image_resize",
+    "observer_luenberger_events", "observer_replay_kalman",
+    "observer_replay_luenberger",
 ]
 
 
@@ -4967,34 +4968,30 @@ _WINDOW_PRIORITY = [
 # NEWEST GREEN DRIVER CHECK, so staleness for the r10 rotation is read off
 # the comments directly.
 _WINDOW_EXCLUDED_ORACLES = {
-    # deferred r5-greens (kernel twins in-window: semi_join_urgent_customers
-    # carries the LeftSemi/LeftAnti family, median_filter_zeros the exact-
-    # median kernel) — FIRST IN LINE for the r10 window:
-    "anti_join_quiet_customers", "median_filter_edge",
-    # newest green r6:
-    "cross_corr", "gap_fill", "mad_outliers", "source_mix", "text_normalize",
-    # newest green r7:
-    "corpus_contamination", "corpus_decontaminate", "cosine_topk",
-    "cosine_topk_q8", "dedup_incremental", "domain_filter", "dsir_select",
-    "duplicated_spans", "kn3_perplexity", "kn_perplexity", "ngram_counts",
-    "page_hinkley_drift", "pattern_search", "pq_encode",
-    "quality_classifier", "readability", "series_pacf",
-    "span_contamination", "text_repetition", "tfidf_vectors",
-    "time_bucket_rollup", "user_sessions", "value_histogram",
-    # newest green r8 (the r8 window, incl. its five first-ever greens and
-    # the two new block-grid oracles):
-    "asof_join_purchase", "cosine_topk_blocked", "curation_pipeline",
-    "curation_scored", "dedup_components", "dedup_components_grouped",
-    "embedding_near_dup_blocked", "ewma_closed_form", "fdi_pipeline",
-    "forecast_prep", "gopher_filter", "kalman1d_chunked",
-    "language_id_model", "minhash_dedup_pairs", "moving_average_valid",
-    "multimodal_image_features", "multimodal_image_resize",
-    "observer_luenberger_events", "observer_replay_kalman",
-    "observer_replay_luenberger", "observer_replay_sliding",
-    "q1_pricing_summary", "q3_top_orders", "q5_nation_volume",
-    "q6_revenue_change", "resample_linear", "rolling_corr",
-    "segment_windows", "series_profile", "simulate_euler_events",
-    "span_dedup", "standard_scaler", "token_counts", "video_frame_features",
+    # newest green r8, back 14 alphabetically (the first 20 are in-window
+    # this round) — FIRST IN LINE for the r11 window:
+    "observer_replay_sliding", "q1_pricing_summary", "q3_top_orders",
+    "q5_nation_volume", "q6_revenue_change", "resample_linear",
+    "rolling_corr", "segment_windows", "series_profile",
+    "simulate_euler_events", "span_dedup", "standard_scaler",
+    "token_counts", "video_frame_features",
+    # newest green r9 (the r9 window: 49/49 hash-green in CORRECTNESS_r09):
+    "ewma_chunked", "holt_chunked", "knn_accuracy", "median_filter_zeros",
+    "minhash_signatures", "moving_average_padded", "resample_nearest",
+    "cube_order_stats", "minmax_scaler", "video_frame_sample",
+    "corpus_hash_split", "dedup_exact", "embedding_near_dup",
+    "holt_smoothing", "kalman1d_filter", "observer_kalman_events",
+    "observer_sliding_events", "robust_scaler", "simulate_discrete_events",
+    "supervised_windows", "text_quality", "top_orders_per_customer",
+    "bm25_search", "changepoint_scan", "cusum_drift",
+    "distinct_counts_by_status", "document_fingerprint", "dsir_weights",
+    "embedding_kmeans", "embedding_quantize", "events_stats_salted",
+    "failure_encoder", "knn_classify", "language_id", "line_dedup",
+    "lm_perplexity", "min_cost_supplier", "ngram_jaccard_pairs",
+    "orders_above_customer_avg", "pii_redact", "quota_sample",
+    "sales_rollup", "seasonal_decompose", "semantic_dedup",
+    "semi_join_urgent_customers", "series_acf", "set_ops_customer_cohorts",
+    "simhash_fingerprints", "token_pack",
 }
 
 
@@ -5005,6 +5002,15 @@ def _reorder_registry() -> None:
     if len(_WINDOW_PRIORITY) != 50:
         raise RuntimeError(
             f"driver window must hold exactly 50 queries, got {len(_WINDOW_PRIORITY)}"
+        )
+    # r10 invariant (round-9 VERDICT item 1): every window slot must be an
+    # oracle-backed query. A no-oracle query in the window burns a hash-check
+    # slot on a rows-only record that reads as a permanent red row; rows-only
+    # queries get their driver contact via the rehearsal + pytest instead.
+    no_oracle = [k for k in _WINDOW_PRIORITY if k not in ORACLES]
+    if no_oracle:
+        raise RuntimeError(
+            f"no-oracle queries may not occupy driver window slots: {no_oracle}"
         )
     escaped = set(ORACLES) - set(_WINDOW_PRIORITY) - _WINDOW_EXCLUDED_ORACLES
     if escaped:  # a new oracle-backed query must be placed explicitly
