@@ -21,10 +21,14 @@ from fdi_flow_spark.core.partitioning import ensure_min_parallelism
 
 MERSENNE_P = 2**31 - 1
 
-# Diagnostics from the most recent star-contraction run in this process:
-# rounds executed, per-round checkpoint storage choice, and any big-graph
-# repartition sizes. Telemetry for operators; also lets the regression test
-# assert the >4M-edge SERIALIZED branch executed (r8 VERDICT item 6).
+# Diagnostics from the most recent COMPLETED star-contraction run in this
+# process: rounds executed, per-round checkpoint storage choice, and any
+# big-graph repartition sizes. Telemetry for operators; also lets the
+# regression test assert the >4M-edge SERIALIZED branch executed (r8 VERDICT
+# item 6). Each run accumulates into its own local dict and publishes here
+# atomically on completion (r9 ADVICE: the previous clear+mutate-in-place
+# let concurrent star runs interleave writes into one shared dict — now the
+# worst case under concurrency is last-completed-run-wins, never a mix).
 LAST_STAR_RUN: dict = {}
 
 
@@ -547,8 +551,8 @@ def dedup_components(
         # and so the 4M-edge regression test can assert the SERIALIZED
         # branch actually executed (r8 VERDICT item 6) — the one-shot 8 GiB
         # probe (scripts/star_memory_probe.py) stays the full-scale check.
-        LAST_STAR_RUN.clear()
-        LAST_STAR_RUN.update({"rounds": 0, "levels": [], "repartitions": []})
+        # Accumulated locally; published to LAST_STAR_RUN only on completion.
+        run_stats: dict = {"rounds": 0, "levels": [], "repartitions": []}
         for _ in range(max_iter):
             n_edges = prev[0]
             stepped = _small_star(_large_star(e))
@@ -563,9 +567,9 @@ def dedup_components(
                 if n_edges > rows_per_part * min_parts:
                     parts = int(min(8192, n_edges // rows_per_part + 1))
                     stepped = stepped.repartition(parts)
-                    LAST_STAR_RUN["repartitions"].append(parts)
-            LAST_STAR_RUN["rounds"] += 1
-            LAST_STAR_RUN["levels"].append(
+                    run_stats["repartitions"].append(parts)
+            run_stats["rounds"] += 1
+            run_stats["levels"].append(
                 "serialized_mem_and_disk" if level is not None else "default"
             )
             e = stepped.localCheckpoint(eager=True, storageLevel=level)
@@ -598,6 +602,10 @@ def dedup_components(
                 RuntimeWarning,
                 stacklevel=2,
             )
+        # Atomic publish: a single name rebind, so readers only ever see a
+        # complete run's snapshot (never a half-written mix of two runs).
+        global LAST_STAR_RUN
+        LAST_STAR_RUN = run_stats
         # fixpoint edges form disjoint stars centered on component minima
         out = (
             e.select(F.col("src").alias("node"), F.col("dst").alias("label"))

@@ -24,6 +24,17 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+# Errors that mean "the Arrow pull path is unavailable here" (no
+# DataFrame.toArrow on this PySpark, Arrow stack missing/broken) — the only
+# conditions under which _collect_id_matrix may fall back to a row collect.
+try:
+    import pyarrow as _pa
+
+    _ARROW_UNAVAILABLE_ERRORS: tuple = (AttributeError, ImportError, _pa.ArrowException)
+except ImportError:  # pragma: no cover - pyarrow is baked into this env
+    _ARROW_UNAVAILABLE_ERRORS = (AttributeError, ImportError)
+
+
 def _norm(col):
     return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
 
@@ -45,31 +56,42 @@ def _collect_id_matrix(df, id_col, vec_col, limit=None):
     )
     if limit is not None:
         sel = sel.limit(limit)
+    # Fallback is for ARROW UNAVAILABILITY only (r9 ADVICE: a broad except
+    # around the whole conversion masked post-collection reshape bugs and
+    # re-executed the scan via collect). The try covers just the toArrow()
+    # call; everything after it propagates.
     try:
         tbl = sel.toArrow()
-        ids = tbl.column(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        n = tbl.num_rows
-        if n == 0:
-            return ids, np.zeros((0, 0), dtype=np.float64)
-        col = tbl.column(1).combine_chunks()
-        offsets = col.offsets.to_numpy(zero_copy_only=False)
-        widths = np.diff(offsets)
-        values = col.flatten()  # offset-safe concatenation of the list rows
-        if (
-            col.null_count == 0
-            and values.null_count == 0
-            and len(widths)
-            and widths.min() == widths.max()
-            and widths[0] > 0
-        ):
-            flat = values.to_numpy(zero_copy_only=False)
-            return ids, flat.reshape(n, int(widths[0])).astype(np.float64, copy=False)
-        return ids, np.array(col.to_pylist(), dtype=np.float64)
-    except Exception:
+    except _ARROW_UNAVAILABLE_ERRORS:
         rows = sel.collect()
         ids = np.array([r["_id"] for r in rows], dtype=np.int64)
         M = np.array([r["_v"] for r in rows], dtype=np.float64)
         return ids, M
+    id_arr = tbl.column(0)
+    if id_arr.null_count:
+        # the old collect path surfaced null ids as None -> TypeError; the
+        # Arrow path would silently turn them into NaN -> int64 garbage
+        raise ValueError(
+            f"{id_col} has {id_arr.null_count} null value(s); ids must be non-null"
+        )
+    ids = id_arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    n = tbl.num_rows
+    if n == 0:
+        return ids, np.zeros((0, 0), dtype=np.float64)
+    col = tbl.column(1).combine_chunks()
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    values = col.flatten()  # offset-safe concatenation of the list rows
+    if (
+        col.null_count == 0
+        and values.null_count == 0
+        and len(widths)
+        and widths.min() == widths.max()
+        and widths[0] > 0
+    ):
+        flat = values.to_numpy(zero_copy_only=False)
+        return ids, flat.reshape(n, int(widths[0])).astype(np.float64, copy=False)
+    return ids, np.array(col.to_pylist(), dtype=np.float64)
 
 
 def _blocked_partial_topk(candidates: DataFrame, q_ids, q_mat, k: int, metric: str,

@@ -383,3 +383,27 @@ def test_ivf_index_roundtrip_and_pruning(spark, tmp_path):
     plan = buf.getvalue()
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and any("_cell" in l and "IN" in l.upper() for l in pf), plan
+
+
+def test_collect_id_matrix_null_id_raises_and_shapes(spark):
+    """r9 ADVICE: on the Arrow pull path a null id used to become NaN ->
+    int64 garbage; it must raise. Also pin the happy-path reshape and the
+    empty-input shape, since post-toArrow errors now propagate instead of
+    silently re-running via collect."""
+    from fdi_flow_spark.pipelines.similarity import _collect_id_matrix
+
+    ok = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    ids, M = _collect_id_matrix(ok, "vec_id", "embedding")
+    assert ids.tolist() == [1, 2] and M.shape == (2, 2) and M[1, 0] == 3.0
+
+    empty = ok.where("vec_id < 0")
+    ids0, M0 = _collect_id_matrix(empty, "vec_id", "embedding")
+    assert len(ids0) == 0 and M0.shape[0] == 0
+
+    bad = spark.createDataFrame(
+        [(None, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="null"):
+        _collect_id_matrix(bad, "vec_id", "embedding")
