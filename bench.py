@@ -25,18 +25,32 @@ occasional multi-second environmental spikes on Arrow-path queries (a
 median of 5 tolerates two disturbed passes where a median of 3 tolerates
 one).
 
-Load calibration (r9): a fixed fast calibration query is timed at the
-start of every pass; per-pass timings are divided by that pass's
+Load calibration (r9; reworked r10 per r9 ADVICE): a FRAMEWORK-INDEPENDENT
+pinned plan — spark.range + modulo-key groupBy/sum across all cores, no
+parquet scan, no Python stage, not a registry query — is timed (min of 3)
+at the start of every pass; per-pass timings are divided by that pass's
 load_factor (calibration time / best observed, clamped [1, 3]) before the
 medians that feed the gate ratios — ambient host load tripped the
 recorded worst_ratio three rounds running while the quiet plan cost was
-~1x. Raw medians and the full calibration trace ride in the sidecar, so
-the adjudication is data, not prose. Rated queries whose normalized suite
-median still brushes the 2x gate (>1.25x the baseline) get an isolated
-re-measure with its own calibration; the gate uses the isolated
-normalized median itself (not min(suite, isolated) — that one-sided
-adjustment could only lower ratios; r8 ADVICE). The registry import is
-local so the driver can run this file standalone from the repo root.
+~1x. (r9 used q6_revenue_change as the probe, which both warmed a rated
+query adjacent to its own measurement and tied the probe to the framework
+under test.) Raw medians, raw gate ratios, and the full calibration trace
+ride in the sidecar AND the stdout line carries worst_ratio_raw next to
+the normalized figure, so normalization can never hide the raw picture
+(r9 ADVICE: one-directional normalization against a raw baseline can only
+shave reported ratios down). Rated queries whose normalized suite median
+still brushes the 2x gate (>1.25x the baseline) get an isolated re-measure
+with its own calibration; the isolated median replaces the suite median
+ONLY when elevated suite load corroborates that the suite number was
+disturbed (r9 ADVICE) — a slowdown born of the framework's own
+suite-context behavior stays in the gate. The registry import is local so
+the driver can run this file standalone from the repo root.
+
+Sidecar provenance (r9 VERDICT item 4): the sidecar carries a "source"
+field from $SPARK_GRAFT_BENCH_SOURCE (default "driver"); a non-default
+source writes to bench_spread_<source>.json instead, so the builder's
+committed quiet-machine runs and the driver's post-commit recording live
+in separate files and the working tree stops diverging every round.
 """
 
 from __future__ import annotations
@@ -212,6 +226,43 @@ def normalized_medians(
     }
 
 
+def choose_gated_median(
+    suite_norm: float,
+    isolated_norm: float,
+    max_suite_load_factor: float,
+    corroborate_threshold: float = 1.10,
+) -> float:
+    """Which median feeds the gate for a gate-brushing query (r9 ADVICE):
+    the isolated re-measure replaces the suite median ONLY when elevated
+    ambient load during the suite passes corroborates that the suite
+    number was disturbed. A quiet suite means any suite/isolated delta is
+    the framework's OWN suite-context behavior (e.g. heap pressure from
+    preceding queries' retained blocks) — that belongs in the gate, so the
+    suite median stands."""
+    if max_suite_load_factor > corroborate_threshold:
+        return isolated_norm
+    return suite_norm
+
+
+def ratio_summary(
+    timings: dict[str, float], base: dict[str, float]
+) -> tuple[str | None, float | None, float | None]:
+    """(worst_query, worst_ratio, geomean_ratio) of timings vs the r1
+    baseline medians, over the rated (baseline-covered) queries only."""
+    import math
+
+    ratios = {
+        name: timings[name] / base[name]
+        for name in timings
+        if name in base and base[name] > 0
+    }
+    if not ratios:
+        return None, None, None
+    worst_q = max(ratios, key=ratios.get)
+    geomean = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
+    return worst_q, round(ratios[worst_q], 3), round(geomean, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -296,27 +347,48 @@ def main() -> None:
 
     # Load calibration (r8 VERDICT items 2+7): ambient host load has tripped
     # the recorded worst_ratio three rounds running (embedding_near_dup
-    # 2.00x/1.78x while its quiet plan cost is ~0.95x). A fixed, fast,
-    # JVM-only calibration query timed at the START of every pass measures
-    # that pass's load; per-pass timings are normalized by the pass's
-    # load_factor (calib / best-observed calib, clamped to [1, 3]) before
-    # the medians that feed the 2x gate. Raw medians are recorded alongside,
-    # so the sidecar shows exactly how much normalization was applied.
-    CALIB_QUERY = "q6_revenue_change"
+    # 2.00x/1.78x while its quiet plan cost is ~0.95x). A fixed, fast probe
+    # timed at the START of every pass measures that pass's load; per-pass
+    # timings are normalized by the pass's load_factor (calib /
+    # best-observed calib, clamped to [1, 3]) before the medians that feed
+    # the 2x gate. Raw medians are recorded alongside, so the sidecar shows
+    # exactly how much normalization was applied.
+    #
+    # r10 (r9 ADVICE, both medium findings): the probe is a FRAMEWORK-
+    # INDEPENDENT pinned plan — range + modulo-key groupBy/sum across every
+    # core (one whole-stage-codegen stage + one 251-key shuffle), ~0.4 s at
+    # load 1, the same magnitude as the r9 q6 probe. Using registry query
+    # q6_revenue_change (a) gave q6's own rated in-suite timing 3 warm
+    # executions immediately before every pass and (b) made the load probe
+    # depend on the framework under test (parquet scan + its plan choices).
+    CALIB_QUERY = "pinned range+groupBy/sum (framework-independent)"
+    _CALIB_N = 60_000_000
+
+    def _calib_plan():
+        d = spark.range(0, _CALIB_N, 1, spark.sparkContext.defaultParallelism)
+        return d.groupBy((d.id % 251).alias("k")).agg(F.sum(d.id).alias("s"))
 
     def _calibrate() -> float:
-        fn = QUERIES[CALIB_QUERY]
         best = float("inf")
         for _ in range(3):  # min of 3: the best run is the least-loaded one
             start = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            _calib_plan().write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
         return best
 
-    # Warm the calibration query itself (codegen/JIT) so pass-1 calibration
-    # measures HOST LOAD, not q6's first-execution compile cost — an
-    # unwarmed first calibration read 3x and over-normalized pass 1.
-    QUERIES[CALIB_QUERY](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm the calibration plan itself (codegen/JIT) so pass-1 calibration
+    # measures HOST LOAD, not first-execution compile cost — an unwarmed
+    # first calibration read 3x and over-normalized pass 1.
+    _calib_plan().write.format("noop").mode("overwrite").save()
+    # r9 VERDICT item 3: cosine_topk_ivfpq_probe's FIRST call per process
+    # trains the IVF-PQ quantizers and persists the index (~20-30 s at
+    # sf0.1); every later call only probes it. Build the index during
+    # warm-up so pass 1 measures the probe plan, not index construction —
+    # at 100 TB the index is built once, offline, and the probe is what a
+    # deployment actually pays per query.
+    QUERIES["cosine_topk_ivfpq_probe"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     calib_times: list[float] = []
     for _ in range(n_runs):
@@ -372,7 +444,8 @@ def main() -> None:
     # normalized median ITSELF — not min(suite, isolated), which was a
     # one-sided adjustment that could only ever lower the reported ratios
     # (r8 ADVICE). Both raw and normalized numbers go to the sidecar.
-    isolated: dict[str, dict[str, float]] = {}
+    isolated: dict[str, dict[str, float | str]] = {}
+    max_suite_lf = max(factors) if factors else 1.0
     for name in sorted(timings):
         b = base.get(name)
         if not b or timings[name] / b <= 1.25:
@@ -390,50 +463,69 @@ def main() -> None:
             ts.append(time.perf_counter() - start)
         iso_raw = round(statistics.median(ts), 3)
         iso = round(iso_raw / iso_lf, 3)
+        # r9 ADVICE (low): the isolated number replaces the suite median
+        # ONLY when elevated suite load corroborates the disturbance; a
+        # quiet-suite delta is the framework's own suite-context behavior
+        # and stays in the gate.
+        gated = choose_gated_median(timings[name], iso, max_suite_lf)
         isolated[name] = {
             "suite": timings_raw[name],
             "suite_norm": timings[name],
             "isolated": iso_raw,
             "isolated_norm": iso,
             "iso_load_factor": round(iso_lf, 3),
+            "max_suite_load_factor": round(max_suite_lf, 3),
+            "gated_on": "isolated" if gated == iso else "suite",
         }
-        timings[name] = iso
+        if gated == iso:
+            timings[name] = iso
+            timings_raw[name] = iso_raw  # raw ratios describe the same run
 
     total = round(sum(timings.values()), 3)
 
     # Vs-baseline ratios, so the compact stdout line carries the 2x-gate
-    # verdict directly.
+    # verdict directly — on BOTH the normalized and the raw medians (r9
+    # ADVICE, medium: normalization against a raw baseline can only shave
+    # ratios down, so the raw picture must ride alongside).
     ratios = {
         name: round(timings[name] / base[name], 3)
         for name in timings
         if name in base and base[name] > 0
     }
-    worst_q, worst_r, geomean = None, None, None
-    if ratios:
-        worst_q = max(ratios, key=ratios.get)
-        worst_r = ratios[worst_q]
-        import math
-
-        geomean = round(
-            math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios)), 3
-        )
+    worst_q, worst_r, geomean = ratio_summary(timings, base)
+    worst_q_raw, worst_r_raw, geomean_raw = ratio_summary(timings_raw, base)
+    ratios_raw = {
+        name: round(timings_raw[name] / base[name], 3)
+        for name in timings_raw
+        if name in base and base[name] > 0
+    }
 
     # Full medians + spreads + ratios: stderr + sidecar file, NEVER the
     # stdout line (driver stdout-tail capture truncated the r3-r5 lines;
     # stdout must stay under ~1 KB).
+    # Provenance (r9 VERDICT item 4): the driver's post-commit recording and
+    # the builder's quiet-machine close run used to fight over one file.
+    # The default (driver) run writes bench_spread.json; a named source
+    # writes its own committed sidecar (bench_spread_<source>.json).
+    source = os.environ.get("SPARK_GRAFT_BENCH_SOURCE", "driver")
+    sidecar = (
+        "bench_spread.json" if source == "driver" else f"bench_spread_{source}.json"
+    )
     spread_doc = {
+        "source": source,
         "medians": timings,  # load-normalized (these feed the gate ratios)
         "medians_raw": timings_raw,
         "spread": spread,
         "vs_baseline": ratios,
+        "vs_baseline_raw": ratios_raw,
         # suite-vs-isolated medians for every gate-brushing query: the
         # delta IS the suite-context noise, recorded here once instead of
         # being adjudicated in prose each round
         "isolated": isolated,
-        # per-pass load calibration (r8 VERDICT item 7): CALIB_QUERY timed
-        # (min of 3) at the start of every pass; load_factor = calib / best
-        # observed, clamped [1, 3]. Factors near 1.0 mean the normalized
-        # and raw medians coincide — adjudication is mechanical, not prose.
+        # per-pass load calibration (r8 VERDICT item 7): the pinned plan
+        # timed (min of 3) at the start of every pass; load_factor = calib /
+        # best observed, clamped [1, 3]. Factors near 1.0 mean the
+        # normalized and raw medians coincide — adjudication is mechanical.
         "calibration": {
             "query": CALIB_QUERY,
             "times": [round(c, 3) for c in calib_times],
@@ -445,7 +537,7 @@ def main() -> None:
     }
     print(json.dumps(spread_doc), file=sys.stderr)
     try:
-        with open(os.path.join(_REPO, "bench_spread.json"), "w") as f:
+        with open(os.path.join(_REPO, sidecar), "w") as f:
             json.dump(spread_doc, f)
     except OSError:
         pass
@@ -476,11 +568,17 @@ def main() -> None:
                 "worst_ratio_vs_baseline": worst_r,
                 "worst_query": worst_q,
                 "geomean_ratio_vs_baseline": geomean,
-                # peak per-pass load factor from the calibration query: 1.0
+                # the same gate figures on the RAW (un-normalized) medians,
+                # so normalization can never hide the raw picture (r9
+                # ADVICE); when max_load_factor is ~1 the two coincide
+                "worst_ratio_raw": worst_r_raw,
+                "worst_query_raw": worst_q_raw,
+                "geomean_ratio_raw": geomean_raw,
+                # peak per-pass load factor from the calibration plan: 1.0
                 # means a quiet run (ratios are raw); >1 means that much
                 # ambient load was normalized out (detail in the sidecar)
                 "max_load_factor": round(max(factors), 3),
-                "detail": "bench_spread.json",
+                "detail": sidecar,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -32,3 +32,22 @@ def ensure_min_parallelism(df: DataFrame, *cols: str) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
+def local_df(spark, rows, schema) -> DataFrame:
+    """Small driver-side relation (model tables, probe lists, index
+    metadata) as a SINGLE-partition DataFrame.
+
+    ``spark.createDataFrame(list, ...)`` parallelizes the pickled rows into
+    ``defaultParallelism`` slices; each slice is computed through its own
+    Python-worker round trip (~150 ms), so ANY single-task action over it —
+    a ``coalesce(1)`` metadata write, a broadcast-exchange build — pays
+    32 sequential round trips on local[32]: ~5 s to write one row (measured;
+    the IVF-PQ index build spent 15 of its 20 s in three such writes). One
+    slice = one round trip, identical row/schema semantics. On a real
+    cluster the same waste shows up as 1000 no-op tasks for a 10-row table.
+    Empty ``rows`` stays on the plain path (nothing to compute).
+    """
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)

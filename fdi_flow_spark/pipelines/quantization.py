@@ -28,7 +28,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from fdi_flow_spark.core.partitioning import ensure_min_parallelism
+from fdi_flow_spark.core.partitioning import ensure_min_parallelism, local_df
 
 
 def quantize_embeddings(
@@ -487,9 +487,13 @@ def _ivfpq_probe_plan(queries, C, books, nprobe, id_col, vec_col):
         [q_mat[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(mm)], axis=1
     )
     order = np.argsort(-(qn_mat @ C.T), axis=1)[:, : min(nprobe, len(C))]
-    probes = spark.createDataFrame(
+    # single-slice local relation: the probe list is broadcast-joined, and a
+    # defaultParallelism-sliced pickled relation pays one Python-worker round
+    # trip PER SLICE in the broadcast build (see core.partitioning.local_df)
+    probes = local_df(
+        spark,
         [(int(q), int(c)) for q, cs in zip(q_ids, order) for c in cs],
-        schema="query_id long, cell long",
+        "query_id long, cell long",
     )
     probed_cells = sorted({int(c) for cs in order for c in cs})
     return q_ids, q_norm, lut, probes, probed_cells, q_mat
@@ -636,26 +640,33 @@ def ivfpq_build_index(
         train_src, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )
     spark = candidates.sparkSession
-    spark.createDataFrame(
-        [(bool(residual),)], schema="residual boolean"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    # single-slice local relations (core.partitioning.local_df): these three
+    # one-file metadata writes used to cost ~5 s EACH — a coalesce(1) over a
+    # defaultParallelism-sliced pickled relation computes every slice through
+    # one sequential Python-worker round trip per slice (r10 profiling: 15 of
+    # the build's 20 s at sf0.01 were these three writes).
+    local_df(spark, [(bool(residual),)], "residual boolean").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
     anchor = M if M is not None else C
-    spark.createDataFrame(
+    local_df(
+        spark,
         [
             (int(j), [float(x) for x in C[j]], [float(x) for x in anchor[j]])
             for j in range(len(C))
         ],
-        schema="cell long, centroid array<double>, anchor array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        "cell long, centroid array<double>, anchor array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
     mm, kk, _ = books.shape
-    spark.createDataFrame(
+    local_df(
+        spark,
         [
             (int(j), int(c), [float(x) for x in books[j, c]])
             for j in range(mm)
             for c in range(kk)
         ],
-        schema="subspace long, code long, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+        "subspace long, code long, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
     _ivfpq_encode(candidates, C, books, id_col, vec_col, M=M).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(f"{path}/postings")

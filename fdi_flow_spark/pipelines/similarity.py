@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
+from fdi_flow_spark.core.partitioning import local_df
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -1013,10 +1015,14 @@ def ivf_build_index(
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(M @ Cn.T, axis=1).astype(np.int64))
 
-    spark.createDataFrame(
+    # single-slice local relation: a coalesce(1) over the default pickled
+    # relation pays one Python-worker round trip per slice in ONE task
+    # (~5 s to write nlist rows on local[32]; core.partitioning.local_df)
+    local_df(
+        spark,
         [(int(j), [float(x) for x in C[j]]) for j in range(len(C))],
-        schema="_cell long, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        "_cell long, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
     (
         candidates.select(
             F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")

@@ -48,3 +48,45 @@ def test_normalization_cannot_hide_a_real_regression():
     runs = {"slow": [4.0, 4.1, 4.2]}
     out = normalized_medians(runs, load_factors([0.2, 0.21, 0.2]))
     assert out["slow"] >= 3.9
+
+
+def test_choose_gated_median_requires_load_corroboration():
+    from bench import choose_gated_median
+
+    # loaded suite (max lf > 1.10): the isolated re-measure stands in
+    assert choose_gated_median(2.0, 1.2, max_suite_load_factor=1.5) == 1.2
+    # quiet suite: the suite median stays in the gate even if isolation
+    # looks better — the delta is the framework's own suite-context cost
+    assert choose_gated_median(2.0, 1.2, max_suite_load_factor=1.0) == 2.0
+    # ... and even if isolation looks WORSE (two-sided, not min())
+    assert choose_gated_median(1.3, 1.8, max_suite_load_factor=1.05) == 1.3
+    assert choose_gated_median(1.3, 1.8, max_suite_load_factor=1.2) == 1.8
+
+
+def test_ratio_summary_matches_hand_math():
+    import math
+
+    from bench import ratio_summary
+
+    base = {"a": 1.0, "b": 2.0, "c": 4.0}
+    worst_q, worst_r, geo = ratio_summary({"a": 2.0, "b": 1.0, "c": 4.0}, base)
+    assert worst_q == "a" and worst_r == 2.0
+    assert geo == round(math.exp((math.log(2) + math.log(0.5) + math.log(1)) / 3), 3)
+    # unrated queries (no baseline) are excluded; empty -> Nones
+    assert ratio_summary({"zzz": 9.0}, base) == (None, None, None)
+
+
+def test_raw_and_normalized_summaries_coincide_on_quiet_run():
+    # load factors all 1.0 => normalized medians equal raw medians, so the
+    # two stdout gate figures must coincide — the property the r9 ADVICE
+    # asked the summary to make checkable
+    from bench import load_factors, normalized_medians, ratio_summary
+
+    runs = {"a": [1.0, 1.1, 1.05], "b": [0.4, 0.45, 0.5]}
+    factors = load_factors([0.3, 0.3, 0.3])
+    norm = normalized_medians(runs, factors)
+    import statistics
+
+    raw = {k: round(statistics.median(v), 3) for k, v in runs.items()}
+    base = {"a": 1.0, "b": 0.5}
+    assert ratio_summary(norm, base) == ratio_summary(raw, base)
