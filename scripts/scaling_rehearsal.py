@@ -60,17 +60,23 @@ QUERIES = [
 ]
 
 
-def build_x10(spark) -> None:
+def build_x10(spark, base: str | None = None, out: str | None = None) -> None:
+    """Build the 10x re-keyed union corpus from ``base`` into ``out``
+    (defaults: the module-level BASE/X10). Parameterized so the CI sweep
+    (tests/test_scaling.py, `pytest -m scaling`) can build a small twin
+    from sf0.001 without touching the full-scale rehearsal corpus."""
     from pyspark.sql import functions as F
 
-    os.makedirs(X10, exist_ok=True)
-    done = os.path.join(X10, "_BUILT")
+    base = base or BASE
+    out_dir = out or X10
+    os.makedirs(out_dir, exist_ok=True)
+    done = os.path.join(out_dir, "_BUILT")
     if os.path.exists(done):
         return
     t0 = time.perf_counter()
 
     def shifted(table, copies_spec):
-        src = spark.read.parquet(f"{BASE}/{table}.parquet")
+        src = spark.read.parquet(f"{base}/{table}.parquet")
         parts = []
         for i in range(COPIES):
             c = src
@@ -80,16 +86,16 @@ def build_x10(spark) -> None:
                 elif kind == "suffix" and i > 0:
                     c = c.withColumn(col, F.concat(F.col(col), F.lit(f"_c{i}")))
             parts.append(c)
-        out = parts[0]
+        u = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
-        out.write.mode("overwrite").parquet(f"{X10}/{table}.parquet")
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
 
     # true dimensions stay single-copy (a real deployment has 25 nations
     # at every fact-table scale)
     for t in ("region", "nation"):
-        spark.read.parquet(f"{BASE}/{t}.parquet").write.mode("overwrite").parquet(
-            f"{X10}/{t}.parquet"
+        spark.read.parquet(f"{base}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
         )
     shifted("customer", {"c_custkey": "key"})
     shifted("supplier", {"s_suppkey": "key"})

@@ -974,3 +974,67 @@ def test_streaming_lid_scoring_equals_batch(spark):
         spark.catalog.dropTempView("lid_sink")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_ivfpq_probe_equals_batch(spark):
+    """Stream-static ANN parity (r9 VERDICT item 7): a persisted IVF-PQ
+    index probed by streaming queries (two micro-batches) must produce
+    exactly the batch ivfpq_query_index rows — each query's top-k depends
+    only on its own vector and the static index, so the union over
+    triggers is the batch answer."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fdi_flow_spark.pipelines.quantization import (
+        ivfpq_build_index,
+        ivfpq_query_index,
+    )
+    from fdi_flow_spark.sources.tables import load_table
+    from fdi_flow_spark.streaming import streaming_ivfpq_probe
+
+    root = tempfile.mkdtemp(prefix="fdi_sivfpq_")
+    try:
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        idx = os.path.join(root, "index")
+        ivfpq_build_index(emb, idx, m=32, ks=16, nlist=16, seed=42)
+
+        queries = emb.where(F.col("vec_id") % 25 == 0)
+        qdir = os.path.join(root, "queries")
+        queries.where(F.col("vec_id") % 50 == 0).coalesce(1).write.parquet(
+            f"{qdir}/chunk=0"
+        )
+        queries.where(F.col("vec_id") % 50 != 0).coalesce(1).write.parquet(
+            f"{qdir}/chunk=1"
+        )
+
+        stream = (
+            spark.readStream.schema(
+                queries.withColumn("chunk", F.lit(0)).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(qdir)
+            .drop("chunk")
+        )
+        out = os.path.join(root, "out")
+        q = streaming_ivfpq_probe(stream, idx, out, k=5, nprobe=8)
+        q.awaitTermination(120)
+
+        got = (
+            spark.read.parquet(out)
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+        want = (
+            ivfpq_query_index(queries, idx, k=5, nprobe=8)
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+        assert len(got) == len(want) and len(want) > 0
+        for g, w in zip(got, want):
+            assert (g["query_id"], g["rank"], g["neighbor_id"]) == (
+                w["query_id"], w["rank"], w["neighbor_id"]
+            )
+            assert abs(g["cosine"] - w["cosine"]) < 1e-9
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
