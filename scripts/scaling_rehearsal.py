@@ -393,11 +393,14 @@ def main() -> None:
         "queries": results,
     }
     sidecar = os.path.join(_REPO, "SCALING.json")
-    try:  # carry the human analysis notes across re-runs
+    try:  # carry EVERY non-x10 key across re-runs (notes, the x100 block,
+        # the 100 TB projection) — an x10 refresh must never drop them
+        # (r10: the old notes-only carry silently discarded the x100 block)
         with open(sidecar) as f:
             prev = json.load(f)
-        if "notes" in prev:
-            out["notes"] = prev["notes"]
+        for k, v in prev.items():
+            if k not in out:
+                out[k] = v
     except (OSError, ValueError):
         pass
     with open(sidecar, "w") as f:

@@ -114,3 +114,19 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_local_df_single_slice_and_semantics(spark):
+    """r10: small driver-side relations must land on ONE slice — a
+    defaultParallelism-sliced pickled relation pays one sequential
+    Python-worker round trip per slice inside any single-task action
+    (measured ~5 s to write one row on local[32])."""
+    from fdi_flow_spark.core.partitioning import local_df
+
+    df = local_df(spark, [(1, [1.0, 2.0]), (2, [3.0, 4.0])],
+                  "cell long, centroid array<double>")
+    assert df.rdd.getNumPartitions() == 1
+    assert df.schema.simpleString() == "struct<cell:bigint,centroid:array<double>>"
+    assert sorted(map(tuple, df.collect())) == [(1, [1.0, 2.0]), (2, [3.0, 4.0])]
+    empty = local_df(spark, [], "cell long")
+    assert empty.count() == 0 and empty.columns == ["cell"]
