@@ -201,6 +201,8 @@ BENCH_QUERIES = [
     # r9: persisted-index IVF-PQ probe (builds once per process, so the
     # median over passes measures the probe plan, not quantizer training)
     "cosine_topk_ivfpq_probe",
+    # r10: RAG-style overlapping token-window chunking (pure JVM projection)
+    "chunk_documents",
 ]
 
 

@@ -50,6 +50,51 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/embedding-prep splitter
+    (r10, §2.9 extension; the complement of ``curation.token_pack``, which
+    PACKS whole documents into fixed budgets, where this SPLITS one
+    document into windows). Whitespace tokens; chunk starts at
+    ``0, stride, 2*stride, ...`` while ``start < n_tokens``, so with
+    ``stride < window`` every token is covered and consecutive chunks
+    overlap by ``window - stride`` tokens (the standard retrieval-context
+    overlap). The tail chunk may be shorter; empty documents emit no rows.
+
+    Output: ``(doc_id, chunk_id, start_token, n_tokens, chunk_text)``.
+
+    Scale: pure JVM projection — split + sequence + posexplode + slice +
+    array_join inside whole-stage codegen, zero shuffle, zero Python; at
+    100 TB this is a map over the corpus scan like ``token_counts``.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window and stride must be positive, got {window}, {stride}")
+    docs = ensure_min_parallelism(docs, id_col)
+    base = docs.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
+    ).where(F.size("_toks") > 0)
+    starts = F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))
+    return (
+        base.select(F.col(id_col), "_toks", F.posexplode(starts).alias("chunk_id", "_s"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("_s").cast("long").alias("start_token"),
+            F.least(F.lit(window), F.size("_toks") - F.col("_s"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.array_join(F.slice(F.col("_toks"), F.col("_s") + 1, window), " ").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
 def text_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Quality scoring: length/stopword/punctuation features + a composite
     score in [0,1]. Formula is engine-defined (the reference has no text ops);

@@ -2709,6 +2709,36 @@ def q_token_counts(spark, sf_dir):
     return token_counts(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), t -> LENGTH(t) > 0) AS tk
+      FROM documents),
+    s AS (
+      SELECT doc_id, tk, UNNEST(RANGE(0, LEN(tk), 48)) AS st
+      FROM toks WHERE LEN(tk) > 0)
+    SELECT doc_id,
+           CAST(st // 48 AS BIGINT) AS chunk_id,
+           CAST(st AS BIGINT) AS start_token,
+           CAST(LEAST(64, LEN(tk) - st) AS BIGINT) AS n_tokens,
+           ARRAY_TO_STRING(tk[st + 1 : st + 64], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    """RAG-style overlapping token-window chunking (r10, §2.9 extension):
+    window 64, stride 48 (16-token overlap), tail chunk shorter, empty docs
+    emit nothing — the splitter complement of ``token_pack``. Pure JVM
+    projection (split + sequence + posexplode + slice), zero shuffle."""
+    from fdi_flow_spark.pipelines.text import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), window=64, stride=48
+    )
+
+
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS["en"]) + "]"
 
 
@@ -4968,6 +4998,10 @@ _WINDOW_PRIORITY = [
 # NEWEST GREEN DRIVER CHECK, so staleness for the r10 rotation is read off
 # the comments directly.
 _WINDOW_EXCLUDED_ORACLES = {
+    # NEW in r10 (never driver-checked): enters the r11 window ahead of the
+    # rotation cohorts below; until then its value-hash evidence is the
+    # per-suite oracle parity test + the sf0.01 driver-exact rehearsal:
+    "chunk_documents",
     # newest green r8, back 14 alphabetically (the first 20 are in-window
     # this round) — FIRST IN LINE for the r11 window:
     "observer_replay_sliding", "q1_pricing_summary", "q3_top_orders",

@@ -158,3 +158,38 @@ def test_readability_scores_pinned_conventions(spark):
     assert r2["n_words"] == 1 and r2["n_sentences"] == 1 and r2["n_syllables"] == 1
     # long latinate words read much harder than the simple sentence
     assert out[3]["fk_grade"] > r1["fk_grade"] + 5
+
+
+def test_chunk_documents_golden(spark):
+    """Hand-computed chunking contract (r10): starts at 0, stride, ... while
+    start < n_tokens; tail chunk shorter; overlap = window - stride; empty
+    docs emit nothing; short docs emit one chunk."""
+    from fdi_flow_spark.pipelines.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),   # 7 tokens
+            (2, "x y"),             # shorter than window
+            (3, "   "),             # empty after filter
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in chunk_documents(docs, window=4, stride=3).collect()
+    )
+    assert got == [
+        (1, 0, 0, 4, "a b c d"),
+        (1, 1, 3, 4, "d e f g"),
+        (1, 2, 6, 1, "g"),
+        (2, 0, 0, 2, "x y"),
+    ]
+    # exact-multiple boundary: 6 tokens, stride 3 -> starts 0 and 3 only
+    docs2 = spark.createDataFrame([(9, "t1 t2 t3 t4 t5 t6")], "doc_id long, text string")
+    got2 = sorted(tuple(r) for r in chunk_documents(docs2, window=3, stride=3).collect())
+    assert got2 == [(9, 0, 0, 3, "t1 t2 t3"), (9, 1, 3, 3, "t4 t5 t6")]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, window=0)
