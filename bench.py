@@ -203,6 +203,10 @@ BENCH_QUERIES = [
     "cosine_topk_ivfpq_probe",
     # r10: RAG-style overlapping token-window chunking (pure JVM projection)
     "chunk_documents",
+    # r10: sentence segmentation, n-gram novelty, directed containment pairs
+    "split_sentences",
+    "ngram_novelty",
+    "containment_pairs",
 ]
 
 

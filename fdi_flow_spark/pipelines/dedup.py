@@ -212,6 +212,100 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.6,
+    prefix_filter: bool = True,
+    unit: str = "char",
+    char_k: int = 12,
+    broadcast_verify: bool = False,
+) -> DataFrame:
+    """Directed near-clone pairs by shingle-set CONTAINMENT (r10, §2.9
+    extension): ``C(A->B) = |A ∩ B| / |A| >= threshold`` over distinct
+    shingles. The asymmetric complement of ``ngram_jaccard_pairs`` — it
+    catches subset relations Jaccard misses (a paragraph lifted into a much
+    longer page scores C≈1 from the paragraph's side but tiny Jaccard),
+    which is the quote/boilerplate/subset-clone detector curation pipelines
+    want. Output ``(id_a, id_b, containment)`` for ORDERED pairs
+    ``id_a != id_b`` (containment is directional), rounded to 6 dp.
+
+    Scale path (``prefix_filter=True``, lossless): the one-sided prefix
+    filter — if ``C(A->B) >= t`` then ``|A ∩ B| >= ceil(t*|A|)``, so among
+    A's ``|A| - ceil(t*|A|) + 1`` globally RAREST shingles (document
+    frequency ASC, shingle) at least one must also be in B. Candidates are
+    therefore prefix(A) joined against the FULL inverted index on 8-byte
+    xxhash64 shingle keys, then verified exactly with one
+    ``array_intersect`` over per-doc sorted hash arrays (same verify shape
+    and collision budget as the Jaccard path). No length filter can prune
+    the B side (containment is one-sided: a tiny A can be contained in any
+    B), so the B-side skew axis is hot shingles — at high thresholds the
+    prefix is small and df-rarest, which is exactly the anti-skew order.
+    """
+    if unit == "char":
+        shingles = _char_ngrams(docs, id_col, text_col, char_k)
+    else:
+        shingles = _word_ngrams(docs, id_col, text_col, n)
+    # One materialization feeds sizes/arrays/dfreq/prefix/both join sides —
+    # same cut as ngram_jaccard_pairs (the un-cut plan re-scans the corpus
+    # per consumer).
+    shingles = shingles.select("id", F.xxhash64("shingle").alias("shingle")).localCheckpoint(
+        eager=True
+    )
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("ns"))
+    arrays = shingles.groupBy("id").agg(F.sort_array(F.collect_list("shingle")).alias("arr"))
+
+    if prefix_filter:
+        dfreq = shingles.groupBy("shingle").agg(F.count("*").alias("_df"))
+        pref = (
+            shingles.join(dfreq, "shingle")
+            .withColumn(
+                "_r",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy(F.col("_df").asc(), F.col("shingle").asc())
+                ),
+            )
+            .join(sizes, "id")
+            .where(F.col("_r") <= F.col("ns") - F.ceil(F.lit(threshold) * F.col("ns")) + 1)
+            .select("id", "shingle")
+        )
+        cand = (
+            pref.alias("a")
+            .join(
+                shingles.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") != F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        cand = (
+            shingles.alias("a")
+            .join(
+                shingles.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") != F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+
+    aa = arrays.select(F.col("id").alias("id_a"), F.col("arr").alias("_arr_a"))
+    ab = arrays.select(F.col("id").alias("id_b"), F.col("arr").alias("_arr_b"))
+    cont = F.size(F.array_intersect("_arr_a", "_arr_b")) / F.size("_arr_a")
+    if broadcast_verify:
+        aa, ab = F.broadcast(aa), F.broadcast(ab)
+    else:
+        aa, ab = aa.hint("shuffle_hash"), ab.hint("shuffle_hash")
+    return (
+        cand.join(aa, "id_a")
+        .join(ab, "id_b")
+        .where(cont >= threshold)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )
+
+
 def _shingle_hash(col):
     """Portable 32-bit-ish shingle hash: first 8 hex chars of md5 -> long.
     (Engine-agnostic, unlike Spark's xxhash64 — reproducible in tests.)"""

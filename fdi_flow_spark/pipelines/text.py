@@ -95,6 +95,83 @@ def chunk_documents(
     )
 
 
+def split_sentences(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Sentence segmentation (r10, §2.9 extension) — the unit splitter that
+    feeds sentence-level dedup / quality / contamination stages. Sentences
+    are the non-empty runs between ``[.!?]+`` terminator groups, with
+    leading/trailing whitespace stripped; ``sent_id`` is the 0-based index
+    over the non-empty sentences; documents with no sentence emit no rows.
+
+    Output: ``(doc_id, sent_id, sentence, n_words)``.
+
+    Scale: pure JVM projection (split + transform + filter + posexplode)
+    inside whole-stage codegen — zero shuffle, zero Python; a map over the
+    corpus scan like ``chunk_documents``. The terminator class is
+    RE2-compatible so the DuckDB oracle applies the identical split.
+    """
+    docs = ensure_min_parallelism(docs, id_col)
+    sents = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"[.!?]+"),
+            lambda s: F.regexp_replace(s, r"^\s+|\s+$", ""),
+        ),
+        lambda s: F.length(s) > 0,
+    )
+    return (
+        docs.select(F.col(id_col), sents.alias("_s"))
+        .where(F.size("_s") > 0)
+        .select(F.col(id_col), F.posexplode("_s").alias("sent_id", "sentence"))
+        .select(
+            F.col(id_col),
+            F.col("sent_id").cast("long").alias("sent_id"),
+            F.col("sentence"),
+            F.size(_tokens(F.col("sentence"))).cast("long").alias("n_words"),
+        )
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty (r10, §2.9 extension) — the diversity /
+    memorization-risk signal data-curation pipelines rank on: the fraction
+    of a document's DISTINCT word n-grams that appear in no other document
+    (corpus document-frequency 1). Documents shorter than ``n`` tokens emit
+    no row. Output: ``(doc_id, n_shingles, novel_shingles, novelty)`` with
+    novelty rounded to 6 dp for cross-engine hash parity.
+
+    Scale: ONE corpus scan — shingles shuffle once as 8-byte xxhash64 keys
+    (same convention and collision budget as ``ngram_jaccard_pairs`` —
+    novelty counts are hash-independent modulo ~1e-11 collisions) into a
+    doc-frequency window count, then a map-side-combinable per-doc
+    aggregate. The window formulation replaces the groupBy+self-join shape,
+    which re-derived the shingle stream from a SECOND corpus scan (pinned
+    by the per-query scan-cap audit in ``tests/test_plan_shape.py``); no
+    document text ever crosses an exchange.
+    """
+    from pyspark.sql import Window
+
+    from fdi_flow_spark.pipelines.dedup import _word_ngrams
+
+    sh = _word_ngrams(docs, id_col, text_col, n).select(
+        "id", F.xxhash64("shingle").alias("shingle")
+    )
+    return (
+        sh.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("_df") == 1).cast("bigint")).alias("novel_shingles"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            "novel_shingles",
+            F.round(F.col("novel_shingles") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )
+
+
 def text_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Quality scoring: length/stopword/punctuation features + a composite
     score in [0,1]. Formula is engine-defined (the reference has no text ops);

@@ -2739,6 +2739,98 @@ def q_chunk_documents(spark, sf_dir):
     )
 
 
+@register(
+    "split_sentences",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             LIST_FILTER(LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(text, '[.!?]+'),
+                         x -> REGEXP_REPLACE(x, '^\\s+|\\s+$', '', 'g')),
+                         x -> LENGTH(x) > 0) AS ss
+      FROM documents),
+    e AS (SELECT doc_id, ss, UNNEST(RANGE(0, LEN(ss))) AS i
+          FROM s WHERE LEN(ss) > 0)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS sent_id,
+           ss[i + 1] AS sentence,
+           CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(ss[i + 1], '\\s+'),
+                                t -> LENGTH(t) > 0)) AS BIGINT) AS n_words
+    FROM e
+    """,
+)
+def q_split_sentences(spark, sf_dir):
+    """Sentence segmentation (r10, §2.9 extension): non-empty runs between
+    ``[.!?]+`` terminators, whitespace-stripped, 0-indexed per doc. Pure JVM
+    projection — zero shuffle; the unit splitter under sentence-level
+    dedup/contamination."""
+    from fdi_flow_spark.pipelines.text import split_sentences
+
+    return split_sentences(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), t -> LENGTH(t) > 0) AS tk
+      FROM documents),
+    grams AS (
+      SELECT doc_id AS id,
+             UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, LEN(tk) - 1), i -> ARRAY_TO_STRING(tk[i : i + 2], ' ')))) AS shingle
+      FROM toks WHERE LEN(tk) >= 3),
+    df AS (SELECT shingle, COUNT(*) AS c FROM grams GROUP BY shingle)
+    SELECT g.id AS doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN d.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_shingles,
+           ROUND(CAST(SUM(CASE WHEN d.c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM grams g JOIN df d USING (shingle)
+    GROUP BY g.id
+    """,
+)
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc fraction of distinct word 3-grams with corpus doc-frequency 1
+    (r10, §2.9 extension) — the diversity/memorization-risk ranking signal.
+    Two map-side-combinable shuffles over 8-byte hashed shingles."""
+    from fdi_flow_spark.pipelines.text import ngram_novelty
+
+    return ngram_novelty(load_table(spark, sf_dir, "documents"), n=3)
+
+
+@register(
+    "containment_pairs",
+    """
+    WITH grams AS (
+      SELECT doc_id AS id,
+             UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               GENERATE_SERIES(1, LENGTH(text) - 11),
+               i -> SUBSTR(text, i, 12)))) AS shingle
+      FROM documents WHERE LENGTH(text) >= 12),
+    sizes AS (SELECT id, COUNT(*) AS ns FROM grams GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+      FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.id <> b.id
+      GROUP BY a.id, b.id)
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(c.c AS DOUBLE) / sa.ns, 6) AS containment
+    FROM common c JOIN sizes sa ON sa.id = c.id_a
+    WHERE CAST(c.c AS DOUBLE) / sa.ns >= 0.6
+    """,
+)
+def q_containment_pairs(spark, sf_dir):
+    """Directed shingle-set containment pairs ``|A∩B|/|A| >= 0.6`` over char
+    12-grams (r10, §2.9 extension) — the subset-clone/boilerplate detector
+    Jaccard misses. One-sided lossless prefix filter + exact array verify;
+    same shingle/verify conventions as ``ngram_jaccard_pairs``."""
+    from fdi_flow_spark.pipelines.dedup import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.6, unit="char", char_k=12
+    )
+
+
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS["en"]) + "]"
 
 
@@ -5001,7 +5093,8 @@ _WINDOW_EXCLUDED_ORACLES = {
     # NEW in r10 (never driver-checked): enters the r11 window ahead of the
     # rotation cohorts below; until then its value-hash evidence is the
     # per-suite oracle parity test + the sf0.01 driver-exact rehearsal:
-    "chunk_documents",
+    "chunk_documents", "split_sentences", "ngram_novelty",
+    "containment_pairs",
     # newest green r8, back 14 alphabetically (the first 20 are in-window
     # this round) — FIRST IN LINE for the r11 window:
     "observer_replay_sliding", "q1_pricing_summary", "q3_top_orders",

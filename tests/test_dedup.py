@@ -60,6 +60,51 @@ def test_prefix_filter_is_lossless(spark, docs_df):
     assert len(full) > 0
 
 
+def test_containment_golden_asymmetric(spark):
+    """Hand-built subset clone (r10): doc 20 is a strict prefix of doc 10,
+    so C(20->10) = 1.0 but C(10->20) < 1 — the directed pair Jaccard misses
+    at high thresholds. Word bigrams keep the arithmetic checkable."""
+    from fdi_flow_spark.pipelines.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (10, "w1 w2 w3 w4 w5 w6 w7 w8"),  # bigrams: 7 distinct
+            (20, "w1 w2 w3 w4"),              # bigrams: 3, all inside doc 10
+            (30, "z1 z2 z3"),                 # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(docs, unit="word", n=2, threshold=0.4).collect()
+    }
+    assert got[(20, 10)] == 1.0
+    assert got[(10, 20)] == round(3 / 7, 6)
+    assert all(30 not in pair for pair in got)
+
+
+def test_containment_prefix_filter_is_lossless(spark, docs_df):
+    from fdi_flow_spark.pipelines.dedup import containment_pairs
+
+    for threshold in (0.4, 0.6, 0.8):
+        pruned = {
+            (r.id_a, r.id_b): r.containment
+            for r in containment_pairs(
+                docs_df, n=2, unit="word", threshold=threshold, prefix_filter=True
+            ).collect()
+        }
+        full = {
+            (r.id_a, r.id_b): r.containment
+            for r in containment_pairs(
+                docs_df, n=2, unit="word", threshold=threshold, prefix_filter=False
+            ).collect()
+        }
+        assert pruned == full, f"threshold={threshold}"
+    assert len(full) > 0  # fixture sanity: qualifying directed pairs exist
+    # exact dups must appear in BOTH directions at containment 1.0
+    assert any(a != b and full.get((a, b)) == 1.0 and full.get((b, a)) == 1.0 for a, b in full)
+
+
 def test_jaccard_pairs_respect_threshold_and_order(spark, docs_df):
     out = ngram_jaccard_pairs(docs_df, n=2, threshold=0.5).collect()
     for r in out:

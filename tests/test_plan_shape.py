@@ -434,6 +434,40 @@ def test_knn_label_rides_scorer_no_corpus_broadcast(spark):
     assert "BroadcastHashJoin" not in plan, plan
 
 
+def test_splitter_projections_no_shuffle_no_python(spark):
+    """The two corpus splitters (r10) must stay pure JVM projections: the
+    only Exchange allowed is ensure_min_parallelism's conditional round-robin
+    fan-out of a degenerate single-split scan (a no-op on healthy 100 TB
+    layouts) — never a hashpartitioning, never a Python eval node — and
+    column pruning must reach the parquet scan."""
+    from fdi_flow_spark.pipelines.text import chunk_documents, split_sentences
+
+    docs = load_table(spark, SF, "documents")
+    for df in (split_sentences(docs), chunk_documents(docs)):
+        simple = _plan(df, "simple")
+        assert simple.count("Exchange") <= 1, simple  # the conditional fan-out only
+        assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple, simple
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in _plan(df), _plan(df)
+
+
+def test_ngram_novelty_shuffles_hashed_keys_only(spark):
+    """ngram_novelty's network traffic is 8-byte hashed shingles and doc
+    ids — never document text. Bound the exchanges (shingle agg + join
+    re-partition + doc agg, plus at most the conditional fan-out) and
+    assert no text column crosses an Exchange."""
+    import re as _re
+
+    from fdi_flow_spark.pipelines.text import ngram_novelty
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(ngram_novelty(docs), "simple")
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert not _re.search(r"\btext\b", line), line
+
+
 def test_repeated_scan_audit_invariant(spark):
     """r6 round-close audit, now pinned in CI (r6 VERDICT item 8): no
     query's executed plan may scan any source table 3+ times. The LM
@@ -457,6 +491,10 @@ def test_repeated_scan_audit_invariant(spark):
         "tfidf_vectors": 1,
         "language_id_model": 2,  # predict gram scan + true-label attach
         "ngram_jaccard_pairs": 0,  # fully checkpointed shingle table
+        "containment_pairs": 0,    # same checkpointed-shingle shape (r10)
+        "ngram_novelty": 1,        # one corpus scan feeds both aggregates
+        "split_sentences": 1,
+        "chunk_documents": 1,
         "quality_classifier": 1,  # fit checkpointed; one scoring scan
         "dsir_weights": 1,        # fit checkpointed; one scoring scan
         "curation_scored": 2,  # the arriving-shard union's two legs; both

@@ -193,3 +193,55 @@ def test_chunk_documents_golden(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(docs, window=0)
+
+
+def test_split_sentences_golden(spark):
+    """Hand-computed sentence contract (r10): non-empty runs between [.!?]+
+    groups, whitespace-stripped, 0-indexed over NON-EMPTY sentences only;
+    docs with no sentence emit nothing; trailing terminator adds no row."""
+    from fdi_flow_spark.pipelines.text import split_sentences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello world. How are you?!  Fine."),
+            (2, "no terminator here"),
+            (3, "..."),
+            (4, "  leading ws. \t tab lead!"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(tuple(r) for r in split_sentences(docs).collect())
+    assert got == [
+        (1, 0, "Hello world", 2),
+        (1, 1, "How are you", 3),
+        (1, 2, "Fine", 1),
+        (2, 0, "no terminator here", 3),
+        (4, 0, "leading ws", 2),
+        (4, 1, "tab lead", 2),
+    ]
+
+
+def test_ngram_novelty_golden(spark):
+    """Hand-computed novelty (r10): distinct word 3-grams per doc, novelty =
+    share with corpus doc-frequency 1. Docs shorter than n emit no row;
+    repeated shingles inside ONE doc stay distinct-counted."""
+    from fdi_flow_spark.pipelines.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1: shingles {a b c, b c d} — "a b c" shared with doc 2
+            (1, "a b c d"),
+            # doc 2: "a b c a b c" -> distinct 3-grams {a b c, b c a, c a b}
+            (2, "a b c a b c"),
+            (3, "x y"),  # too short for n=3
+            (4, "p q r"),  # unique shingle
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert 3 not in rows
+    # doc 2 "a b c a b c": distinct 3-grams {a b c, b c a, c a b}
+    assert rows[1]["n_shingles"] == 2 and rows[1]["novel_shingles"] == 1
+    assert rows[1]["novelty"] == 0.5
+    assert rows[2]["n_shingles"] == 3 and rows[2]["novel_shingles"] == 2
+    assert rows[4]["n_shingles"] == 1 and rows[4]["novelty"] == 1.0
