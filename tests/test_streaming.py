@@ -1038,3 +1038,48 @@ def test_streaming_ivfpq_probe_equals_batch(spark):
             assert abs(g["cosine"] - w["cosine"]) < 1e-9
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_splitters_equal_batch(spark):
+    """chunk_documents and split_sentences (r10) are stateless JVM
+    projections — they run unchanged as Structured Streaming stages and
+    must emit exactly the batch rows in append mode across multi-file
+    triggers (no per-batch state, no cross-batch dependency)."""
+    import shutil
+    import tempfile
+
+    from fdi_flow_spark.pipelines.text import chunk_documents, split_sentences
+
+    rows = [
+        (i, f"alpha beta {i}. gamma delta epsilon! zeta {i} eta theta? iota")
+        for i in range(24)
+    ] + [(100, "   "), (101, "single run no terminator")]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    d = tempfile.mkdtemp(prefix="fdi_split_stream_")
+    try:
+        batch.where("doc_id < 12").coalesce(1).write.mode("append").parquet(d)
+        batch.where("doc_id >= 12").coalesce(1).write.mode("append").parquet(d)
+        for name, op in (
+            ("chunk_sink", lambda df: chunk_documents(df, window=5, stride=3)),
+            ("sent_sink", split_sentences),
+        ):
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+            )
+            q = (
+                op(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            got = sorted(tuple(r) for r in spark.table(name).collect())
+            expect = sorted(tuple(r) for r in op(batch).collect())
+            assert got == expect and len(got) > 0, name
+            spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -245,3 +245,86 @@ def test_ngram_novelty_golden(spark):
     assert rows[1]["novelty"] == 0.5
     assert rows[2]["n_shingles"] == 3 and rows[2]["novel_shingles"] == 2
     assert rows[4]["n_shingles"] == 1 and rows[4]["novelty"] == 1.0
+
+
+def test_splitters_and_novelty_match_python_reference_fuzz(spark):
+    """Randomized cross-check (r10): chunking, sentence split, n-gram
+    novelty, and directed containment all recomputed by plain-Python set
+    logic over one generated corpus — catches systematic errors a shared
+    Spark formulation could hide (the prefix-lossless test compares two
+    Spark paths; this compares against an independent implementation)."""
+    import re as _re
+
+    import numpy as np
+
+    from fdi_flow_spark.pipelines.dedup import containment_pairs
+    from fdi_flow_spark.pipelines.text import (
+        chunk_documents,
+        ngram_novelty,
+        split_sentences,
+    )
+
+    rng = np.random.default_rng(777)
+    alphabet = list("ab cd efg \t.!?  hij k ")
+    docs = []
+    for i in range(120):
+        ln = int(rng.integers(0, 80))
+        docs.append((i, "".join(rng.choice(alphabet, size=ln))))
+    # plant a subset clone for containment coverage
+    docs.append((900, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
+    docs.append((901, "w1 w2 w3 w4 w5"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def toks(t):
+        return [x for x in _re.split(r"\s+", t) if x]
+
+    # --- chunking (window 4, stride 3)
+    expect = []
+    for i, t in docs:
+        tk = toks(t)
+        for cid, s in enumerate(range(0, len(tk), 3)):
+            expect.append((i, cid, s, min(4, len(tk) - s), " ".join(tk[s : s + 4])))
+    got = sorted(tuple(r) for r in chunk_documents(df, window=4, stride=3).collect())
+    assert got == sorted(expect)
+
+    # --- sentences
+    expect = []
+    for i, t in docs:
+        parts = [_re.sub(r"^\s+|\s+$", "", p) for p in _re.split(r"[.!?]+", t)]
+        parts = [p for p in parts if p]
+        expect.extend((i, sid, p, len(toks(p))) for sid, p in enumerate(parts))
+    got = sorted(tuple(r) for r in split_sentences(df).collect())
+    assert got == sorted(expect)
+
+    # --- novelty (word 2-grams so short fuzz docs participate)
+    grams = {
+        i: {" ".join(tk[j : j + 2]) for j in range(len(tk) - 1)}
+        for i, t in docs
+        for tk in [toks(t)]
+        if len(tk) >= 2
+    }
+    from collections import Counter
+
+    dfreq = Counter(g for gs in grams.values() for g in gs)
+    got = {r["doc_id"]: r for r in ngram_novelty(df, n=2).collect()}
+    assert set(got) == set(grams)
+    for i, gs in grams.items():
+        novel = sum(1 for g in gs if dfreq[g] == 1)
+        assert got[i]["n_shingles"] == len(gs)
+        assert got[i]["novel_shingles"] == novel
+        assert got[i]["novelty"] == round(novel / len(gs), 6)
+
+    # --- directed containment (word 2-grams, t=0.5)
+    expect_pairs = {}
+    for a, ga in grams.items():
+        for b, gb in grams.items():
+            if a != b:
+                c = len(ga & gb) / len(ga)
+                if c >= 0.5:
+                    expect_pairs[(a, b)] = round(c, 6)
+    got_pairs = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, unit="word", n=2, threshold=0.5).collect()
+    }
+    assert got_pairs == expect_pairs
+    assert (901, 900) in got_pairs and got_pairs[(901, 900)] == 1.0
