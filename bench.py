@@ -207,6 +207,8 @@ BENCH_QUERIES = [
     "split_sentences",
     "ngram_novelty",
     "containment_pairs",
+    # r10: CCNet head/middle/tail perplexity bucketing
+    "perplexity_buckets",
 ]
 
 

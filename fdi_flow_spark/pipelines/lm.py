@@ -309,3 +309,57 @@ def kn3_perplexity(
         F.round(avg_logp, 6).alias("avg_logp"),
         F.round(F.exp(-avg_logp), 4).alias("ppl"),
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    edges: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, §4.3 — the
+    head/middle/tail split CCNet publishes its corpus in): score every
+    document with the bigram LM (:func:`lm_perplexity`), then cut each
+    LANGUAGE's perplexity distribution at the exact ``edges`` quantiles —
+    ``ppl <= q(edges[0])`` -> ``head`` (most in-distribution),
+    ``<= q(edges[1])`` -> ``middle``, else ``tail``. Ties at a cutoff fall
+    to the better bucket (``<=``, pinned in the oracle). Unscorable docs
+    (zero tokens) are absent, as in :func:`lm_perplexity`.
+
+    Output: ``(doc_id, lang, n_bigrams, avg_logp, ppl, bucket)``. Buckets
+    compare the ROUNDED ppl (4 dp, the scorer's output contract) so the
+    cutoffs and labels are reproducible cross-engine.
+
+    Scale: the scorer's count-table plan unchanged + one doc_id-keyed join
+    to re-attach ``lang`` + one exact per-language quantile aggregate
+    whose result is a LANGUAGES-row table, broadcast to label. Exact
+    quantiles over the per-doc score table cost one shuffle of scalar
+    (lang, ppl) rows — at 100 TB the score table is ~1e10 scalars, well
+    inside a percentile agg; approx_percentile is the documented fallback
+    if languages are few and docs are extreme.
+    """
+    ppl = lm_perplexity(docs, model_docs, id_col, text_col)
+    scored = docs.select(F.col(id_col), F.col(lang_col)).join(ppl, id_col)
+    # Materialize the per-doc score table ONCE: its two consumers (the
+    # tertile aggregate and the labeling join) otherwise each re-derive
+    # the full scoring plan — 4 corpus scans instead of 2 (pinned by the
+    # per-query scan-cap audit).
+    if not scored.isStreaming:
+        scored = scored.localCheckpoint(eager=False)
+    cuts = scored.groupBy(lang_col).agg(
+        F.percentile("ppl", edges[0]).alias("_lo"),
+        F.percentile("ppl", edges[1]).alias("_hi"),
+    )
+    return scored.join(F.broadcast(cuts), lang_col).select(
+        F.col(id_col),
+        F.col(lang_col),
+        "n_bigrams",
+        "avg_logp",
+        "ppl",
+        F.when(F.col("ppl") <= F.col("_lo"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("_hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -3274,6 +3274,55 @@ def q_lm_perplexity(spark, sf_dir):
 
 
 @register(
+    "perplexity_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_PREPEND('<s>', LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'),
+                                             t -> LENGTH(t) > 0)) AS tk
+      FROM documents),
+    big AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 1),
+                                   i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS bg
+      FROM toks WHERE LEN(tk) >= 2),
+    bge AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM big),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bge GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w2) AS v FROM c12),
+    lg AS (
+      SELECT b.doc_id, LN(c.c12 + 1) - LN(c1.c1 + v.v) AS logp
+      FROM bge b JOIN c12 c USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+    ppl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             ROUND(SUM(logp) / COUNT(*), 6) AS avg_logp,
+             ROUND(EXP(-(SUM(logp) / COUNT(*))), 4) AS ppl
+      FROM lg GROUP BY doc_id),
+    s AS (
+      SELECT d.doc_id, d.lang, p.n_bigrams, p.avg_logp, p.ppl
+      FROM documents d JOIN ppl p USING (doc_id)),
+    cuts AS (
+      SELECT lang, QUANTILE_CONT(ppl, 1.0/3.0) AS lo, QUANTILE_CONT(ppl, 2.0/3.0) AS hi
+      FROM s GROUP BY lang)
+    SELECT s.doc_id, s.lang, s.n_bigrams, s.avg_logp, s.ppl,
+           CASE WHEN s.ppl <= c.lo THEN 'head'
+                WHEN s.ppl <= c.hi THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM s JOIN cuts c USING (lang)
+    """,
+)
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020,
+    §4.3; r10, §2.9 extension): bigram-LM self-scored ppl cut at exact
+    per-language tertiles (Spark ``percentile`` ≡ DuckDB ``QUANTILE_CONT``,
+    both linear-interpolated; ties fall to the better bucket). Scorer plan
+    unchanged + one lang re-attach join + a LANGUAGES-row broadcast."""
+    from fdi_flow_spark.pipelines.lm import perplexity_buckets
+
+    return perplexity_buckets(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "kn_perplexity",
     """
     WITH toks AS (
@@ -5094,7 +5143,7 @@ _WINDOW_EXCLUDED_ORACLES = {
     # rotation cohorts below; until then its value-hash evidence is the
     # per-suite oracle parity test + the sf0.01 driver-exact rehearsal:
     "chunk_documents", "split_sentences", "ngram_novelty",
-    "containment_pairs",
+    "containment_pairs", "perplexity_buckets",
     # newest green r8, back 14 alphabetically (the first 20 are in-window
     # this round) — FIRST IN LINE for the r11 window:
     "observer_replay_sliding", "q1_pricing_summary", "q3_top_orders",

@@ -376,3 +376,36 @@ def test_kn3_backoff_chain_all_three_layers(spark):
     want = (math.log(p3_ssx) + math.log(p3_sxb) + math.log(p2_bc)) / 3
     assert out["n_trigrams"] == 3
     assert abs(out["avg_logp"] - round(want, 6)) < 1e-9
+
+
+def test_perplexity_buckets_tertiles_and_tie_semantics(spark):
+    """CCNet bucketing contract (r10): per-language exact tertile cuts on
+    the rounded ppl, ties to the better bucket, languages cut
+    independently, unscorable docs absent."""
+    from fdi_flow_spark.pipelines.lm import perplexity_buckets
+
+    # six distinct-ppl docs per language: buckets must split 2/2/2 with
+    # every head ppl <= every middle ppl <= every tail ppl, per lang
+    rows = []
+    for li, lang in enumerate(("en", "de")):
+        base = ["common common", "common filler", "filler filler",
+                "rare1 rare2", "rare3 rare4 rare5", "rare6 rare7 rare8 rare9"]
+        rows += [(li * 10 + i, f"{t} l{li}", lang) for i, t in enumerate(base)]
+    rows.append((99, "   ", "en"))  # unscorable
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = perplexity_buckets(df).collect()
+    assert all(r["doc_id"] != 99 for r in out)
+    for lang in ("en", "de"):
+        sub = sorted((r for r in out if r["lang"] == lang), key=lambda r: r["ppl"])
+        assert len(sub) == 6
+        labels = [r["bucket"] for r in sub]
+        assert labels == ["head"] * 2 + ["middle"] * 2 + ["tail"] * 2, labels
+
+    # tie at the cutoff: three docs, two with IDENTICAL text (equal ppl).
+    # q(1/3) of [p, p, q] = p, so BOTH tied docs take 'head' (<= semantics)
+    tie = spark.createDataFrame(
+        [(1, "x y x y", "en"), (2, "x y x y", "en"), (3, "a b c d e", "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(tie).collect()}
+    assert got[1] == got[2] == "head"

@@ -492,6 +492,8 @@ def test_repeated_scan_audit_invariant(spark):
         "language_id_model": 2,  # predict gram scan + true-label attach
         "ngram_jaccard_pairs": 0,  # fully checkpointed shingle table
         "containment_pairs": 0,    # same checkpointed-shingle shape (r10)
+        "perplexity_buckets": 0,   # score table checkpointed; cuts + label
+                                   # join both read the materialization
         "ngram_novelty": 1,        # one corpus scan feeds both aggregates
         "split_sentences": 1,
         "chunk_documents": 1,
