@@ -33,10 +33,16 @@ from fdi_flow_spark.core.partitioning import ensure_min_parallelism
 BOS = "<s>"
 
 
-def _bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _bigrams(
+    docs: DataFrame, id_col: str, text_col: str, carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-position (not distinct) lowercase word bigrams with a BOS marker:
-    ``(id, w1, w2)`` — one row per adjacent token pair, so counts weight by
-    frequency like a real LM, unlike the dedup shingle kernel."""
+    ``(id, *carry_cols, w1, w2)`` — one row per adjacent token pair, so
+    counts weight by frequency like a real LM, unlike the dedup shingle
+    kernel. ``carry_cols`` ride along unchanged (doc-level attributes like
+    ``lang`` that the scoring aggregation must keep WITHOUT a
+    post-aggregation rejoin — which on a stream would be an unsupported
+    stream-stream join)."""
     docs = ensure_min_parallelism(docs, id_col)
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
     pairs = F.expr(
@@ -45,11 +51,14 @@ def _bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
                   i -> struct(element_at(_t, i) AS w1, element_at(_t, i + 1) AS w2))
         """
     )
+    carry = [F.col(c) for c in carry_cols]
     return (
-        docs.select(F.col(id_col).alias("id"), F.concat(F.array(F.lit(BOS)), toks).alias("_t"))
+        docs.select(
+            F.col(id_col).alias("id"), *carry, F.concat(F.array(F.lit(BOS)), toks).alias("_t")
+        )
         .where(F.size("_t") >= 2)  # at least one real token
-        .select("id", F.explode(pairs).alias("_p"))
-        .select("id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .select("id", *carry_cols, F.explode(pairs).alias("_p"))
+        .select("id", *carry_cols, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
     )
 
 
@@ -59,6 +68,7 @@ def lm_perplexity(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_model: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Score each document's perplexity under an add-one-smoothed bigram LM
     trained on ``model_docs`` (default: the same corpus — self-scoring, the
@@ -67,11 +77,15 @@ def lm_perplexity(
     Per bigram: ``log P(w2|w1) = ln(c(w1,w2) + 1) - ln(c(w1) + V)`` with
     ``V`` = distinct successor vocabulary of the model. Unseen bigrams
     back off to the +1 numerator; unseen contexts to the ``V``-only
-    denominator. Output: ``(doc_id, n_bigrams, avg_logp, ppl)`` with
-    ``ppl = exp(-avg_logp)``; documents with zero tokens are not scorable
-    and are absent from the result (documented).
+    denominator. Output: ``(doc_id, *carry_cols, n_bigrams, avg_logp,
+    ppl)`` with ``ppl = exp(-avg_logp)``; documents with zero tokens are
+    not scorable and are absent from the result (documented).
+    ``carry_cols`` are doc-level attributes (e.g. ``lang``) kept through
+    the scoring aggregation as extra group keys — functionally dependent
+    on the doc id, so the grouping is unchanged, and on a stream this
+    avoids the unsupported aggregate-then-rejoin shape.
     """
-    big = _bigrams(docs, id_col, text_col)
+    big = _bigrams(docs, id_col, text_col, carry_cols)
     model_big = big if model_docs is None else _bigrams(model_docs, id_col, text_col)
 
     # one scan of the model's bigram stream; everything else derives from it.
@@ -93,6 +107,7 @@ def lm_perplexity(
         .crossJoin(F.broadcast(vocab))
         .select(
             "id",
+            *carry_cols,
             (
                 F.log(F.coalesce(F.col("_c12"), F.lit(0)) + F.lit(1))
                 - F.log(F.coalesce(F.col("_c1"), F.lit(0)) + F.col("_v"))
@@ -101,7 +116,7 @@ def lm_perplexity(
     )
     n = F.count("*")
     avg_logp = F.sum("_logp") / n
-    return scored.groupBy(F.col("id").alias(id_col)).agg(
+    return scored.groupBy(F.col("id").alias(id_col), *carry_cols).agg(
         n.cast("bigint").alias("n_bigrams"),
         F.round(avg_logp, 6).alias("avg_logp"),
         F.round(F.exp(-avg_logp), 4).alias("ppl"),
@@ -318,6 +333,7 @@ def perplexity_buckets(
     text_col: str = "text",
     lang_col: str = "lang",
     edges: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    cutoffs: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020, §4.3 — the
     head/middle/tail split CCNet publishes its corpus in): score every
@@ -332,26 +348,41 @@ def perplexity_buckets(
     compare the ROUNDED ppl (4 dp, the scorer's output contract) so the
     cutoffs and labels are reproducible cross-engine.
 
-    Scale: the scorer's count-table plan unchanged + one doc_id-keyed join
-    to re-attach ``lang`` + one exact per-language quantile aggregate
-    whose result is a LANGUAGES-row table, broadcast to label. Exact
-    quantiles over the per-doc score table cost one shuffle of scalar
-    (lang, ppl) rows — at 100 TB the score table is ~1e10 scalars, well
-    inside a percentile agg; approx_percentile is the documented fallback
-    if languages are few and docs are extreme.
+    Scale: the scorer's count-table plan unchanged (``lang`` rides the
+    scoring aggregation as an extra, functionally-dependent group key — no
+    rejoin) + one exact per-language quantile aggregate whose result is a
+    LANGUAGES-row table, broadcast to label. Exact quantiles over the
+    per-doc score table cost one shuffle of scalar (lang, ppl) rows — at
+    100 TB the score table is ~1e10 scalars, well inside a percentile agg;
+    approx_percentile is the documented fallback if languages are few and
+    docs are extreme.
+
+    ``cutoffs`` (from :func:`perplexity_cutoffs`, columns
+    ``(lang, lo, hi)``) switches to the DEPLOYMENT shape: cut points fit
+    offline on a reference corpus, arriving docs — batch or a Structured
+    Streaming source — scored against the static ``model_docs`` LM and
+    labeled by the static broadcast cutoff table (stream parity pinned in
+    ``tests/test_streaming.py``).
     """
-    ppl = lm_perplexity(docs, model_docs, id_col, text_col)
-    scored = docs.select(F.col(id_col), F.col(lang_col)).join(ppl, id_col)
-    # Materialize the per-doc score table ONCE: its two consumers (the
-    # tertile aggregate and the labeling join) otherwise each re-derive
-    # the full scoring plan — 4 corpus scans instead of 2 (pinned by the
-    # per-query scan-cap audit).
-    if not scored.isStreaming:
-        scored = scored.localCheckpoint(eager=False)
-    cuts = scored.groupBy(lang_col).agg(
-        F.percentile("ppl", edges[0]).alias("_lo"),
-        F.percentile("ppl", edges[1]).alias("_hi"),
-    )
+    scored = lm_perplexity(docs, model_docs, id_col, text_col, carry_cols=(lang_col,))
+    if cutoffs is not None:
+        # Deployment shape: cutoffs fit OFFLINE (see
+        # :func:`perplexity_cutoffs`), arriving docs — batch or STREAM —
+        # are scored and labeled against the static broadcast table.
+        cuts = cutoffs.select(
+            F.col(lang_col), F.col("lo").alias("_lo"), F.col("hi").alias("_hi")
+        )
+    else:
+        # Self-cut: materialize the per-doc score table ONCE — its two
+        # consumers (the tertile aggregate and the labeling join) otherwise
+        # each re-derive the full scoring plan: 4 corpus scans instead of 0
+        # (pinned by the per-query scan-cap audit).
+        if not scored.isStreaming:
+            scored = scored.localCheckpoint(eager=False)
+        cuts = scored.groupBy(lang_col).agg(
+            F.percentile("ppl", edges[0]).alias("_lo"),
+            F.percentile("ppl", edges[1]).alias("_hi"),
+        )
     return scored.join(F.broadcast(cuts), lang_col).select(
         F.col(id_col),
         F.col(lang_col),
@@ -362,4 +393,24 @@ def perplexity_buckets(
         .when(F.col("ppl") <= F.col("_hi"), F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
+    )
+
+
+def perplexity_cutoffs(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    edges: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """Fit the per-language perplexity cut points OFFLINE — the
+    ``(lang, lo, hi)`` table :func:`perplexity_buckets` consumes via its
+    ``cutoffs`` parameter (CCNet fits these once on a reference snapshot,
+    then labels every later shard/stream against them). Same scorer, same
+    exact quantiles as the self-cut path."""
+    scored = lm_perplexity(docs, model_docs, id_col, text_col, carry_cols=(lang_col,))
+    return scored.groupBy(lang_col).agg(
+        F.percentile("ppl", edges[0]).alias("lo"),
+        F.percentile("ppl", edges[1]).alias("hi"),
     )

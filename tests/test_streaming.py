@@ -1083,3 +1083,59 @@ def test_streaming_splitters_equal_batch(spark):
             spark.catalog.dropTempView(name)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_perplexity_buckets_equal_batch(spark):
+    """The CCNet deployment shape (r10): LM and per-language cutoffs fit
+    OFFLINE (perplexity_cutoffs on a reference snapshot), arriving docs
+    scored and head/middle/tail-labeled per micro-batch against the static
+    broadcast tables. Stream output must equal the batch labeling exactly
+    (lang rides the scoring aggregation — no post-agg rejoin, which a
+    stream cannot express)."""
+    import shutil
+    import tempfile
+
+    from fdi_flow_spark.pipelines.lm import perplexity_buckets, perplexity_cutoffs
+
+    ref_rows = []
+    for li, lang in enumerate(("en", "de")):
+        base = ["common common", "common filler", "filler filler",
+                "rare1 rare2", "rare3 rare4 rare5", "rare6 rare7 rare8 rare9"]
+        ref_rows += [(li * 10 + i, f"{t} l{li}", lang) for i, t in enumerate(base)]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string, lang string")
+    cuts = perplexity_cutoffs(ref).localCheckpoint(eager=True)
+
+    arrive = spark.createDataFrame(
+        [(50, "common common l0", "en"), (51, "rare6 rare7 zz l0", "en"),
+         (52, "common filler l1", "de"), (53, "never seen words", "de")],
+        "doc_id long, text string, lang string",
+    )
+    expect = sorted(
+        tuple(r)
+        for r in perplexity_buckets(arrive, model_docs=ref, cutoffs=cuts).collect()
+    )
+    d = tempfile.mkdtemp(prefix="fdi_pplbkt_stream_")
+    try:
+        arrive.where("doc_id < 52").coalesce(1).write.mode("append").parquet(d)
+        arrive.where("doc_id >= 52").coalesce(1).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            perplexity_buckets(stream, model_docs=ref, cutoffs=cuts)
+            .writeStream.format("memory")
+            .queryName("pplbkt_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.table("pplbkt_sink").collect())
+        assert got == expect and len(got) == 4
+        # every bucket label is one of the contract values
+        assert {r[-1] for r in got} <= {"head", "middle", "tail"}
+        spark.catalog.dropTempView("pplbkt_sink")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
