@@ -57,6 +57,9 @@ QUERIES = [
     "embedding_quantize", "pq_encode",
     "rolling_corr", "cross_corr",
     "unigram_tokenize", "kn_perplexity",
+    # r10 second-session additions
+    "chunk_documents", "split_sentences", "ngram_novelty",
+    "containment_pairs", "perplexity_buckets",
 ]
 
 
@@ -362,8 +365,16 @@ def main() -> None:
 
     n1 = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_N1", "3")))
     n10 = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_N10", "2")))
+    # positional args = measure ONLY these queries and merge into the
+    # existing x10 block (adding operators must not force a 40-query
+    # re-measure; a bare run still refreshes everything)
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
+    names = only or QUERIES
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"not in the x10 measured set: {unknown}")
     results: dict[str, dict] = {}
-    for name in QUERIES:
+    for name in names:
         fn = REG[name]
         rec: dict = {}
         for label, d, n_runs in (("1", BASE, n1), ("10", X10, n10)):
@@ -401,6 +412,12 @@ def main() -> None:
         for k, v in prev.items():
             if k not in out:
                 out[k] = v
+        # partial (named) runs keep every still-listed prior record
+        merged = {
+            k: v for k, v in prev.get("queries", {}).items() if k in QUERIES
+        }
+        merged.update(results)
+        out["queries"] = merged
     except (OSError, ValueError):
         pass
     with open(sidecar, "w") as f:

@@ -47,6 +47,9 @@ SWEEP = [
     "embedding_quantize",
     "dedup_components_grouped",
     "dsir_weights",
+    # r10: hashed-shingle window-count family (doc-frequency over a full
+    # partition window, then per-doc combine)
+    "ngram_novelty",
 ]
 TIME_RATIO_CAP = 6.0
 # below this floor the x1 timing is all fixed overhead and the ratio is
