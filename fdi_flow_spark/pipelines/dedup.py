@@ -124,7 +124,6 @@ def ngram_jaccard_pairs(
     shingles = shingles.select("id", F.xxhash64("shingle").alias("shingle")).localCheckpoint(
         eager=True
     )
-    sizes = shingles.groupBy("id").agg(F.count("*").alias("ns"))
     arrays = shingles.groupBy("id").agg(F.sort_array(F.collect_list("shingle")).alias("arr"))
 
     if prefix_filter:
@@ -138,6 +137,10 @@ def ngram_jaccard_pairs(
         # pairs, and only near-matches reach exact verification.
         beta = max(0.8, 1.0 - threshold + 0.05)
         dfreq = shingles.groupBy("shingle").agg(F.count("*").alias("_df"))
+        # ns rides the SAME id-partitioned window exchange as the rank
+        # (an unordered count window; the n:1 dfreq join preserves the
+        # per-id row count) — a separate groupBy(id) sizes table + rejoin
+        # cost two extra stages over the full shingle stream (r10b).
         ranked = (
             shingles.join(dfreq, "shingle")
             .withColumn(
@@ -146,7 +149,7 @@ def ngram_jaccard_pairs(
                     Window.partitionBy("id").orderBy(F.col("_df").asc(), F.col("shingle").asc())
                 ),
             )
-            .join(sizes, "id")
+            .withColumn("ns", F.count("*").over(Window.partitionBy("id")))
             .withColumn("_p", F.ceil(F.lit(beta) * F.col("ns")))
             .where(F.col("_r") <= F.col("_p"))
             .select("id", "shingle", "ns", "_p")
@@ -254,11 +257,12 @@ def containment_pairs(
     shingles = shingles.select("id", F.xxhash64("shingle").alias("shingle")).localCheckpoint(
         eager=True
     )
-    sizes = shingles.groupBy("id").agg(F.count("*").alias("ns"))
     arrays = shingles.groupBy("id").agg(F.sort_array(F.collect_list("shingle")).alias("arr"))
 
     if prefix_filter:
         dfreq = shingles.groupBy("shingle").agg(F.count("*").alias("_df"))
+        # ns via an unordered count window on the same id exchange as the
+        # rank — no separate sizes aggregate + rejoin (see the Jaccard twin)
         pref = (
             shingles.join(dfreq, "shingle")
             .withColumn(
@@ -267,8 +271,8 @@ def containment_pairs(
                     Window.partitionBy("id").orderBy(F.col("_df").asc(), F.col("shingle").asc())
                 ),
             )
-            .join(sizes, "id")
-            .where(F.col("_r") <= F.col("ns") - F.ceil(F.lit(threshold) * F.col("ns")) + 1)
+            .withColumn("_ns", F.count("*").over(Window.partitionBy("id")))
+            .where(F.col("_r") <= F.col("_ns") - F.ceil(F.lit(threshold) * F.col("_ns")) + 1)
             .select("id", "shingle")
         )
         cand = (
