@@ -777,3 +777,20 @@ def test_star_big_graph_branch_serialized_and_exact(spark):
     # 4.02M edges on local[4] (defaultParallelism 4 -> 1M-edge floor is
     # 4M): the partition-sizing sub-branch must also have fired
     assert LAST["repartitions"], LAST
+
+
+def test_containment_broadcast_verify_output_identical(spark, docs_df):
+    """broadcast_verify=True (the bench-scale opt-in) must be a pure
+    physical-strategy switch — byte-identical output to the default
+    shuffle-hash verify."""
+    from fdi_flow_spark.pipelines.dedup import containment_pairs
+
+    kw = dict(n=2, unit="word", threshold=0.5)
+    default = {
+        (r.id_a, r.id_b): r.containment for r in containment_pairs(docs_df, **kw).collect()
+    }
+    bcast = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(docs_df, broadcast_verify=True, **kw).collect()
+    }
+    assert default == bcast and len(default) > 0
