@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "containment_pairs",
     # r10: CCNet head/middle/tail perplexity bucketing
     "perplexity_buckets",
+    # r10: embedding-space distance-to-centroid outlier flagging
+    "embedding_outliers",
 ]
 
 

@@ -233,3 +233,42 @@ def semantic_dedup_pairs(
         )
 
     return vecs.groupBy("cluster").applyInPandas(pairs_fn, schema)
+
+
+def embedding_outliers(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    z: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space outlier flagging (r10b, §2.9 extension) — the
+    curation stage that drops mis-embedded / off-distribution vectors
+    before ANN indexing or SemDeDup: assign every vector with the same
+    deterministic Lloyd as :func:`kmeans_embeddings`, then flag vectors
+    whose distance-to-centroid exceeds ``mean + z * std`` of their OWN
+    cluster (population std over the 6-dp-rounded assignment distances, so
+    the cutoff is reproducible cross-engine).
+
+    Output: ``(vec_id, cluster, dist, cutoff, is_outlier)`` — every vector
+    labeled, cutoff rounded to 6 dp and the flag compared against the
+    ROUNDED cutoff (kills last-ulp summation-order differences between
+    engines).
+
+    Scale: the kmeans plan unchanged + one map-side-combinable per-cluster
+    moment aggregate whose result is a K-row broadcast; the assignment is
+    checkpointed once so the stats and labeling consumers do not re-train.
+    """
+    assign = kmeans_embeddings(df, k, n_iter, id_col, vec_col)
+    if not assign.isStreaming:
+        assign = assign.localCheckpoint(eager=False)
+    cutoff = F.round(F.avg("dist") + F.lit(float(z)) * F.stddev_pop("dist"), 6)
+    stats = assign.groupBy("cluster").agg(cutoff.alias("cutoff"))
+    return assign.join(F.broadcast(stats), "cluster").select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.col("dist"),
+        F.col("cutoff"),
+        (F.col("dist") > F.col("cutoff")).alias("is_outlier"),
+    )

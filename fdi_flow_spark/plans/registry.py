@@ -3518,6 +3518,35 @@ def q_embedding_kmeans(spark, sf_dir):
 
 
 @register(
+    "embedding_outliers",
+    f"""
+    WITH {_kmeans_cte_sql(k=8, n_iter=2)},
+    a AS (SELECT vec_id, cl AS cluster, ROUND(dist, 6) AS dist FROM a_final),
+    st AS (SELECT cluster,
+                  ROUND(AVG(dist) + 1.5 * STDDEV_POP(dist), 6) AS cutoff
+           FROM a GROUP BY cluster)
+    SELECT a.vec_id, a.cluster, a.dist, st.cutoff,
+           a.dist > st.cutoff AS is_outlier
+    FROM a JOIN st USING (cluster)
+    """,
+)
+def q_embedding_outliers(spark, sf_dir):
+    """Embedding-space outlier flagging (r10b, §2.9 extension): same
+    deterministic Lloyd assignment as ``embedding_kmeans``, flag
+    ``dist > mean + 1.5*std_pop`` of the vector's own cluster — z=1.5 so
+    the synthetic corpus actually exercises BOTH flag classes (11/500
+    outliers at sf0.01; z=2 flags none on these well-clustered vectors)
+    (moments over
+    the 6-dp assignment distances; flag compared against the ROUNDED
+    cutoff for cross-engine stability). K-row broadcast stats."""
+    from fdi_flow_spark.pipelines.clustering import embedding_outliers
+
+    return embedding_outliers(
+        load_table(spark, sf_dir, "embeddings"), k=8, n_iter=2, z=1.5
+    )
+
+
+@register(
     "semantic_dedup",
     f"""
     WITH {_kmeans_cte_sql(k=8, n_iter=2)}
@@ -5143,7 +5172,7 @@ _WINDOW_EXCLUDED_ORACLES = {
     # rotation cohorts below; until then its value-hash evidence is the
     # per-suite oracle parity test + the sf0.01 driver-exact rehearsal:
     "chunk_documents", "split_sentences", "ngram_novelty",
-    "containment_pairs", "perplexity_buckets",
+    "containment_pairs", "perplexity_buckets", "embedding_outliers",
     # newest green r8, back 14 alphabetically (the first 20 are in-window
     # this round) — FIRST IN LINE for the r11 window:
     "observer_replay_sliding", "q1_pricing_summary", "q3_top_orders",

@@ -409,3 +409,26 @@ def test_perplexity_buckets_tertiles_and_tie_semantics(spark):
     )
     got = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(tie).collect()}
     assert got[1] == got[2] == "head"
+
+
+def test_embedding_outliers_flags_far_vector(spark):
+    """Planted-outlier contract (r10b): a single far vector in a tight
+    k=1 cloud must be the ONLY flagged row; every row is labeled with its
+    cluster cutoff; flags compare against the ROUNDED cutoff."""
+    import numpy as np
+
+    from fdi_flow_spark.pipelines.clustering import embedding_outliers
+
+    rng = np.random.default_rng(7)
+    rows = [(i, (rng.normal(0, 0.1, 8) + 1.0).astype(float).tolist()) for i in range(20)]
+    rows.append((99, [25.0] * 8))  # far from the cloud
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in embedding_outliers(df, k=1, n_iter=3, z=1.5).collect()}
+    assert len(out) == 21
+    assert out[99]["is_outlier"]
+    assert sum(1 for r in out.values() if r["is_outlier"]) == 1
+    # labeled rows carry the shared k=1 cutoff and the flag is consistent
+    cut = out[99]["cutoff"]
+    for r in out.values():
+        assert r["cutoff"] == cut
+        assert r["is_outlier"] == (r["dist"] > cut)
