@@ -59,7 +59,7 @@ QUERIES = [
     "unigram_tokenize", "kn_perplexity",
     # r10 second-session additions
     "chunk_documents", "split_sentences", "ngram_novelty",
-    "containment_pairs", "perplexity_buckets",
+    "containment_pairs", "perplexity_buckets", "embedding_outliers",
 ]
 
 
