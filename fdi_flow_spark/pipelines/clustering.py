@@ -272,3 +272,55 @@ def embedding_outliers(
         F.col("cutoff"),
         (F.col("dist") > F.col("cutoff")).alias("is_outlier"),
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Fit the deterministic Lloyd centroids OFFLINE and return them as a
+    ``(k, d)`` ndarray — the model artifact :func:`kmeans_assign` consumes.
+    Same pinned init / iteration as :func:`kmeans_embeddings`, so
+    ``kmeans_assign(df, kmeans_fit(df, ...))`` is identical to the fused
+    call (pinned by a parity test)."""
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    work = ensure_min_parallelism(df.select(id_col, vec_col), id_col)
+    if n_iter > 0:
+        work = work.persist()
+    try:
+        cent = _collect_init_centroids(work, k, id_col, vec_col)
+        for _ in range(n_iter):
+            cent = _lloyd_step(work, cent, vec_col)
+    finally:
+        if n_iter > 0:
+            work.unpersist(blocking=False)
+    return cent
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to pretrained centroids — the deployment shape
+    (centroids fit once on a reference snapshot via :func:`kmeans_fit`,
+    every later shard or Structured Streaming micro-batch labeled against
+    the broadcast ``(k, d)`` array). Pure Arrow-batched projection — no
+    aggregation, no shuffle — so it runs unchanged on a stream in append
+    mode (parity pinned in ``tests/test_streaming.py``). Output:
+    ``(id, cluster, dist)``, dist rounded to 6 dp, ties to the lowest
+    cluster id — the exact :func:`kmeans_embeddings` contract."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    if cent.ndim != 2:
+        raise ValueError(f"centroids must be (k, d), got shape {cent.shape}")
+    out = _assign(df.select(id_col, vec_col), cent, id_col, vec_col)
+    return out.select(
+        F.col(id_col),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.round("dist", 6).alias("dist"),
+    )

@@ -1139,3 +1139,53 @@ def test_streaming_perplexity_buckets_equal_batch(spark):
         spark.catalog.dropTempView("pplbkt_sink")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_kmeans_assign_equals_batch(spark):
+    """The clustering deployment shape (r10b): centroids fit OFFLINE
+    (kmeans_fit on a reference snapshot), arriving vectors assigned per
+    micro-batch by the pure Arrow projection — stream output equals batch
+    assignment exactly in append mode, and the fit/assign split equals
+    the fused kmeans_embeddings call."""
+    import shutil
+    import tempfile
+
+    from fdi_flow_spark.pipelines.clustering import (
+        kmeans_assign,
+        kmeans_embeddings,
+        kmeans_fit,
+    )
+
+    ref = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = kmeans_fit(ref, k=4, n_iter=2)
+
+    # fit/assign split == fused call on the same data
+    fused = sorted(tuple(r) for r in kmeans_embeddings(ref, k=4, n_iter=2).collect())
+    split = sorted(tuple(r) for r in kmeans_assign(ref, cent).collect())
+    assert fused == split
+
+    arrive = ref.where("vec_id < 100")
+    expect = sorted(tuple(r) for r in kmeans_assign(arrive, cent).collect())
+    d = tempfile.mkdtemp(prefix="fdi_kma_stream_")
+    try:
+        arrive.where("vec_id < 50").coalesce(1).write.mode("append").parquet(d)
+        arrive.where("vec_id >= 50").coalesce(1).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>, label int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            kmeans_assign(stream, cent)
+            .writeStream.format("memory")
+            .queryName("kma_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.table("kma_sink").collect())
+        assert got == expect and len(got) == 100
+        spark.catalog.dropTempView("kma_sink")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
