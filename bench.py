@@ -48,11 +48,24 @@ born of the framework's own suite-context behavior stays in the gate. The
 registry import is local so the driver can run this file standalone from
 the repo root.
 
-Sidecar provenance (r9 VERDICT item 4): the sidecar carries a "source"
-field from $SPARK_GRAFT_BENCH_SOURCE (default "driver"); a non-default
-source writes to bench_spread_<source>.json instead, so the builder's
-committed quiet-machine runs and the driver's post-commit recording live
-in separate files and the working tree stops diverging every round.
+Sidecar provenance (r9 VERDICT item 4; completed r11 per r10 VERDICT item
+4): the sidecar carries a "source" field from $SPARK_GRAFT_BENCH_SOURCE
+(default "driver"); a non-default source writes to
+bench_spread_<source>.json. The default driver target bench_spread.json is
+UNTRACKED and gitignored as of r11 — the driver's post-commit recording no
+longer dirties the working tree. Its content is preserved at HEAD by the
+committed snapshot bench_spread_driver.json, refreshed from the live file
+at each round-open (the r11 copy is the r10 driver recording). Three
+sidecars live at HEAD: bench_spread_quiet.json (builder's quiet close run),
+bench_spread_driver.json (latest driver recording), bench_baseline.json
+(the gate reference).
+
+Baseline coverage (r10 VERDICT item 2): bench_baseline.json now rates ALL
+queries — r1 parsed medians where they exist (baseline_round=1), the r10
+raw driver medians for everything added since (baseline_round=10), and
+quiet-machine medians for queries added in the same round they are
+snapshot. n_rated == n_queries from r11 on, so a regression in any query
+trips the gate, not just the original r1 set.
 """
 
 from __future__ import annotations
@@ -505,8 +518,14 @@ def main() -> None:
             "gated_on": "isolated" if gated == iso else "suite",
         }
         if gated == iso:
+            # Only the NORMALIZED (gate-feeding) median is substituted.
+            # timings_raw stays the untouched suite raw median (r10 ADVICE:
+            # overwriting it with the isolated min partially weakened the
+            # "raw picture can never be lowered" safeguard for exactly the
+            # gate-brushing queries) — the isolated figures live in the
+            # `isolated` sidecar block, and any suite-vs-isolated raw delta
+            # stays visible in worst_ratio_raw.
             timings[name] = iso
-            timings_raw[name] = iso_raw  # raw ratios describe the same run
 
     total = round(sum(timings.values()), 3)
 

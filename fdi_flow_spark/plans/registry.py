@@ -5125,38 +5125,35 @@ def q_series_profile(spark, sf_dir):
 # hash-checked against its own oracle every pytest run via
 # ``tests/test_oracle_queries.py``'s parametrization over ORACLES.
 _WINDOW_PRIORITY = [
-    # --- r10 rotation (round-9 VERDICT item 1): the window is the 50 STALEST
-    # oracle-backed queries by newest green driver check. The no-oracle
-    # ivfpq probe is rotated OUT (its driver-execution evidence is banked in
-    # CORRECTNESS_r09 — 100 rows executed; recall floor + pruned-scan plan
-    # assertions live in tests/test_quantization.py) and the invariant below
-    # now FORBIDS any no-oracle query from occupying a window slot — a slot
-    # that cannot hash-match is a wasted check. The two r5-greens deferred
-    # in r9 enter first; then the r6/r7 cohorts; then the 20 alphabetically
-    # first r8-greens (the remaining 14 r8-greens are FIRST IN LINE for r11).
-    # Every r9-green oracle moved to the excluded list (all re-proved every
-    # pytest run and in the sf0.01 driver-exact rehearsal).
-    # last green r5 (deferred from the r9 window):
-    "anti_join_quiet_customers", "median_filter_edge",
-    # last green r6:
-    "cross_corr", "gap_fill", "mad_outliers", "source_mix", "text_normalize",
-    # last green r7:
-    "corpus_contamination", "corpus_decontaminate", "cosine_topk",
-    "cosine_topk_q8", "dedup_incremental", "domain_filter", "dsir_select",
-    "duplicated_spans", "kn3_perplexity", "kn_perplexity", "ngram_counts",
-    "page_hinkley_drift", "pattern_search", "pq_encode",
-    "quality_classifier", "readability", "series_pacf",
-    "span_contamination", "text_repetition", "tfidf_vectors",
-    "time_bucket_rollup", "user_sessions", "value_histogram",
-    # last green r8 (first 20 alphabetically; the rest queue for r11):
-    "asof_join_purchase", "cosine_topk_blocked", "curation_pipeline",
-    "curation_scored", "dedup_components", "dedup_components_grouped",
-    "embedding_near_dup_blocked", "ewma_closed_form", "fdi_pipeline",
-    "forecast_prep", "gopher_filter", "kalman1d_chunked",
-    "language_id_model", "minhash_dedup_pairs", "moving_average_valid",
-    "multimodal_image_features", "multimodal_image_resize",
-    "observer_luenberger_events", "observer_replay_kalman",
-    "observer_replay_luenberger",
+    # --- r11 rotation (round-10 VERDICT item 1): the window is (a) every
+    # oracle-backed query the driver has NEVER checked, then (b) the stalest
+    # previously-green oracles by newest green driver check. The six r10
+    # queries enter first (they landed after the r10 rotation froze; the
+    # sf0.01 driver-exact rehearsal re-verified all six PASS, but the
+    # driver's own hash-check is the contract). Then the 14 r8-greens that
+    # queued last round, then the 30 alphabetically-first r9-greens (the
+    # remaining 19 r9-greens are FIRST IN LINE for r12). Every r10-window
+    # green (50/50 in CORRECTNESS_r10) moved to the excluded list.
+    # never driver-checked (added in r10, after that round's rotation):
+    "chunk_documents", "split_sentences", "ngram_novelty",
+    "containment_pairs", "perplexity_buckets", "embedding_outliers",
+    # last green r8 (the 14 deferred from the r10 window):
+    "observer_replay_sliding", "q1_pricing_summary", "q3_top_orders",
+    "q5_nation_volume", "q6_revenue_change", "resample_linear",
+    "rolling_corr", "segment_windows", "series_profile",
+    "simulate_euler_events", "span_dedup", "standard_scaler",
+    "token_counts", "video_frame_features",
+    # last green r9 (first 30 alphabetically; the rest queue for r12):
+    "bm25_search", "changepoint_scan", "corpus_hash_split",
+    "cube_order_stats", "cusum_drift", "dedup_exact",
+    "distinct_counts_by_status", "document_fingerprint", "dsir_weights",
+    "embedding_kmeans", "embedding_near_dup", "embedding_quantize",
+    "events_stats_salted", "ewma_chunked", "failure_encoder",
+    "holt_chunked", "holt_smoothing", "kalman1d_filter", "knn_accuracy",
+    "knn_classify", "language_id", "line_dedup", "lm_perplexity",
+    "median_filter_zeros", "min_cost_supplier", "minhash_signatures",
+    "minmax_scaler", "moving_average_padded", "ngram_jaccard_pairs",
+    "observer_kalman_events",
 ]
 
 
@@ -5168,35 +5165,33 @@ _WINDOW_PRIORITY = [
 # NEWEST GREEN DRIVER CHECK, so staleness for the r10 rotation is read off
 # the comments directly.
 _WINDOW_EXCLUDED_ORACLES = {
-    # NEW in r10 (never driver-checked): enters the r11 window ahead of the
-    # rotation cohorts below; until then its value-hash evidence is the
-    # per-suite oracle parity test + the sf0.01 driver-exact rehearsal:
-    "chunk_documents", "split_sentences", "ngram_novelty",
-    "containment_pairs", "perplexity_buckets", "embedding_outliers",
-    # newest green r8, back 14 alphabetically (the first 20 are in-window
-    # this round) — FIRST IN LINE for the r11 window:
-    "observer_replay_sliding", "q1_pricing_summary", "q3_top_orders",
-    "q5_nation_volume", "q6_revenue_change", "resample_linear",
-    "rolling_corr", "segment_windows", "series_profile",
-    "simulate_euler_events", "span_dedup", "standard_scaler",
-    "token_counts", "video_frame_features",
-    # newest green r9 (the r9 window: 49/49 hash-green in CORRECTNESS_r09):
-    "ewma_chunked", "holt_chunked", "knn_accuracy", "median_filter_zeros",
-    "minhash_signatures", "moving_average_padded", "resample_nearest",
-    "cube_order_stats", "minmax_scaler", "video_frame_sample",
-    "corpus_hash_split", "dedup_exact", "embedding_near_dup",
-    "holt_smoothing", "kalman1d_filter", "observer_kalman_events",
-    "observer_sliding_events", "robust_scaler", "simulate_discrete_events",
-    "supervised_windows", "text_quality", "top_orders_per_customer",
-    "bm25_search", "changepoint_scan", "cusum_drift",
-    "distinct_counts_by_status", "document_fingerprint", "dsir_weights",
-    "embedding_kmeans", "embedding_quantize", "events_stats_salted",
-    "failure_encoder", "knn_classify", "language_id", "line_dedup",
-    "lm_perplexity", "min_cost_supplier", "ngram_jaccard_pairs",
-    "orders_above_customer_avg", "pii_redact", "quota_sample",
-    "sales_rollup", "seasonal_decompose", "semantic_dedup",
-    "semi_join_urgent_customers", "series_acf", "set_ops_customer_cohorts",
-    "simhash_fingerprints", "token_pack",
+    # newest green r9, back 19 alphabetically (the first 30 are in-window
+    # this round) — FIRST IN LINE for the r12 window:
+    "observer_sliding_events", "orders_above_customer_avg", "pii_redact",
+    "quota_sample", "resample_nearest", "robust_scaler", "sales_rollup",
+    "seasonal_decompose", "semantic_dedup", "semi_join_urgent_customers",
+    "series_acf", "set_ops_customer_cohorts", "simhash_fingerprints",
+    "simulate_discrete_events", "supervised_windows", "text_quality",
+    "token_pack", "top_orders_per_customer", "video_frame_sample",
+    # newest green r10 (the r10 window: 50/50 hash-green, zero err rows, in
+    # CORRECTNESS_r10) — queue behind the r9 cohort for r12/r13:
+    "anti_join_quiet_customers", "median_filter_edge",
+    "cross_corr", "gap_fill", "mad_outliers", "source_mix", "text_normalize",
+    "corpus_contamination", "corpus_decontaminate", "cosine_topk",
+    "cosine_topk_q8", "dedup_incremental", "domain_filter", "dsir_select",
+    "duplicated_spans", "kn3_perplexity", "kn_perplexity", "ngram_counts",
+    "page_hinkley_drift", "pattern_search", "pq_encode",
+    "quality_classifier", "readability", "series_pacf",
+    "span_contamination", "text_repetition", "tfidf_vectors",
+    "time_bucket_rollup", "user_sessions", "value_histogram",
+    "asof_join_purchase", "cosine_topk_blocked", "curation_pipeline",
+    "curation_scored", "dedup_components", "dedup_components_grouped",
+    "embedding_near_dup_blocked", "ewma_closed_form", "fdi_pipeline",
+    "forecast_prep", "gopher_filter", "kalman1d_chunked",
+    "language_id_model", "minhash_dedup_pairs", "moving_average_valid",
+    "multimodal_image_features", "multimodal_image_resize",
+    "observer_luenberger_events", "observer_replay_kalman",
+    "observer_replay_luenberger",
 }
 
 
