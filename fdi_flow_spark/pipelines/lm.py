@@ -362,13 +362,21 @@ def perplexity_buckets(
     offline on a reference corpus, arriving docs — batch or a Structured
     Streaming source — scored against the static ``model_docs`` LM and
     labeled by the static broadcast cutoff table (stream parity pinned in
-    ``tests/test_streaming.py``).
+    ``tests/test_streaming.py``). Docs whose language has NO cutoffs row
+    are kept (left join) and labeled ``unknown`` — never silently dropped.
     """
     scored = lm_perplexity(docs, model_docs, id_col, text_col, carry_cols=(lang_col,))
+    how = "inner"
     if cutoffs is not None:
         # Deployment shape: cutoffs fit OFFLINE (see
         # :func:`perplexity_cutoffs`), arriving docs — batch or STREAM —
-        # are scored and labeled against the static broadcast table.
+        # are scored and labeled against the static broadcast table. LEFT
+        # join (r10 ADVICE): an inner join would silently drop arriving
+        # docs whose language has no cutoffs row — undocumented data loss
+        # for languages that appear on the stream after the offline fit.
+        # Such docs keep their score and get the sentinel bucket
+        # ``unknown``; the caller decides whether to refit or route them.
+        how = "left"
         cuts = cutoffs.select(
             F.col(lang_col), F.col("lo").alias("_lo"), F.col("hi").alias("_hi")
         )
@@ -383,13 +391,14 @@ def perplexity_buckets(
             F.percentile("ppl", edges[0]).alias("_lo"),
             F.percentile("ppl", edges[1]).alias("_hi"),
         )
-    return scored.join(F.broadcast(cuts), lang_col).select(
+    return scored.join(F.broadcast(cuts), lang_col, how).select(
         F.col(id_col),
         F.col(lang_col),
         "n_bigrams",
         "avg_logp",
         "ppl",
-        F.when(F.col("ppl") <= F.col("_lo"), F.lit("head"))
+        F.when(F.col("_lo").isNull(), F.lit("unknown"))
+        .when(F.col("ppl") <= F.col("_lo"), F.lit("head"))
         .when(F.col("ppl") <= F.col("_hi"), F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),

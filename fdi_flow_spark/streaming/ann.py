@@ -19,6 +19,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def write_probe_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    out_path: str,
+    k: int = 5,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Probe the index with one micro-batch and OVERWRITE its own
+    ``batch_id``-keyed partition directory under ``out_path``. This is the
+    idempotence unit: ``foreachBatch`` is at-least-once, so a batch
+    replayed after a sink failure re-executes this function with the SAME
+    ``batch_id`` and rewrites ``batch_id=N`` in place — the union over
+    partition directories stays exactly-once (retry idempotency pinned in
+    ``tests/test_streaming.py``)."""
+    from fdi_flow_spark.pipelines.quantization import ivfpq_query_index
+
+    if batch_df.isEmpty():
+        return
+    ivfpq_query_index(
+        batch_df, index_path, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+    ).write.mode("overwrite").parquet(f"{out_path.rstrip('/')}/batch_id={batch_id}")
+
+
 def streaming_ivfpq_probe(
     queries: DataFrame,
     index_path: str,
@@ -30,19 +56,25 @@ def streaming_ivfpq_probe(
     checkpoint: str | None = None,
 ):
     """Probe a persisted IVF-PQ index with a streaming query DataFrame;
-    append ``(query_id, rank, neighbor_id, cosine)`` rows per trigger to
-    ``out_path`` (parquet). Returns the started StreamingQuery — callers
-    own ``awaitTermination``/``stop``. Results per query are identical to
-    the batch ``ivfpq_query_index`` on the same rows: each query's top-k
-    depends only on its own vector and the static index."""
-    from fdi_flow_spark.pipelines.quantization import ivfpq_query_index
+    write ``(query_id, rank, neighbor_id, cosine)`` rows per trigger to
+    ``out_path`` (parquet, one ``batch_id=N`` partition directory per
+    micro-batch — read the root path to get the union). Returns the
+    started StreamingQuery — callers own ``awaitTermination``/``stop``.
+    Results per query are identical to the batch ``ivfpq_query_index`` on
+    the same rows: each query's top-k depends only on its own vector and
+    the static index.
 
-    def _probe(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        ivfpq_query_index(
-            batch_df, index_path, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
-        ).write.mode("append").parquet(out_path)
+    Idempotent under retry (r10 ADVICE): ``foreachBatch`` is
+    at-least-once, so a micro-batch replayed after a sink failure must not
+    duplicate rows. Each batch OVERWRITES its own ``batch_id``-keyed
+    subdirectory — a replay of batch N rewrites ``batch_id=N`` in place
+    and the union over partitions stays exactly-once, preserving the
+    batch-parity contract under failure."""
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        write_probe_batch(
+            batch_df, batch_id, index_path, out_path,
+            k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+        )
 
     return (
         queries.writeStream.foreachBatch(_probe)

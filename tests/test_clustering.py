@@ -411,6 +411,35 @@ def test_perplexity_buckets_tertiles_and_tie_semantics(spark):
     assert got[1] == got[2] == "head"
 
 
+def test_perplexity_buckets_unknown_language_sentinel(spark):
+    """Deployment-path contract (r11, per r10 ADVICE): an arriving doc
+    whose language has NO row in the offline cutoffs table must be KEPT
+    (left join) and labeled with the ``unknown`` sentinel bucket — never
+    silently dropped from the stream. Known-language docs are unaffected."""
+    from fdi_flow_spark.pipelines.lm import perplexity_buckets, perplexity_cutoffs
+
+    ref = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(
+            ["common common", "common filler", "filler filler",
+             "rare1 rare2", "rare3 rare4 rare5", "rare6 rare7 rare8"]
+        )],
+        "doc_id long, text string, lang string",
+    )
+    cuts = perplexity_cutoffs(ref).localCheckpoint(eager=True)
+    arrive = spark.createDataFrame(
+        [(100, "common common", "en"), (101, "common filler", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in perplexity_buckets(arrive, model_docs=ref, cutoffs=cuts).collect()
+    }
+    assert set(got) == {100, 101}  # the fr doc is kept, not dropped
+    assert got[101]["bucket"] == "unknown"
+    assert got[101]["ppl"] is not None  # still scored against the static LM
+    assert got[100]["bucket"] in ("head", "middle", "tail")
+
+
 def test_embedding_outliers_flags_far_vector(spark):
     """Planted-outlier contract (r10b): a single far vector in a tight
     k=1 cloud must be the ONLY flagged row; every row is labeled with its

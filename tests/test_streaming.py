@@ -1036,6 +1036,32 @@ def test_streaming_ivfpq_probe_equals_batch(spark):
                 w["query_id"], w["rank"], w["neighbor_id"]
             )
             assert abs(g["cosine"] - w["cosine"]) < 1e-9
+
+        # Retry idempotency (r10 ADVICE): foreachBatch is at-least-once —
+        # replaying a micro-batch with the SAME batch_id (as the engine
+        # does after a sink failure) must not duplicate sink rows. The
+        # writer overwrites its own batch_id partition, so a double
+        # invocation leaves the union unchanged.
+        from fdi_flow_spark.streaming.ann import write_probe_batch
+
+        # replay batch 0 with its ACTUAL content (trigger order of the two
+        # files is an engine detail — read it back from the sink)
+        b0_ids = {
+            r["query_id"]
+            for r in spark.read.parquet(out)
+            .where(F.col("batch_id") == 0)
+            .select("query_id")
+            .distinct()
+            .collect()
+        }
+        replay = queries.where(F.col("vec_id").isin(list(b0_ids)))
+        write_probe_batch(replay, 0, idx, out, k=5, nprobe=8)
+        again = (
+            spark.read.parquet(out).orderBy("query_id", "rank").collect()
+        )
+        assert [
+            (g["query_id"], g["rank"], g["neighbor_id"]) for g in again
+        ] == [(g["query_id"], g["rank"], g["neighbor_id"]) for g in got]
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
