@@ -224,6 +224,12 @@ BENCH_QUERIES = [
     "perplexity_buckets",
     # r10: embedding-space distance-to-centroid outlier flagging
     "embedding_outliers",
+    # r11: bottom-k sketch screening for directed containment (the
+    # sub-output-bound screen in front of containment_pairs)
+    "containment_screened",
+    # r11: the full deployment-shape ingest (digests + NB + DSIR + LM +
+    # cutoffs, one composed streaming-executable plan)
+    "curation_deploy",
 ]
 
 

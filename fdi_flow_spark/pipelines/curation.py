@@ -489,3 +489,190 @@ def curation_stream_score(
             "dsir_log_weight",
         )
     )
+
+
+def curation_deploy_score(
+    docs: DataFrame,
+    corpus_digests: DataFrame,
+    nb_model: DataFrame,
+    dsir_model: DataFrame,
+    lm_model_docs: DataFrame,
+    ppl_cutoffs: DataFrame,
+    min_tokens: int = 30,
+    nb_buckets: int = 1024,
+    nb_seed: int = 7,
+    dsir_buckets: int = 1024,
+    dsir_seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """The FULL deployment-shape ingest stage (r11, r10 VERDICT stretch
+    item 8): :func:`curation_stream_score`'s composed plan (cleanup ->
+    token gate -> exact-dup flag -> NB quality + DSIR weight) EXTENDED
+    with CCNet perplexity scoring and head/middle/tail bucketing against
+    OFFLINE artifacts — every static input fit once on a reference
+    snapshot (``nb_quality_fit``, ``dsir_fit``, the bigram LM count
+    tables from ``lm_model_docs``, ``perplexity_cutoffs``), arriving
+    docs — batch or STREAM — scored in ONE pass. Output, one row per
+    surviving doc: ``(doc_id, lang, is_exact_dup, n_grams,
+    quality_score, quality_pred, dsir_log_weight, n_bigrams, avg_logp,
+    ppl, bucket)``.
+
+    Why this still composes on a stream: the LM bigram leg rides the SAME
+    single ``groupBy(doc)`` aggregation as the NB/DSIR gram leg. One
+    explode emits a union of item structs — ``(gram, null, null)`` rows
+    for the unigram+bigram feature stream, ``(null, w1, w2)`` rows for
+    the BOS-prefixed LM bigram stream (``lm._bigrams`` definition; both
+    share ``selection.gram_exprs``'s tokenizer) — every static join is a
+    LEFT join (NB/DSIR models are full-bucket-domain, so left == inner on
+    gram rows; the LM tables back off via ``coalesce`` exactly as
+    ``lm_perplexity`` does for unseen bigrams), and the per-kind sums
+    separate in the aggregate because each measure is NULL on the other
+    kind's rows. Bucket labeling is a stateless broadcast join on the
+    arriving ``lang_col`` AFTER the aggregation, with the ``unknown``
+    sentinel for languages absent from the cutoffs (the
+    :func:`fdi_flow_spark.pipelines.lm.perplexity_buckets` deployment
+    contract — never silently dropped). One stateful operator total.
+
+    The embedding-side legs (LSH near-dup probe, k-means centroid
+    assignment) deliberately stay SEPARATE stream stages — different
+    fan-out axes and their own stateful shapes, each with its own parity
+    test — exactly how :func:`curation_stream_score` documents the
+    near-dup split. ``examples/curation_deploy.py`` chains all of them.
+    """
+    from fdi_flow_spark.pipelines.lm import BOS, _bigrams
+    from fdi_flow_spark.pipelines.selection import gram_exprs
+    from fdi_flow_spark.pipelines.text import clean_docs
+
+    cleaned = clean_docs(docs, id_col, text_col)
+    toks, _ = gram_exprs(text_col)
+    gated = cleaned.where(F.size(toks) >= min_tokens)
+    digests = (
+        corpus_digests.select(F.col(corpus_digests.columns[0]).alias("_dg"))
+        .dropDuplicates()
+        .withColumn("_hit", F.lit(True))
+    )
+    flagged = (
+        gated.withColumn("_dg", F.md5(F.col(text_col)))
+        .join(digests, "_dg", "left")
+        .withColumn("is_exact_dup", F.coalesce(F.col("_hit"), F.lit(False)))
+        .drop("_dg", "_hit")
+    )
+
+    # Offline LM count tables (the lm_perplexity fit, static side). The
+    # pair-count table is materialized once; c1/vocab derive from it.
+    mbig = _bigrams(lm_model_docs, id_col, text_col)
+    c12 = mbig.groupBy("w1", "w2").agg(F.count("*").alias("_c12"))
+    if not c12.isStreaming:
+        c12 = c12.localCheckpoint(eager=False)
+    c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
+    vocab = c12.agg(F.countDistinct("w2").alias("_v"))
+    if broadcast_model:
+        c12, c1 = F.broadcast(c12), F.broadcast(c1)
+
+    toks2, grams = gram_exprs(text_col)
+    base = (
+        flagged.select(
+            F.col(id_col).alias("id"),
+            F.col(lang_col).alias("_lang"),
+            "is_exact_dup",
+            toks2.alias("_t"),
+        )
+        .where(F.size("_t") >= 1)
+        .withColumn("_lt", F.concat(F.array(F.lit(BOS)), F.col("_t")))
+    )
+    gitems = F.transform(
+        grams,
+        lambda g: F.struct(
+            g.alias("gram"),
+            F.lit(None).cast("string").alias("w1"),
+            F.lit(None).cast("string").alias("w2"),
+        ),
+    )
+    pitems = F.expr(
+        """
+        transform(sequence(1, size(_lt) - 1),
+                  i -> struct(CAST(NULL AS STRING) AS gram,
+                              element_at(_lt, i) AS w1,
+                              element_at(_lt, i + 1) AS w2))
+        """
+    )
+    g = (
+        base.select(
+            "id", "_lang", "is_exact_dup",
+            F.explode(F.concat(gitems, pitems)).alias("_it"),
+        )
+        .select(
+            "id", "_lang", "is_exact_dup",
+            F.col("_it.gram").alias("gram"),
+            F.col("_it.w1").alias("w1"),
+            F.col("_it.w2").alias("w2"),
+        )
+        .withColumn(
+            "_bn",
+            F.when(
+                F.col("gram").isNotNull(),
+                _hash_bucket(F.col("gram"), nb_seed, nb_buckets),
+            ),
+        )
+        .withColumn(
+            "_bd",
+            F.when(
+                F.col("gram").isNotNull(),
+                _hash_bucket(F.col("gram"), dsir_seed, dsir_buckets),
+            ),
+        )
+    )
+    nbm = nb_model.select(
+        F.col("b").alias("_bn"), F.col("w").alias("_w"), F.col("prior").alias("_pr")
+    )
+    dsm = dsir_model.select(F.col("b").alias("_bd"), F.col("logr").alias("_lr"))
+    logp = F.when(
+        F.col("w1").isNotNull(),
+        F.log(F.coalesce(F.col("_c12"), F.lit(0)) + F.lit(1))
+        - F.log(F.coalesce(F.col("_c1"), F.lit(0)) + F.col("_v")),
+    )
+    rows = (
+        g.join(nbm, "_bn", "left")
+        .join(dsm, "_bd", "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("_logp", logp)
+    )
+    qs = F.sum("_w") + F.first("_pr", ignorenulls=True)
+    avg_logp = F.sum("_logp") / F.count("w1")
+    agg = rows.groupBy("id", "_lang").agg(
+        F.first("is_exact_dup").alias("is_exact_dup"),
+        F.count("gram").cast("bigint").alias("n_grams"),
+        F.round(qs, 6).alias("quality_score"),
+        (qs > 0).alias("quality_pred"),
+        F.round(F.sum("_lr"), 6).alias("dsir_log_weight"),
+        F.count("w1").cast("bigint").alias("n_bigrams"),
+        F.round(avg_logp, 6).alias("avg_logp"),
+        F.round(F.exp(-avg_logp), 4).alias("ppl"),
+    )
+    cuts = ppl_cutoffs.select(
+        F.col(lang_col).alias("_lang"),
+        F.col("lo").alias("_lo"),
+        F.col("hi").alias("_hi"),
+    )
+    return agg.join(F.broadcast(cuts), "_lang", "left").select(
+        F.col("id").alias(id_col),
+        F.col("_lang").alias(lang_col),
+        "is_exact_dup",
+        "n_grams",
+        "quality_score",
+        "quality_pred",
+        "dsir_log_weight",
+        "n_bigrams",
+        "avg_logp",
+        "ppl",
+        F.when(F.col("_lo").isNull(), F.lit("unknown"))
+        .when(F.col("ppl") <= F.col("_lo"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("_hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -2831,6 +2831,63 @@ def q_containment_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "containment_screened",
+    # The SCREENING ESTIMATES themselves are hash-checked: the bottom-k
+    # selection runs on the portable md5-bridge hash, so DuckDB picks the
+    # identical k sample hashes and computes identical m/min(ns,k) ratios.
+    """
+    WITH grams AS (
+      SELECT doc_id AS id,
+             UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               GENERATE_SERIES(1, LENGTH(text) - 11),
+               i -> SUBSTR(text, i, 12)))) AS shingle
+      FROM documents WHERE LENGTH(text) >= 12),
+    hashed0 AS (
+      SELECT DISTINCT id, ('0x' || SUBSTR(MD5(shingle), 1, 8))::BIGINT AS h
+      FROM grams),
+    nd AS (SELECT COUNT(DISTINCT id) AS n FROM hashed0),
+    dfq AS (SELECT h, COUNT(*) AS df FROM hashed0 GROUP BY h),
+    hashed AS (
+      SELECT h0.id, h0.h, dfq.df
+      FROM hashed0 h0 JOIN dfq USING (h) CROSS JOIN nd
+      WHERE dfq.df <= GREATEST(16, CEIL(0.001 * nd.n))),
+    ranked AS (
+      SELECT id, h,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY df, h) AS r,
+             COUNT(*) OVER (PARTITION BY id) AS ns
+      FROM hashed),
+    sk AS (SELECT id, h, LEAST(ns, 64) AS sksz FROM ranked WHERE r <= 64),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.sksz, COUNT(*) AS c
+      FROM sk a JOIN hashed b ON a.h = b.h AND a.id <> b.id
+      GROUP BY a.id, b.id, a.sksz)
+    SELECT id_a, id_b, ROUND(CAST(c AS DOUBLE) / sksz, 6) AS est_containment
+    FROM cand WHERE CAST(c AS DOUBLE) / sksz >= 0.6
+    """,
+)
+def q_containment_screened(spark, sf_dir):
+    """Approximate containment screening (r11, r10 VERDICT item 3): each
+    doc's 64 df-RAREST char-12-gram hashes (the exact path's anti-skew
+    prefix order at CONSTANT size) joined against the inverted index over
+    the informative-shingle universe (default stop-shingle cap
+    ``df <= max(16, 0.1% of docs)``, replicated in the oracle);
+    ``Ĉ(A→B) = matches / min(|A∩U|, 64) >= 0.6``. Constant per-doc
+    candidate fan-out (the exact prefix filter's grows with doc length)
+    and count-aggregate scoring instead of per-pair array intersects —
+    the sub-output-bound screen in front of ``containment_pairs``, as
+    ``minhash_dedup_pairs`` is for ``ngram_jaccard_pairs``."""
+    from fdi_flow_spark.pipelines.dedup import containment_screened
+
+    return containment_screened(
+        load_table(spark, sf_dir, "documents"),
+        k=64,
+        threshold=0.6,
+        unit="char",
+        char_k=12,
+    )
+
+
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS["en"]) + "]"
 
 
@@ -3195,6 +3252,177 @@ def q_curation_scored(spark, sf_dir):
         .localCheckpoint()
     )
     return curation_stream_score(arriving, digests, nb_model, dsir_model)
+
+
+@register(
+    "curation_deploy",
+    # curation_scored's fit+score CTEs (NB + DSIR + digests over the
+    # doc_id%3=0 corpus) extended with the bigram-LM fit, the arriving-side
+    # LEFT-join backoff scoring, the per-language self-scored tertile
+    # cutoffs, and the head/middle/tail (or unknown) label — the whole
+    # deployment-shape ingest re-derived in SQL.
+    f"""
+    WITH corpus AS (SELECT doc_id, text, lang, source FROM documents
+                    WHERE doc_id % 3 = 0),
+    arr0 AS (
+      SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 <> 0
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text, lang
+      FROM corpus WHERE doc_id % 2 = 0),
+    arr AS (SELECT doc_id, lang,
+            TRIM(REGEXP_REPLACE(REGEXP_REPLACE(NFC_NORMALIZE(text),
+                 '[\\x00-\\x09\\x0b-\\x1f\\x7f]', '', 'g'), ' +', ' ', 'g'),
+                 ' ' || CHR(10)) AS text
+            FROM arr0),
+    gated AS (
+      SELECT * FROM (
+        SELECT doc_id, lang, text,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'),
+                           t -> LENGTH(t) > 0) AS tk
+        FROM arr) WHERE LEN(tk) >= 30),
+    dg AS (SELECT DISTINCT MD5(
+             TRIM(REGEXP_REPLACE(REGEXP_REPLACE(NFC_NORMALIZE(text),
+                  '[\\x00-\\x09\\x0b-\\x1f\\x7f]', '', 'g'), ' +', ' ', 'g'),
+                  ' ' || CHR(10))) AS d FROM corpus),
+    flags AS (SELECT g.doc_id, g.lang, (dg.d IS NOT NULL) AS is_exact_dup, g.tk
+              FROM gated g LEFT JOIN dg ON MD5(g.text) = dg.d),
+    ctoks AS (SELECT lang = 'en' AS label, source,
+              LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'),
+                          t -> LENGTH(t) > 0) AS tk
+              FROM corpus),
+    cg AS (SELECT label, source, UNNEST({_GRAMS_CTE}) AS gram
+           FROM ctoks WHERE LEN(tk) >= 1),
+    cgb AS (SELECT label, source,
+                   ('0x' || SUBSTR(MD5('7:' || gram), 1, 8))::BIGINT % 1024 AS b
+            FROM cg),
+    nbc AS (SELECT b, COUNT(*) FILTER (WHERE label) AS c1,
+                   COUNT(*) FILTER (WHERE NOT label) AS c0
+            FROM cgb GROUP BY b),
+    nbt AS (SELECT SUM(c1) AS n1, SUM(c0) AS n0 FROM nbc),
+    nbd AS (SELECT COUNT(*) FILTER (WHERE lang = 'en') AS d1,
+                   COUNT(*) FILTER (WHERE lang <> 'en') AS d0 FROM corpus),
+    dom AS (SELECT UNNEST(GENERATE_SERIES(0, 1023)) AS b),
+    nbm AS (SELECT dom.b,
+            LN(COALESCE(nbc.c1, 0) + 1) - LN(nbt.n1 + 1024)
+            - LN(COALESCE(nbc.c0, 0) + 1) + LN(nbt.n0 + 1024) AS w,
+            LN(nbd.d1 + 1) - LN(nbd.d0 + 1) AS prior
+            FROM dom LEFT JOIN nbc ON nbc.b = dom.b
+                 CROSS JOIN nbt CROSS JOIN nbd),
+    rc AS (SELECT b, COUNT(*) AS cr FROM cgb GROUP BY b),
+    tc AS (SELECT b, COUNT(*) AS ct FROM cgb WHERE source = 'src0' GROUP BY b),
+    nr AS (SELECT SUM(cr) AS nr FROM rc),
+    ntc AS (SELECT COALESCE(SUM(ct), 0) AS nt FROM tc),
+    dsm AS (SELECT dom.b,
+            LN(COALESCE(tc.ct, 0) + 1) - LN(ntc.nt + 1024)
+            - LN(COALESCE(rc.cr, 0) + 1) + LN(nr.nr + 1024) AS logr
+            FROM dom LEFT JOIN rc ON rc.b = dom.b
+                 LEFT JOIN tc ON tc.b = dom.b
+                 CROSS JOIN nr CROSS JOIN ntc),
+    mtoks AS (
+      SELECT doc_id,
+             LIST_PREPEND('<s>', LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'),
+                                             t -> LENGTH(t) > 0)) AS tk
+      FROM corpus),
+    mbge AS (
+      SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 1),
+                                     i -> {{'w1': tk[i], 'w2': tk[i + 1]}})) AS bg
+        FROM mtoks WHERE LEN(tk) >= 2)),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM mbge GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w2) AS v FROM c12),
+    cs AS (
+      SELECT b.doc_id, LN(c.c12 + 1) - LN(c1.c1 + v.v) AS logp
+      FROM mbge b JOIN c12 c USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+    cppl AS (SELECT doc_id, ROUND(EXP(-(SUM(logp) / COUNT(*))), 4) AS ppl
+             FROM cs GROUP BY doc_id),
+    cuts AS (
+      SELECT c2.lang, QUANTILE_CONT(p.ppl, 1.0/3.0) AS lo,
+             QUANTILE_CONT(p.ppl, 2.0/3.0) AS hi
+      FROM cppl p JOIN corpus c2 USING (doc_id) GROUP BY c2.lang),
+    abge AS (
+      SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(lt) - 1),
+                                     i -> {{'w1': lt[i], 'w2': lt[i + 1]}})) AS bg
+        FROM (SELECT doc_id, LIST_PREPEND('<s>', tk) AS lt FROM flags))),
+    asc0 AS (
+      SELECT a.doc_id,
+             LN(COALESCE(c.c12, 0) + 1) - LN(COALESCE(c1.c1, 0) + v.v) AS logp
+      FROM abge a LEFT JOIN c12 c USING (w1, w2) LEFT JOIN c1 USING (w1)
+           CROSS JOIN v),
+    appl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             ROUND(SUM(logp) / COUNT(*), 6) AS avg_logp,
+             ROUND(EXP(-(SUM(logp) / COUNT(*))), 4) AS ppl
+      FROM asc0 GROUP BY doc_id),
+    ag AS (SELECT doc_id, is_exact_dup, UNNEST({_GRAMS_CTE}) AS gram
+           FROM flags WHERE LEN(tk) >= 1),
+    agb AS (SELECT doc_id, is_exact_dup,
+                   ('0x' || SUBSTR(MD5('7:' || gram), 1, 8))::BIGINT % 1024 AS b
+            FROM ag),
+    scored AS (SELECT a.doc_id,
+               ANY_VALUE(a.is_exact_dup) AS is_exact_dup,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               SUM(n.w) + ANY_VALUE(n.prior) AS qs,
+               ROUND(SUM(d.logr), 6) AS dsir_log_weight
+               FROM agb a JOIN nbm n USING (b) JOIN dsm d USING (b)
+               GROUP BY a.doc_id)
+    SELECT s.doc_id, f.lang, s.is_exact_dup, s.n_grams,
+           ROUND(s.qs, 6) AS quality_score, s.qs > 0 AS quality_pred,
+           s.dsir_log_weight, p.n_bigrams, p.avg_logp, p.ppl,
+           CASE WHEN cu.lo IS NULL THEN 'unknown'
+                WHEN p.ppl <= cu.lo THEN 'head'
+                WHEN p.ppl <= cu.hi THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s
+    JOIN appl p USING (doc_id)
+    JOIN (SELECT doc_id, lang FROM flags) f USING (doc_id)
+    LEFT JOIN cuts cu ON cu.lang = f.lang
+    """,
+)
+def q_curation_deploy(spark, sf_dir):
+    """The FULL deployment-shape ingest (r11, r10 VERDICT stretch item 8):
+    every offline artifact — corpus digests, NB quality model, DSIR model,
+    bigram-LM count tables, per-language perplexity cutoffs — fit once on
+    the doc_id%3=0 reference snapshot, then the arriving split (plus
+    re-keyed corpus re-ingests so the dup flag provably fires) scored in
+    ONE streaming-executable plan: cleanup -> token gate -> exact-dup flag
+    -> NB quality + DSIR weight + LM perplexity (one shared explode, one
+    groupBy(doc) aggregation) -> CCNet head/middle/tail bucket against the
+    static cutoffs. The oracle re-derives all five artifact fits AND the
+    composed scoring in SQL. ``examples/curation_deploy.py`` runs the same
+    plan over a streaming shard ingest plus the embedding-side stages."""
+    from fdi_flow_spark.pipelines.curation import curation_deploy_score
+    from fdi_flow_spark.pipelines.lm import perplexity_cutoffs
+    from fdi_flow_spark.pipelines.quality_model import nb_quality_fit
+    from fdi_flow_spark.pipelines.selection import dsir_fit
+    from fdi_flow_spark.pipelines.text import clean_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 3 == 0)
+    arriving = docs.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "text", "lang"
+    ).unionByName(
+        corpus.where(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "lang"
+        )
+    )
+    nb_model = nb_quality_fit(
+        corpus.withColumn("is_en", F.col("lang") == "en"), "is_en"
+    )
+    dsir_model = dsir_fit(corpus, corpus.where(F.col("source") == "src0"))
+    digests = (
+        clean_docs(corpus.select("doc_id", "text"))
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cutoffs = perplexity_cutoffs(corpus).localCheckpoint()
+    return curation_deploy_score(
+        arriving, digests, nb_model, dsir_model, corpus, cutoffs
+    )
 
 
 # ----------------------------------------------- LLM-pipeline surface (r5)
@@ -5134,16 +5362,18 @@ _WINDOW_PRIORITY = [
     # queued last round, then the 30 alphabetically-first r9-greens (the
     # remaining 19 r9-greens are FIRST IN LINE for r12). Every r10-window
     # green (50/50 in CORRECTNESS_r10) moved to the excluded list.
-    # never driver-checked (added in r10, after that round's rotation):
+    # never driver-checked (added in r10 after that round's rotation froze,
+    # plus the new r11 query — in-window from birth):
     "chunk_documents", "split_sentences", "ngram_novelty",
     "containment_pairs", "perplexity_buckets", "embedding_outliers",
+    "containment_screened", "curation_deploy",
     # last green r8 (the 14 deferred from the r10 window):
     "observer_replay_sliding", "q1_pricing_summary", "q3_top_orders",
     "q5_nation_volume", "q6_revenue_change", "resample_linear",
     "rolling_corr", "segment_windows", "series_profile",
     "simulate_euler_events", "span_dedup", "standard_scaler",
     "token_counts", "video_frame_features",
-    # last green r9 (first 30 alphabetically; the rest queue for r12):
+    # last green r9 (first 28 alphabetically; the rest queue for r12):
     "bm25_search", "changepoint_scan", "corpus_hash_split",
     "cube_order_stats", "cusum_drift", "dedup_exact",
     "distinct_counts_by_status", "document_fingerprint", "dsir_weights",
@@ -5152,8 +5382,7 @@ _WINDOW_PRIORITY = [
     "holt_chunked", "holt_smoothing", "kalman1d_filter", "knn_accuracy",
     "knn_classify", "language_id", "line_dedup", "lm_perplexity",
     "median_filter_zeros", "min_cost_supplier", "minhash_signatures",
-    "minmax_scaler", "moving_average_padded", "ngram_jaccard_pairs",
-    "observer_kalman_events",
+    "minmax_scaler", "moving_average_padded",
 ]
 
 
@@ -5165,8 +5394,9 @@ _WINDOW_PRIORITY = [
 # NEWEST GREEN DRIVER CHECK, so staleness for the r10 rotation is read off
 # the comments directly.
 _WINDOW_EXCLUDED_ORACLES = {
-    # newest green r9, back 19 alphabetically (the first 30 are in-window
+    # newest green r9, back 21 alphabetically (the first 28 are in-window
     # this round) — FIRST IN LINE for the r12 window:
+    "ngram_jaccard_pairs", "observer_kalman_events",
     "observer_sliding_events", "orders_above_customer_avg", "pii_redact",
     "quota_sample", "resample_nearest", "robust_scaler", "sales_rollup",
     "seasonal_decompose", "semantic_dedup", "semi_join_urgent_customers",

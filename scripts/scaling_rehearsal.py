@@ -60,6 +60,9 @@ QUERIES = [
     # r10 second-session additions
     "chunk_documents", "split_sentences", "ngram_novelty",
     "containment_pairs", "perplexity_buckets", "embedding_outliers",
+    # r11: bottom-k containment screen (vs containment_pairs' output-bound
+    # exact path — the point of the entry is the time-ratio delta)
+    "containment_screened",
 ]
 
 
@@ -151,6 +154,16 @@ X100_QUERIES = [
     "cosine_topk_blocked",  # r8: bipartite grid top-k — candidate side
                             # grows 100x, query side fixed-k per query;
                             # work is O(|Q| * |C|) BLAS, no broadcast
+    # r11 (r10 VERDICT item 6): the r10 text operators with x10-only
+    # coverage. The two with a plausible x100 surprise are ngram_novelty
+    # (doc-frequency skew in the hashed-shingle window count) and
+    # perplexity_buckets (per-language exact quantile agg over a 100x
+    # score table); chunk/split are zero-shuffle projections measured as
+    # the linearity baseline.
+    "chunk_documents",
+    "split_sentences",
+    "ngram_novelty",
+    "perplexity_buckets",
 ]
 
 

@@ -492,6 +492,8 @@ def test_repeated_scan_audit_invariant(spark):
         "language_id_model": 2,  # predict gram scan + true-label attach
         "ngram_jaccard_pairs": 0,  # fully checkpointed shingle table
         "containment_pairs": 0,    # same checkpointed-shingle shape (r10)
+        "containment_screened": 0,  # hashed table checkpointed; sketch +
+                                    # index + verify all read it (r11)
         "perplexity_buckets": 0,   # score table checkpointed; cuts + label
                                    # join both read the materialization
         "ngram_novelty": 1,        # one corpus scan feeds both aggregates
@@ -502,6 +504,9 @@ def test_repeated_scan_audit_invariant(spark):
         "curation_scored": 2,  # the arriving-shard union's two legs; both
                                # model fits and the digest table are
                                # materialized (was 10 before the fix)
+        "curation_deploy": 2,  # same arriving union; LM counts + cutoffs
+                               # + digests + both models all materialized
+                               # offline artifacts (r11)
     }
     for name, cap in max_scans.items():
         plan = _plan(QUERIES[name](spark, SF))

@@ -933,6 +933,130 @@ def test_streaming_composed_curation_equals_batch(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_streaming_curation_deploy_equals_batch(spark):
+    """The FULL deployment-shape ingest (r11): curation_stream_score's
+    composed plan + the LM perplexity leg folded into the SAME single
+    stateful aggregation + offline cutoffs bucket labeling. Streamed
+    shards must equal the batch run bit-for-bit, the folded ppl must
+    equal standalone lm_perplexity, the NB/DSIR halves must equal
+    curation_stream_score, and an arriving language absent from the
+    cutoffs gets the 'unknown' sentinel — never dropped."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fdi_flow_spark.pipelines.curation import (
+        curation_deploy_score,
+        curation_stream_score,
+    )
+    from fdi_flow_spark.pipelines.lm import lm_perplexity, perplexity_cutoffs
+    from fdi_flow_spark.pipelines.quality_model import nb_quality_fit
+    from fdi_flow_spark.pipelines.selection import dsir_fit
+    from fdi_flow_spark.pipelines.text import clean_docs
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta common words here too",
+        "gamma delta epsilon zeta rare tokens appear here",
+        "beta gamma delta epsilon repeated beta gamma delta",
+        "zeta eta theta iota kappa lambda mu nu",
+        "alpha alpha beta beta gamma gamma delta delta",
+    ]
+    corpus = spark.createDataFrame(
+        [(i, t, ("en" if i % 2 == 0 else "de")) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+    nb_model = nb_quality_fit(
+        corpus.withColumn("is_en", F.col("lang") == "en"), "is_en", buckets=256
+    )
+    dsir_model = dsir_fit(
+        corpus, corpus.where(F.col("doc_id") < 2), buckets=256
+    )
+    digests = (
+        clean_docs(corpus.select("doc_id", "text"))
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cutoffs = perplexity_cutoffs(corpus).localCheckpoint(eager=True)
+
+    shard_rows = [
+        # exact dup of corpus doc 1 after cleanup (double space planted)
+        (1000, "alpha beta gamma  delta common words here too", "de"),
+        (1001, "alpha beta gamma delta epsilon fresh words here", "en"),
+        (1002, "unknown language text alpha beta gamma delta words", "fr"),
+        (1003, "too short", "en"),  # gated out
+    ]
+    batch = spark.createDataFrame(shard_rows, "doc_id long, text string, lang string")
+
+    def compose(df):
+        return curation_deploy_score(
+            df, digests, nb_model, dsir_model, corpus, cutoffs,
+            min_tokens=5, nb_buckets=256, dsir_buckets=256,
+        )
+
+    expect = sorted(tuple(r) for r in compose(batch).collect())
+    by_id = {r[0]: r for r in expect}
+    assert set(by_id) == {1000, 1001, 1002}  # 1003 gated
+    cols = compose(batch).columns
+    assert by_id[1000][cols.index("is_exact_dup")] is True
+    assert by_id[1002][cols.index("bucket")] == "unknown"  # fr kept, labeled
+    assert by_id[1000][cols.index("bucket")] in ("head", "middle", "tail")
+
+    # folded ppl == standalone lm_perplexity on the cleaned, gated shard
+    gated = clean_docs(batch).where(F.col("doc_id") != 1003)
+    ppl_alone = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"], r["ppl"])
+        for r in lm_perplexity(gated, model_docs=corpus).collect()
+    }
+    # composed NB/DSIR halves == curation_stream_score on the same shard
+    css = {
+        r["doc_id"]: (r["n_grams"], r["quality_score"], r["quality_pred"],
+                      r["dsir_log_weight"])
+        for r in curation_stream_score(
+            batch, digests, nb_model, dsir_model,
+            min_tokens=5, nb_buckets=256, dsir_buckets=256,
+        ).collect()
+    }
+    for did, row in by_id.items():
+        assert (
+            row[cols.index("n_bigrams")],
+            row[cols.index("avg_logp")],
+            row[cols.index("ppl")],
+        ) == ppl_alone[did]
+        assert (
+            row[cols.index("n_grams")],
+            row[cols.index("quality_score")],
+            row[cols.index("quality_pred")],
+            row[cols.index("dsir_log_weight")],
+        ) == css[did]
+
+    d = tempfile.mkdtemp(prefix="fdi_deploy_stream_")
+    try:
+        batch.where("doc_id <= 1001").coalesce(1).write.mode("append").parquet(d)
+        batch.where("doc_id > 1001").coalesce(1).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            compose(stream)
+            .writeStream.format("memory")
+            .queryName("deploy_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.table("deploy_sink").collect())
+        assert got == expect
+        spark.catalog.dropTempView("deploy_sink")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_streaming_lid_scoring_equals_batch(spark):
     """LID scoring on a stream: offline-fit model, pivoted stream-static
     join, ONE stateful aggregation (the plan-shape test pins the single
