@@ -396,11 +396,17 @@ def containment_screened(
         shingles = _word_ngrams(docs, id_col, text_col, n)
     # deduped on (id, h): an in-doc hash collision shrinks the set the same
     # way in both engines. One materialization feeds sketch + index (+
-    # verify arrays) — same cut as the exact twins.
+    # verify arrays) — same cut as the exact twins. SERIALIZED storage
+    # (the minhash signature-checkpoint lesson): 143M (long, long) rows at
+    # the x100 rehearsal are ~2 GB serialized but ~10x that as deserialized
+    # JVM rows — the deserialized default OOM'd the 8 GB single-JVM
+    # rehearsal before the first join ran.
+    from pyspark import StorageLevel
+
     hashed = (
         shingles.select("id", _shingle_hash(F.col("shingle")).alias("h"))
         .dropDuplicates(["id", "h"])
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     dfreq = hashed.groupBy("h").agg(F.count("*").alias("_df"))
     if max_df is not None:

@@ -63,6 +63,9 @@ QUERIES = [
     # r11: bottom-k containment screen (vs containment_pairs' output-bound
     # exact path — the point of the entry is the time-ratio delta)
     "containment_screened",
+    # r11: the composed deployment ingest (five artifact fits + one-pass
+    # scoring; the heaviest new query, so its growth axis is on record)
+    "curation_deploy",
 ]
 
 
@@ -164,6 +167,16 @@ X100_QUERIES = [
     "split_sentences",
     "ngram_novelty",
     "perplexity_buckets",
+    # containment_screened is deliberately ABSENT (like containment_pairs):
+    # at x100 the 143M-row (id, h) table — 2.3 GB serialized checkpoint +
+    # a full window shuffle with 32 concurrent readers — exceeds the 8 GB
+    # SINGLE-JVM rehearsal heap (measured OOM, serialized storage already
+    # applied). The floor is local-mode block storage, not the plan: on a
+    # cluster the table partitions across executors, and at a 100x
+    # twin-duplication fixture the production ordering is exact-dedup
+    # FIRST (dedup_components_grouped's lesson), after which the screen
+    # runs on the 5k unique docs — i.e. the x1 measurement. Its scale
+    # evidence is the x10 entry: 2.28x time for 1093x output.
 ]
 
 
