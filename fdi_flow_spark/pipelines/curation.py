@@ -496,7 +496,7 @@ def curation_deploy_score(
     corpus_digests: DataFrame,
     nb_model: DataFrame,
     dsir_model: DataFrame,
-    lm_model_docs: DataFrame,
+    lm_model_docs: DataFrame | None,
     ppl_cutoffs: DataFrame,
     min_tokens: int = 30,
     nb_buckets: int = 1024,
@@ -507,6 +507,7 @@ def curation_deploy_score(
     text_col: str = "text",
     lang_col: str = "lang",
     broadcast_model: bool = True,
+    lm_counts: DataFrame | None = None,
 ) -> DataFrame:
     """The FULL deployment-shape ingest stage (r11, r10 VERDICT stretch
     item 8): :func:`curation_stream_score`'s composed plan (cleanup ->
@@ -561,12 +562,20 @@ def curation_deploy_score(
         .drop("_dg", "_hit")
     )
 
-    # Offline LM count tables (the lm_perplexity fit, static side). The
-    # pair-count table is materialized once; c1/vocab derive from it.
-    mbig = _bigrams(lm_model_docs, id_col, text_col)
-    c12 = mbig.groupBy("w1", "w2").agg(F.count("*").alias("_c12"))
-    if not c12.isStreaming:
-        c12 = c12.localCheckpoint(eager=False)
+    # Offline LM count tables (the lm_perplexity fit, static side). A
+    # prebuilt ``lm_counts`` table (lm.fit_bigram_counts — the KenLM-style
+    # persisted artifact) skips the in-flight fit and lets ONE fit serve
+    # both the cutoff fitting and this scoring stage; otherwise the
+    # pair-count table is materialized once and c1/vocab derive from it.
+    if lm_counts is not None:
+        c12 = lm_counts.select("w1", "w2", F.col("c12").alias("_c12"))
+    else:
+        if lm_model_docs is None:
+            raise ValueError("provide lm_model_docs or lm_counts")
+        mbig = _bigrams(lm_model_docs, id_col, text_col)
+        c12 = mbig.groupBy("w1", "w2").agg(F.count("*").alias("_c12"))
+        if not c12.isStreaming:
+            c12 = c12.localCheckpoint(eager=False)
     c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
     vocab = c12.agg(F.countDistinct("w2").alias("_v"))
     if broadcast_model:

@@ -62,6 +62,25 @@ def _bigrams(
     )
 
 
+def fit_bigram_counts(
+    model_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fit the bigram count table OFFLINE — the ``(w1, w2, c12)`` artifact
+    every add-one consumer derives from (:func:`lm_perplexity` context
+    counts, vocabulary, scoring join). This is the KenLM-deployment shape:
+    the persisted LM artifact is the count table, not the reference
+    corpus, so one fit serves cutoff fitting AND every later scoring
+    stage (pass it via their ``model_counts`` parameters; the composed
+    ingest's registry query shares one checkpointed table between
+    ``perplexity_cutoffs`` and ``curation_deploy_score`` instead of
+    re-scanning the corpus per consumer)."""
+    return (
+        _bigrams(model_docs, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+
+
 def lm_perplexity(
     docs: DataFrame,
     model_docs: DataFrame | None = None,
@@ -69,6 +88,7 @@ def lm_perplexity(
     text_col: str = "text",
     broadcast_model: bool = False,
     carry_cols: tuple[str, ...] = (),
+    model_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Score each document's perplexity under an add-one-smoothed bigram LM
     trained on ``model_docs`` (default: the same corpus — self-scoring, the
@@ -83,19 +103,26 @@ def lm_perplexity(
     ``carry_cols`` are doc-level attributes (e.g. ``lang``) kept through
     the scoring aggregation as extra group keys — functionally dependent
     on the doc id, so the grouping is unchanged, and on a stream this
-    avoids the unsupported aggregate-then-rejoin shape.
+    avoids the unsupported aggregate-then-rejoin shape. ``model_counts``
+    (a :func:`fit_bigram_counts` table) skips the in-flight fit entirely
+    — the offline-artifact deployment shape.
     """
     big = _bigrams(docs, id_col, text_col, carry_cols)
-    model_big = big if model_docs is None else _bigrams(model_docs, id_col, text_col)
-
-    # one scan of the model's bigram stream; everything else derives from it.
-    # Materialize the pair-count table ONCE (vocab-type-bounded, << corpus):
-    # its three consumers (c1, vocab, the scoring join) plan canonically
-    # different subtrees, so without the cut each re-runs the corpus scan +
-    # explode (measured 4 parquet scans of documents in the executed plan).
-    c12 = model_big.groupBy("w1", "w2").agg(F.count("*").alias("_c12"))
-    if not c12.isStreaming:  # checkpoint is illegal on a streaming plan
-        c12 = c12.localCheckpoint(eager=False)
+    if model_counts is not None:
+        c12 = model_counts.select("w1", "w2", F.col("c12").alias("_c12"))
+    else:
+        model_big = (
+            big if model_docs is None else _bigrams(model_docs, id_col, text_col)
+        )
+        # one scan of the model's bigram stream; everything else derives
+        # from it. Materialize the pair-count table ONCE (vocab-type-
+        # bounded, << corpus): its three consumers (c1, vocab, the scoring
+        # join) plan canonically different subtrees, so without the cut
+        # each re-runs the corpus scan + explode (measured 4 parquet scans
+        # of documents in the executed plan).
+        c12 = model_big.groupBy("w1", "w2").agg(F.count("*").alias("_c12"))
+        if not c12.isStreaming:  # checkpoint is illegal on a streaming plan
+            c12 = c12.localCheckpoint(eager=False)
     c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
     vocab = c12.agg(F.countDistinct("w2").alias("_v"))
     if broadcast_model:
@@ -334,6 +361,7 @@ def perplexity_buckets(
     lang_col: str = "lang",
     edges: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
     cutoffs: DataFrame | None = None,
+    model_counts: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020, §4.3 — the
     head/middle/tail split CCNet publishes its corpus in): score every
@@ -365,7 +393,10 @@ def perplexity_buckets(
     ``tests/test_streaming.py``). Docs whose language has NO cutoffs row
     are kept (left join) and labeled ``unknown`` — never silently dropped.
     """
-    scored = lm_perplexity(docs, model_docs, id_col, text_col, carry_cols=(lang_col,))
+    scored = lm_perplexity(
+        docs, model_docs, id_col, text_col,
+        carry_cols=(lang_col,), model_counts=model_counts,
+    )
     how = "inner"
     if cutoffs is not None:
         # Deployment shape: cutoffs fit OFFLINE (see
@@ -412,13 +443,19 @@ def perplexity_cutoffs(
     text_col: str = "text",
     lang_col: str = "lang",
     edges: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    model_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Fit the per-language perplexity cut points OFFLINE — the
     ``(lang, lo, hi)`` table :func:`perplexity_buckets` consumes via its
     ``cutoffs`` parameter (CCNet fits these once on a reference snapshot,
     then labels every later shard/stream against them). Same scorer, same
-    exact quantiles as the self-cut path."""
-    scored = lm_perplexity(docs, model_docs, id_col, text_col, carry_cols=(lang_col,))
+    exact quantiles as the self-cut path. ``model_counts`` (a
+    :func:`fit_bigram_counts` table) shares one offline LM fit with every
+    other consumer."""
+    scored = lm_perplexity(
+        docs, model_docs, id_col, text_col,
+        carry_cols=(lang_col,), model_counts=model_counts,
+    )
     return scored.groupBy(lang_col).agg(
         F.percentile("ppl", edges[0]).alias("lo"),
         F.percentile("ppl", edges[1]).alias("hi"),

@@ -3395,7 +3395,7 @@ def q_curation_deploy(spark, sf_dir):
     composed scoring in SQL. ``examples/curation_deploy.py`` runs the same
     plan over a streaming shard ingest plus the embedding-side stages."""
     from fdi_flow_spark.pipelines.curation import curation_deploy_score
-    from fdi_flow_spark.pipelines.lm import perplexity_cutoffs
+    from fdi_flow_spark.pipelines.lm import fit_bigram_counts, perplexity_cutoffs
     from fdi_flow_spark.pipelines.quality_model import nb_quality_fit
     from fdi_flow_spark.pipelines.selection import dsir_fit
     from fdi_flow_spark.pipelines.text import clean_docs
@@ -3419,9 +3419,12 @@ def q_curation_deploy(spark, sf_dir):
         .distinct()
         .localCheckpoint()
     )
-    cutoffs = perplexity_cutoffs(corpus).localCheckpoint()
+    # ONE LM fit serves both the cutoff fitting and the scoring stage —
+    # the count table IS the persisted artifact (KenLM shape)
+    counts = fit_bigram_counts(corpus).localCheckpoint()
+    cutoffs = perplexity_cutoffs(corpus, model_counts=counts).localCheckpoint()
     return curation_deploy_score(
-        arriving, digests, nb_model, dsir_model, corpus, cutoffs
+        arriving, digests, nb_model, dsir_model, None, cutoffs, lm_counts=counts
     )
 
 

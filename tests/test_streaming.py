@@ -1032,6 +1032,20 @@ def test_streaming_curation_deploy_equals_batch(spark):
             row[cols.index("dsir_log_weight")],
         ) == css[did]
 
+    # prebuilt-counts artifact path (lm.fit_bigram_counts — one offline LM
+    # fit shared by cutoffs AND scoring, r11) == the model_docs path
+    from fdi_flow_spark.pipelines.lm import fit_bigram_counts
+
+    counts = fit_bigram_counts(corpus).localCheckpoint(eager=True)
+    via_counts = sorted(
+        tuple(r)
+        for r in curation_deploy_score(
+            batch, digests, nb_model, dsir_model, None, cutoffs,
+            min_tokens=5, nb_buckets=256, dsir_buckets=256, lm_counts=counts,
+        ).collect()
+    )
+    assert via_counts == expect
+
     d = tempfile.mkdtemp(prefix="fdi_deploy_stream_")
     try:
         batch.where("doc_id <= 1001").coalesce(1).write.mode("append").parquet(d)
