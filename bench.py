@@ -230,6 +230,8 @@ BENCH_QUERIES = [
     # r11: the full deployment-shape ingest (digests + NB + DSIR + LM +
     # cutoffs, one composed streaming-executable plan)
     "curation_deploy",
+    # r11: incremental containment probe vs the prebuilt corpus index
+    "containment_probe",
 ]
 
 

@@ -464,6 +464,135 @@ def containment_screened(
     )
 
 
+def containment_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    unit: str = "char",
+    char_k: int = 12,
+    max_df: int | str | None = "auto",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the OFFLINE artifacts :func:`containment_screen_against`
+    probes — the subset-clone analog of :func:`minhash_index`. Returns
+    ``(index, hot)``:
+
+    - ``index``: the corpus's capped inverted shingle table ``(id, h)``
+      (distinct md5-bridge hashes per doc, stop-shingles with document
+      frequency above ``max(16, ceil(0.001 * n_docs))`` removed — the
+      same informative universe as :func:`containment_screened`);
+    - ``hot``: the removed stop-shingle hashes ``(h)`` — REQUIRED at
+      probe time so arriving docs exclude the same universe (a hot
+      corpus shingle absent from the index would otherwise read as
+      df=0 "rare", waste sketch slots, and deflate estimates for docs
+      that legitimately contain corpus boilerplate). Bounded by
+      ``total_shingle_occurrences / cap`` rows — broadcastable at any
+      corpus size.
+
+    Persist both next to the LSH band index; arriving shards never
+    re-scan the corpus.
+    """
+    if unit == "char":
+        shingles = _char_ngrams(corpus, id_col, text_col, char_k)
+    else:
+        shingles = _word_ngrams(corpus, id_col, text_col, n)
+    # one materialization (serialized, as in containment_screened) feeds
+    # the THREE consumers below — dfreq, the n_docs scalar, and the
+    # anti-join — which otherwise each re-run the corpus md5-shingle
+    # explode (measured: the unchecked build paid the explode twice)
+    from pyspark import StorageLevel
+
+    hashed = (
+        shingles.select("id", _shingle_hash(F.col("shingle")).alias("h"))
+        .dropDuplicates(["id", "h"])
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    dfreq = hashed.groupBy("h").agg(F.count("*").alias("_df"))
+    if max_df is None:
+        hot = dfreq.where(F.lit(False))
+    elif max_df == "auto":
+        nd = hashed.agg(F.countDistinct("id").alias("_nd"))
+        cap = F.greatest(F.lit(16), F.ceil(F.lit(0.001) * F.col("_nd")))
+        hot = dfreq.crossJoin(F.broadcast(nd)).where(F.col("_df") > cap)
+    else:
+        hot = dfreq.where(F.col("_df") > F.lit(int(max_df)))
+    hot = hot.select("h")
+    index = hashed.join(F.broadcast(hot), "h", "left_anti").select("id", "h")
+    return index, hot
+
+
+def containment_screen_against(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    corpus_hot: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 64,
+    threshold: float = 0.6,
+    unit: str = "char",
+    char_k: int = 12,
+) -> DataFrame:
+    """Screen ARRIVING documents for containment in a static corpus —
+    ``Ĉ(new → corpus_doc) >= threshold`` against a prebuilt
+    :func:`containment_index`. The subset-clone / contamination probe of
+    the incremental-dedup family (exact: ``dedup_against``; Jaccard:
+    ``near_dup_candidates_against``; ANN: ``streaming_ivfpq_probe``):
+    "is this new doc mostly lifted from something already ingested?".
+    Output ``(id, corpus_id, est_containment)``.
+
+    Same estimator as :func:`containment_screened` with the corpus side
+    frozen: the arriving doc's k rarest shingles — ranked by CORPUS
+    document frequency (derived from the index, vocab-bounded; an
+    arriving shingle the corpus never saw has df 0, ranks rarest, and
+    correctly contributes a guaranteed miss: unseen content IS evidence
+    against containment) — joined against the static index, scored by one
+    count aggregate. ``|A|`` counts the arriving doc's shingles in the
+    SHARED universe (corpus stop-shingles excluded via ``corpus_hot``,
+    exactly as the index side was). Per-doc work is index-join + count —
+    no corpus re-scan, so shards probe an arbitrarily large corpus at
+    per-shard cost. Streaming twin: ``streaming.containment_probe``
+    (foreachBatch — the per-doc rank window is a batch-side shape), with
+    the ``batch_id``-partition idempotent sink of the ANN probe."""
+    if unit == "char":
+        shingles = _char_ngrams(new_docs, id_col, text_col, char_k)
+    else:
+        shingles = _word_ngrams(new_docs, id_col, text_col, n)
+    hashed_new = (
+        shingles.select("id", _shingle_hash(F.col("shingle")).alias("h"))
+        .dropDuplicates(["id", "h"])
+        .join(F.broadcast(corpus_hot), "h", "left_anti")
+    )
+    dfreq = corpus_index.groupBy("h").agg(F.count("*").alias("_df"))
+    byid = Window.partitionBy("id")
+    sk = (
+        hashed_new.join(dfreq, "h", "left")
+        .withColumn("_dfr", F.coalesce(F.col("_df"), F.lit(0)))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                byid.orderBy(F.col("_dfr").asc(), F.col("h").asc())
+            ),
+        )
+        .withColumn("_ns", F.count("*").over(byid))
+        .where(F.col("_r") <= k)
+        .select("id", "h", F.least(F.col("_ns"), F.lit(k)).alias("_sk"))
+    )
+    est = F.col("_c") / F.col("_sk")
+    return (
+        sk.alias("a")
+        .join(corpus_index.alias("b"), "h")
+        .groupBy(
+            F.col("a.id").alias("id"),
+            F.col("b.id").alias("corpus_id"),
+            F.col("_sk"),
+        )
+        .agg(F.count("*").alias("_c"))
+        .where(est >= threshold)
+        .select("id", "corpus_id", F.round(est, 6).alias("est_containment"))
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1,4 +1,5 @@
 from fdi_flow_spark.streaming.ann import streaming_ivfpq_probe
+from fdi_flow_spark.streaming.containment import streaming_containment_probe
 from fdi_flow_spark.streaming.stateful import (
     streaming_cusum,
     streaming_dedup_exact,
@@ -12,6 +13,7 @@ from fdi_flow_spark.streaming.stateful import (
 )
 
 __all__ = [
+    "streaming_containment_probe",
     "streaming_cusum",
     "streaming_ivfpq_probe",
     "streaming_dedup_exact",

@@ -66,6 +66,8 @@ QUERIES = [
     # r11: the composed deployment ingest (five artifact fits + one-pass
     # scoring; the heaviest new query, so its growth axis is on record)
     "curation_deploy",
+    # r11: the incremental containment probe (index build + shard screen)
+    "containment_probe",
 ]
 
 

@@ -494,6 +494,12 @@ def test_repeated_scan_audit_invariant(spark):
         "containment_pairs": 0,    # same checkpointed-shingle shape (r10)
         "containment_screened": 0,  # hashed table checkpointed; sketch +
                                     # index + verify all read it (r11)
+        "containment_probe": 1,     # ONE arriving-shard scan; the corpus
+                                    # index artifacts are eager
+                                    # checkpoints (r11; this pin caught
+                                    # the stacked-decorator registration
+                                    # bug that pointed both containment
+                                    # query names at the probe fn)
         "perplexity_buckets": 0,   # score table checkpointed; cuts + label
                                    # join both read the materialization
         "ngram_novelty": 1,        # one corpus scan feeds both aggregates
