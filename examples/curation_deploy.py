@@ -22,6 +22,10 @@ single streaming aggregation):
      join on the prebuilt band index, no stream-side aggregation.
   C. embedding legs: clustering.kmeans_assign over the shard's vectors
      (pure Arrow projection, append mode).
+  D. containment probe: streaming.streaming_containment_probe — is the
+     arriving doc mostly LIFTED from the corpus (subset-clone /
+     contamination)? foreachBatch over the persisted containment index,
+     batch_id-partition idempotent sink.
 
 Every stage has a batch==stream parity test (tests/test_streaming.py);
 the composed text stage is oracle-backed as the `curation_deploy`
@@ -53,9 +57,11 @@ def main() -> None:
     from fdi_flow_spark.pipelines.clustering import kmeans_assign, kmeans_fit
     from fdi_flow_spark.pipelines.curation import curation_deploy_score
     from fdi_flow_spark.pipelines.dedup import (
+        containment_index,
         minhash_index,
         near_dup_candidates_against,
     )
+    from fdi_flow_spark.streaming import streaming_containment_probe
     from fdi_flow_spark.pipelines.lm import perplexity_cutoffs
     from fdi_flow_spark.pipelines.quality_model import nb_quality_fit
     from fdi_flow_spark.pipelines.selection import dsir_fit
@@ -82,9 +88,11 @@ def main() -> None:
     cutoffs = perplexity_cutoffs(corpus).localCheckpoint()
     band_index = minhash_index(corpus).localCheckpoint()
     centroids = kmeans_fit(emb.where(F.col("vec_id") % 3 == 0), k=8)
+    c_index, c_hot = containment_index(corpus)
     print(f"artifacts: {digests.count()} digests, {nb_model.count()} NB rows, "
           f"{dsir_model.count()} DSIR rows, {cutoffs.count()} lang cutoffs, "
-          f"{band_index.count()} band-index rows, centroids {centroids.shape}")
+          f"{band_index.count()} band-index rows, centroids {centroids.shape}, "
+          f"containment index {c_index.count()} rows (+{c_hot.count()} hot)")
 
     # ---------------- Phase 2: stream the arriving shards against them
     root = tempfile.mkdtemp(prefix="curation_deploy_")
@@ -130,7 +138,20 @@ def main() -> None:
             .writeStream.format("memory").queryName("deploy_clusters")
             .outputMode("append").trigger(availableNow=True).start()
         )
-        for q in (qa, qb, qc):
+        # D. containment probe vs the persisted index: foreachBatch with
+        # a batch_id-partition idempotent parquet sink
+        cidx_p = os.path.join(root, "c_index")
+        chot_p = os.path.join(root, "c_hot")
+        c_index.write.parquet(cidx_p)
+        c_hot.write.parquet(chot_p)
+        probe_out = os.path.join(root, "probe_out")
+        qd = streaming_containment_probe(
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", 1).parquet(shard_dir)
+            .select("doc_id", "text"),
+            cidx_p, chot_p, probe_out,
+        )
+        for q in (qa, qb, qc, qd):
             q.awaitTermination(180)
 
         scores = spark.table("deploy_scores")
@@ -147,6 +168,12 @@ def main() -> None:
             (r["cluster"], r["count"])
             for r in cl.groupBy("cluster").count().collect()
         ))
+        try:
+            probed = spark.read.parquet(probe_out)
+            print(f"D. containment probe: {probed.count()} arriving->corpus "
+                  f"subset-clone candidates")
+        except Exception:
+            print("D. containment probe: no matches emitted (empty sink)")
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()

@@ -50,6 +50,11 @@ SWEEP = [
     # r10: hashed-shingle window-count family (doc-frequency over a full
     # partition window, then per-doc combine)
     "ngram_novelty",
+    # r11: rarest-k sketch screen + static-index probe (constant per-doc
+    # fan-out; the x10 twin corpus is its worst case — est rows explode
+    # 1000x while time must stay near-flat)
+    "containment_screened",
+    "containment_probe",
 ]
 TIME_RATIO_CAP = 6.0
 # below this floor the x1 timing is all fixed overhead and the ratio is
