@@ -232,6 +232,8 @@ BENCH_QUERIES = [
     "curation_deploy",
     # r11: incremental containment probe vs the prebuilt corpus index
     "containment_probe",
+    # r11: dataset-card per-(lang, source) corpus summary
+    "corpus_report",
 ]
 
 

@@ -238,6 +238,56 @@ def pii_redact(
     return out.withColumn("clean_text", clean).withColumn("n_redacted", total)
 
 
+def corpus_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """Dataset-card summary — the per-``(lang, source)`` statistics table
+    every corpus release ships (HF dataset cards, the Dolma/RedPajama
+    reports): document and token counts, length distribution, and the
+    exact-duplicate rate. Output, one row per (lang, source):
+    ``(lang, source, n_docs, n_distinct_texts, dup_rate, total_tokens,
+    avg_tokens, p50_tokens, max_tokens, total_chars)``, ratios rounded to
+    6 dp.
+
+    ONE corpus scan into ONE grouped aggregation: tokens counted by the
+    shared whitespace rule (``selection.gram_exprs``' tokenizer), distinct
+    texts via ``count(DISTINCT md5(text))`` inside the same aggregate
+    (16-byte digests, never text, cross the exchange), the median an
+    exact ``percentile`` (groups are per-(lang, source) — the reduce
+    state is one scalar list per group, fine at any corpus size; swap to
+    ``approx_percentile`` only if a single group's doc count outgrows a
+    reducer). Map-side combinable except the exact percentile/distinct
+    terms, which Spark plans as a single expand — still one shuffle on
+    the (lang, source) key."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    n_tokens = F.size(toks).cast("bigint")
+    rows = df.select(
+        F.col(lang_col).alias("lang"),
+        F.col(source_col).alias("source"),
+        n_tokens.alias("_nt"),
+        F.length(F.col(text_col)).cast("bigint").alias("_nc"),
+        F.md5(F.col(text_col)).alias("_dg"),
+    )
+    n_docs = F.count("*").cast("bigint")
+    n_distinct = F.countDistinct("_dg").cast("bigint")
+    return rows.groupBy("lang", "source").agg(
+        n_docs.alias("n_docs"),
+        n_distinct.alias("n_distinct_texts"),
+        F.round(1 - n_distinct / n_docs, 6).alias("dup_rate"),
+        F.sum("_nt").cast("bigint").alias("total_tokens"),
+        F.round(F.sum("_nt") / n_docs, 6).alias("avg_tokens"),
+        F.percentile("_nt", 0.5).alias("p50_tokens"),
+        F.max("_nt").alias("max_tokens"),
+        F.sum("_nc").cast("bigint").alias("total_chars"),
+    )
+
+
 def token_pack(
     df: DataFrame,
     seq_len: int,

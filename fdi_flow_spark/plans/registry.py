@@ -2960,6 +2960,38 @@ def q_containment_screened(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_report",
+    """
+    WITH rows_ AS (
+      SELECT lang, source,
+             LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'),
+                             t -> LENGTH(t) > 0))::BIGINT AS nt,
+             LENGTH(text)::BIGINT AS nc,
+             MD5(text) AS dg
+      FROM documents)
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT dg) AS BIGINT) AS n_distinct_texts,
+           ROUND(1 - CAST(COUNT(DISTINCT dg) AS DOUBLE) / COUNT(*), 6) AS dup_rate,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+           QUANTILE_CONT(nt, 0.5) AS p50_tokens,
+           MAX(nt) AS max_tokens,
+           CAST(SUM(nc) AS BIGINT) AS total_chars
+    FROM rows_ GROUP BY lang, source
+    """,
+)
+def q_corpus_report(spark, sf_dir):
+    """Dataset-card corpus summary (r11): per-(lang, source) doc/token
+    counts, length distribution (exact median), and exact-dup rate — ONE
+    grouped aggregation over one corpus scan (16-byte digests, never
+    text, cross the exchange)."""
+    from fdi_flow_spark.pipelines.curation import corpus_report
+
+    return corpus_report(load_table(spark, sf_dir, "documents"))
+
+
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS["en"]) + "]"
 
 
@@ -5442,13 +5474,14 @@ _WINDOW_PRIORITY = [
     "chunk_documents", "split_sentences", "ngram_novelty",
     "containment_pairs", "perplexity_buckets", "embedding_outliers",
     "containment_screened", "curation_deploy", "containment_probe",
+    "corpus_report",
     # last green r8 (the 14 deferred from the r10 window):
     "observer_replay_sliding", "q1_pricing_summary", "q3_top_orders",
     "q5_nation_volume", "q6_revenue_change", "resample_linear",
     "rolling_corr", "segment_windows", "series_profile",
     "simulate_euler_events", "span_dedup", "standard_scaler",
     "token_counts", "video_frame_features",
-    # last green r9 (first 27 alphabetically; the rest queue for r12):
+    # last green r9 (first 26 alphabetically; the rest queue for r12):
     "bm25_search", "changepoint_scan", "corpus_hash_split",
     "cube_order_stats", "cusum_drift", "dedup_exact",
     "distinct_counts_by_status", "document_fingerprint", "dsir_weights",
@@ -5457,7 +5490,6 @@ _WINDOW_PRIORITY = [
     "holt_chunked", "holt_smoothing", "kalman1d_filter", "knn_accuracy",
     "knn_classify", "language_id", "line_dedup", "lm_perplexity",
     "median_filter_zeros", "min_cost_supplier", "minhash_signatures",
-    "minmax_scaler",
 ]
 
 
@@ -5469,9 +5501,10 @@ _WINDOW_PRIORITY = [
 # NEWEST GREEN DRIVER CHECK, so staleness for the r10 rotation is read off
 # the comments directly.
 _WINDOW_EXCLUDED_ORACLES = {
-    # newest green r9, back 22 alphabetically (the first 27 are in-window
+    # newest green r9, back 23 alphabetically (the first 26 are in-window
     # this round) — FIRST IN LINE for the r12 window:
-    "moving_average_padded", "ngram_jaccard_pairs", "observer_kalman_events",
+    "minmax_scaler", "moving_average_padded", "ngram_jaccard_pairs",
+    "observer_kalman_events",
     "observer_sliding_events", "orders_above_customer_avg", "pii_redact",
     "quota_sample", "resample_nearest", "robust_scaler", "sales_rollup",
     "seasonal_decompose", "semantic_dedup", "semi_join_urgent_customers",

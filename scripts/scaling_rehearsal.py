@@ -68,6 +68,8 @@ QUERIES = [
     "curation_deploy",
     # r11: the incremental containment probe (index build + shard screen)
     "containment_probe",
+    # r11: dataset-card aggregation (single grouped agg w/ exact median)
+    "corpus_report",
 ]
 
 

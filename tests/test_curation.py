@@ -272,3 +272,33 @@ def test_domain_filter_semantics(spark):
     assert (out[3].n_urls, out[3].n_blocked, out[3].keep) == (2, 1, False)
     assert (out[4].n_urls, out[4].n_blocked, out[4].keep) == (1, 0, True)
     assert out[5].keep is False  # lowercase match
+
+
+def test_corpus_report_dup_rate_and_token_stats(spark):
+    """Dataset-card aggregation (r11): dup_rate counts exact text
+    duplicates within the (lang, source) group, token stats use the
+    shared whitespace rule, and the median is exact."""
+    from pyspark.sql import functions as F
+
+    from fdi_flow_spark.pipelines.curation import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s1"),
+            (2, "a b c", "en", "s1"),      # exact dup of doc 1
+            (3, "d e f g", "en", "s1"),
+            (4, "h  i", "en", "s2"),       # double space: 2 tokens
+            (5, "x y z", "de", "s1"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        (r["lang"], r["source"]): r for r in corpus_report(docs).collect()
+    }
+    en_s1 = got[("en", "s1")]
+    assert en_s1["n_docs"] == 3 and en_s1["n_distinct_texts"] == 2
+    assert en_s1["dup_rate"] == round(1 - 2 / 3, 6)
+    assert en_s1["total_tokens"] == 10 and en_s1["max_tokens"] == 4
+    assert en_s1["p50_tokens"] == 3.0
+    assert got[("en", "s2")]["total_tokens"] == 2  # whitespace-run collapse
+    assert got[("de", "s1")]["dup_rate"] == 0.0
