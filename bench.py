@@ -234,6 +234,9 @@ BENCH_QUERIES = [
     "containment_probe",
     # r11: dataset-card per-(lang, source) corpus summary
     "corpus_report",
+    # r11: the containment probe over PREBUILT artifacts (the per-shard
+    # deployment plan; the sibling rebuilds the index in-flight)
+    "containment_probe_prebuilt",
 ]
 
 
@@ -422,6 +425,11 @@ def main() -> None:
     # at 100 TB the index is built once, offline, and the probe is what a
     # deployment actually pays per query.
     QUERIES["cosine_topk_ivfpq_probe"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    # likewise the prebuilt containment probe: build its (index, hot)
+    # artifacts during warm-up so pass 1 measures the probe plan
+    QUERIES["containment_probe_prebuilt"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
 

@@ -2903,6 +2903,87 @@ def q_containment_probe(spark, sf_dir):
     )
 
 
+# per-(process, sf_dir) containment-index artifacts for the PREBUILT probe
+# twin — same caching idiom as _IVFPQ_INDEX_CACHE (r8 VERDICT item 4)
+_CONTAINMENT_INDEX_CACHE: dict = {}
+
+
+@register(
+    "containment_probe_prebuilt",
+    # identical semantics (and oracle) to containment_probe — only the
+    # artifact lifetime differs, which SQL cannot see
+    """
+    WITH cgrams AS (
+      SELECT doc_id AS id,
+             UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               GENERATE_SERIES(1, LENGTH(text) - 11),
+               i -> SUBSTR(text, i, 12)))) AS shingle
+      FROM documents WHERE doc_id % 3 = 0 AND LENGTH(text) >= 12),
+    agrams AS (
+      SELECT doc_id AS id,
+             UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               GENERATE_SERIES(1, LENGTH(text) - 11),
+               i -> SUBSTR(text, i, 12)))) AS shingle
+      FROM documents WHERE doc_id % 3 <> 0 AND LENGTH(text) >= 12),
+    chash AS (
+      SELECT DISTINCT id, ('0x' || SUBSTR(MD5(shingle), 1, 8))::BIGINT AS h
+      FROM cgrams),
+    nd AS (SELECT COUNT(DISTINCT id) AS n FROM chash),
+    dfq AS (SELECT h, COUNT(*) AS df FROM chash GROUP BY h),
+    hot AS (SELECT h FROM dfq CROSS JOIN nd
+            WHERE df > GREATEST(16, CEIL(0.001 * nd.n))),
+    cindex AS (
+      SELECT c.id, c.h FROM chash c LEFT JOIN hot ON c.h = hot.h
+      WHERE hot.h IS NULL),
+    idxdf AS (SELECT h, COUNT(*) AS dfi FROM cindex GROUP BY h),
+    ahash AS (
+      SELECT a.id, a.h FROM (
+        SELECT DISTINCT id, ('0x' || SUBSTR(MD5(shingle), 1, 8))::BIGINT AS h
+        FROM agrams) a
+      LEFT JOIN hot ON a.h = hot.h WHERE hot.h IS NULL),
+    ranked AS (
+      SELECT a.id, a.h,
+             ROW_NUMBER() OVER (PARTITION BY a.id
+                                ORDER BY COALESCE(i.dfi, 0), a.h) AS r,
+             COUNT(*) OVER (PARTITION BY a.id) AS ns
+      FROM ahash a LEFT JOIN idxdf i USING (h)),
+    sk AS (SELECT id, h, LEAST(ns, 64) AS sksz FROM ranked WHERE r <= 64),
+    cand AS (
+      SELECT s.id, c.id AS corpus_id, s.sksz, COUNT(*) AS c
+      FROM sk s JOIN cindex c USING (h)
+      GROUP BY s.id, c.id, s.sksz)
+    SELECT id, corpus_id, ROUND(CAST(c AS DOUBLE) / sksz, 6) AS est_containment
+    FROM cand WHERE CAST(c AS DOUBLE) / sksz >= 0.6
+    """,
+)
+def q_containment_probe_prebuilt(spark, sf_dir):
+    """The containment probe over PREBUILT artifacts (r11; the
+    cosine_topk_ivfpq_probe precedent, r8 VERDICT item 4): the sibling
+    ``containment_probe`` rebuilds the corpus index in-flight by
+    documented design, so its timing is dominated by the one-time build.
+    Here the (index, hot) artifacts are built once per (process, sf_dir)
+    and re-probed thereafter — repeated calls measure the per-shard probe
+    plan a deployment actually pays. Output and oracle are IDENTICAL to
+    ``containment_probe`` (artifact lifetime is invisible to SQL)."""
+    from fdi_flow_spark.pipelines.dedup import (
+        containment_index,
+        containment_screen_against,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pair = _CONTAINMENT_INDEX_CACHE.get(sf_dir)
+    if pair is None:
+        corpus = docs.where(F.col("doc_id") % 3 == 0)
+        index, hot = containment_index(corpus)
+        pair = (index.localCheckpoint(), hot.localCheckpoint())
+        _CONTAINMENT_INDEX_CACHE[sf_dir] = pair
+    index, hot = pair
+    arriving = docs.where(F.col("doc_id") % 3 != 0)
+    return containment_screen_against(
+        arriving, index, hot, k=64, threshold=0.6, unit="char", char_k=12
+    )
+
+
 @register(
     "containment_screened",
     # The SCREENING ESTIMATES themselves are hash-checked: the bottom-k
@@ -5474,14 +5555,14 @@ _WINDOW_PRIORITY = [
     "chunk_documents", "split_sentences", "ngram_novelty",
     "containment_pairs", "perplexity_buckets", "embedding_outliers",
     "containment_screened", "curation_deploy", "containment_probe",
-    "corpus_report",
+    "corpus_report", "containment_probe_prebuilt",
     # last green r8 (the 14 deferred from the r10 window):
     "observer_replay_sliding", "q1_pricing_summary", "q3_top_orders",
     "q5_nation_volume", "q6_revenue_change", "resample_linear",
     "rolling_corr", "segment_windows", "series_profile",
     "simulate_euler_events", "span_dedup", "standard_scaler",
     "token_counts", "video_frame_features",
-    # last green r9 (first 26 alphabetically; the rest queue for r12):
+    # last green r9 (first 25 alphabetically; the rest queue for r12):
     "bm25_search", "changepoint_scan", "corpus_hash_split",
     "cube_order_stats", "cusum_drift", "dedup_exact",
     "distinct_counts_by_status", "document_fingerprint", "dsir_weights",
@@ -5489,7 +5570,7 @@ _WINDOW_PRIORITY = [
     "events_stats_salted", "ewma_chunked", "failure_encoder",
     "holt_chunked", "holt_smoothing", "kalman1d_filter", "knn_accuracy",
     "knn_classify", "language_id", "line_dedup", "lm_perplexity",
-    "median_filter_zeros", "min_cost_supplier", "minhash_signatures",
+    "median_filter_zeros", "min_cost_supplier",
 ]
 
 
@@ -5501,10 +5582,10 @@ _WINDOW_PRIORITY = [
 # NEWEST GREEN DRIVER CHECK, so staleness for the r10 rotation is read off
 # the comments directly.
 _WINDOW_EXCLUDED_ORACLES = {
-    # newest green r9, back 23 alphabetically (the first 26 are in-window
+    # newest green r9, back 24 alphabetically (the first 25 are in-window
     # this round) — FIRST IN LINE for the r12 window:
-    "minmax_scaler", "moving_average_padded", "ngram_jaccard_pairs",
-    "observer_kalman_events",
+    "minhash_signatures", "minmax_scaler", "moving_average_padded",
+    "ngram_jaccard_pairs", "observer_kalman_events",
     "observer_sliding_events", "orders_above_customer_avg", "pii_redact",
     "quota_sample", "resample_nearest", "robust_scaler", "sales_rollup",
     "seasonal_decompose", "semantic_dedup", "semi_join_urgent_customers",

@@ -500,6 +500,8 @@ def test_repeated_scan_audit_invariant(spark):
                                     # the stacked-decorator registration
                                     # bug that pointed both containment
                                     # query names at the probe fn)
+        "containment_probe_prebuilt": 1,  # same probe plan; artifacts
+                                          # cached per (process, sf_dir)
         "perplexity_buckets": 0,   # score table checkpointed; cuts + label
                                    # join both read the materialization
         "ngram_novelty": 1,        # one corpus scan feeds both aggregates
