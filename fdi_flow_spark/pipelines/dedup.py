@@ -121,9 +121,16 @@ def ngram_jaccard_pairs(
     # Materialize ONCE: six downstream consumers (sizes, arrays, dfreq,
     # prefix rank, both verify sides) otherwise each re-run the corpus scan
     # + explode + hash — the un-cut plan held 16 parquet scans of the corpus.
-    shingles = shingles.select("id", F.xxhash64("shingle").alias("shingle")).localCheckpoint(
-        eager=True
-    )
+    from pyspark import StorageLevel
+
+    # SERIALIZED storage (r11, the minhash signature-checkpoint lesson):
+    # (long, long) rows held as deserialized JVM objects are ~10x their
+    # bytes; the serialized block is the difference between fitting and
+    # OOMing the single-JVM x100 rehearsal, and cuts GC pressure on the
+    # wide verify joins at every scale.
+    shingles = shingles.select(
+        "id", F.xxhash64("shingle").alias("shingle")
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     arrays = shingles.groupBy("id").agg(F.sort_array(F.collect_list("shingle")).alias("arr"))
 
     if prefix_filter:
@@ -254,9 +261,16 @@ def containment_pairs(
     # One materialization feeds sizes/arrays/dfreq/prefix/both join sides —
     # same cut as ngram_jaccard_pairs (the un-cut plan re-scans the corpus
     # per consumer).
-    shingles = shingles.select("id", F.xxhash64("shingle").alias("shingle")).localCheckpoint(
-        eager=True
-    )
+    from pyspark import StorageLevel
+
+    # SERIALIZED storage (r11, the minhash signature-checkpoint lesson):
+    # (long, long) rows held as deserialized JVM objects are ~10x their
+    # bytes; the serialized block is the difference between fitting and
+    # OOMing the single-JVM x100 rehearsal, and cuts GC pressure on the
+    # wide verify joins at every scale.
+    shingles = shingles.select(
+        "id", F.xxhash64("shingle").alias("shingle")
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     arrays = shingles.groupBy("id").agg(F.sort_array(F.collect_list("shingle")).alias("arr"))
 
     if prefix_filter:
