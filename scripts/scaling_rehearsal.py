@@ -171,7 +171,16 @@ X100_QUERIES = [
     "split_sentences",
     "ngram_novelty",
     "perplexity_buckets",
-    # containment_screened is deliberately ABSENT (like containment_pairs):
+    # r11c: the dataset-card aggregation. curation_deploy is ABSENT: six
+    # composed stages (Arrow cleanup, digest distinct, two model fits, LM
+    # fit + cutoffs, the combined-explode scoring agg) in ONE 8 GB JVM
+    # OOM at the 1.4 GB x100 corpus — the same single-JVM block-storage
+    # floor as the containment family; its measured scaling evidence is
+    # the x10 entry (1.35x) and each constituent stage's own x100 row
+    # (language_id_model-family fits, perplexity_buckets, dedup_exact).
+    "corpus_report",
+    # containment_screened (and the probe twins) deliberately ABSENT (like
+    # containment_pairs):
     # at x100 the 143M-row (id, h) table — 2.3 GB serialized checkpoint +
     # a full window shuffle with 32 concurrent readers — exceeds the 8 GB
     # SINGLE-JVM rehearsal heap (measured OOM, serialized storage already
