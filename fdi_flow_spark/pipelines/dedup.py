@@ -376,9 +376,21 @@ def containment_screened(
     Output ``(id_a, id_b, est_containment)`` for ordered pairs with
     ``Ĉ >= threshold - margin``; ``verify=True`` instead exact-verifies the
     survivors with one ``array_intersect`` (same verify shape as the exact
-    path) and emits true ``containment >= threshold`` — output is then a
+    path) and emits true ``containment >= threshold``. With
+    ``max_df=None`` (full-universe semantics) that output is a strict
     SUBSET of :func:`containment_pairs` (recall floor pinned in
-    ``tests/test_dedup.py``; 1.0 whenever every doc has ``<= k`` shingles).
+    ``tests/test_dedup.py``; 1.0 whenever every doc has ``<= k``
+    shingles). With the default stop-shingle cap active, the verify
+    arrays are built from the capped ``hashed`` set, so the verified
+    containment is over the INFORMATIVE-shingle universe ``U`` (below) —
+    dropping hot shingles from A's denominator can lift ``C`` over ``U``
+    ABOVE the full-universe value, so a pair can pass here whose
+    full-universe containment sits under the threshold. The subset-of-
+    the-exact-path contract therefore holds exactly when no shingle
+    exceeds the cap (true of high-entropy corpora and the test fixtures);
+    on corpora with boilerplate the two paths intentionally answer over
+    different universes, and U is the better screen (hot shingles are
+    shared by UNRELATED docs — the false-positive axis).
 
     Scale shape: per-doc candidate fan-out is a CONSTANT ``k`` rows (the
     exact prefix filter emits ``|A| - ceil(t*|A|) + 1`` rows — GROWS with

@@ -2903,8 +2903,12 @@ def q_containment_probe(spark, sf_dir):
     )
 
 
-# per-(process, sf_dir) containment-index artifacts for the PREBUILT probe
-# twin — same caching idiom as _IVFPQ_INDEX_CACHE (r8 VERDICT item 4)
+# per-(application, sf_dir) containment-index artifacts for the PREBUILT
+# probe twin. Unlike _IVFPQ_INDEX_CACHE (which stores a DISK path, valid
+# across sessions), this holds live localCheckpoint'd DataFrames whose
+# blocks die with their SparkContext — keying by applicationId (unique per
+# context) means a stopped-and-recreated session in the same process
+# rebuilds instead of probing a dead context (r11 ADVICE, low).
 _CONTAINMENT_INDEX_CACHE: dict = {}
 
 
@@ -2971,12 +2975,13 @@ def q_containment_probe_prebuilt(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pair = _CONTAINMENT_INDEX_CACHE.get(sf_dir)
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    pair = _CONTAINMENT_INDEX_CACHE.get(cache_key)
     if pair is None:
         corpus = docs.where(F.col("doc_id") % 3 == 0)
         index, hot = containment_index(corpus)
         pair = (index.localCheckpoint(), hot.localCheckpoint())
-        _CONTAINMENT_INDEX_CACHE[sf_dir] = pair
+        _CONTAINMENT_INDEX_CACHE[cache_key] = pair
     index, hot = pair
     arriving = docs.where(F.col("doc_id") % 3 != 0)
     return containment_screen_against(
@@ -5541,36 +5546,35 @@ def q_series_profile(spark, sf_dir):
 # hash-checked against its own oracle every pytest run via
 # ``tests/test_oracle_queries.py``'s parametrization over ORACLES.
 _WINDOW_PRIORITY = [
-    # --- r11 rotation (round-10 VERDICT item 1): the window is (a) every
-    # oracle-backed query the driver has NEVER checked, then (b) the stalest
-    # previously-green oracles by newest green driver check. The six r10
-    # queries enter first (they landed after the r10 rotation froze; the
-    # sf0.01 driver-exact rehearsal re-verified all six PASS, but the
-    # driver's own hash-check is the contract). Then the 14 r8-greens that
-    # queued last round, then the 30 alphabetically-first r9-greens (the
-    # remaining 19 r9-greens are FIRST IN LINE for r12). Every r10-window
-    # green (50/50 in CORRECTNESS_r10) moved to the excluded list.
-    # never driver-checked (added in r10 after that round's rotation froze,
-    # plus the new r11 query — in-window from birth):
-    "chunk_documents", "split_sentences", "ngram_novelty",
-    "containment_pairs", "perplexity_buckets", "embedding_outliers",
-    "containment_screened", "curation_deploy", "containment_probe",
-    "corpus_report", "containment_probe_prebuilt",
-    # last green r8 (the 14 deferred from the r10 window):
-    "observer_replay_sliding", "q1_pricing_summary", "q3_top_orders",
-    "q5_nation_volume", "q6_revenue_change", "resample_linear",
-    "rolling_corr", "segment_windows", "series_profile",
-    "simulate_euler_events", "span_dedup", "standard_scaler",
-    "token_counts", "video_frame_features",
-    # last green r9 (first 25 alphabetically; the rest queue for r12):
-    "bm25_search", "changepoint_scan", "corpus_hash_split",
-    "cube_order_stats", "cusum_drift", "dedup_exact",
-    "distinct_counts_by_status", "document_fingerprint", "dsir_weights",
-    "embedding_kmeans", "embedding_near_dup", "embedding_quantize",
-    "events_stats_salted", "ewma_chunked", "failure_encoder",
-    "holt_chunked", "holt_smoothing", "kalman1d_filter", "knn_accuracy",
-    "knn_classify", "language_id", "line_dedup", "lm_perplexity",
-    "median_filter_zeros", "min_cost_supplier",
+    # --- r12 rotation (round-11 VERDICT item 3): every query in the r11
+    # window went green (CORRECTNESS_r11 50/50, zero err), so the window
+    # rotates entirely to the next-stalest greens — zero repeat slots from
+    # r11. Order of staleness: (a) the 24 r9-greens that queued behind the
+    # r11 window's 25-query r9 cohort ("FIRST IN LINE for r12" since the
+    # r11 rotation), then (b) the alphabetically-first 26 of the 50
+    # r10-greens. The remaining 24 r10-greens (mad_outliers ..
+    # value_histogram) are FIRST IN LINE for r13, followed by the 50
+    # r11-greens.
+    # last green r9 (the 24 deferred from the r11 window):
+    "minhash_signatures", "minmax_scaler", "moving_average_padded",
+    "ngram_jaccard_pairs", "observer_kalman_events",
+    "observer_sliding_events", "orders_above_customer_avg", "pii_redact",
+    "quota_sample", "resample_nearest", "robust_scaler", "sales_rollup",
+    "seasonal_decompose", "semantic_dedup", "semi_join_urgent_customers",
+    "series_acf", "set_ops_customer_cohorts", "simhash_fingerprints",
+    "simulate_discrete_events", "supervised_windows", "text_quality",
+    "token_pack", "top_orders_per_customer", "video_frame_sample",
+    # last green r10 (first 26 alphabetically; the remaining 24 queue
+    # for r13):
+    "anti_join_quiet_customers", "asof_join_purchase",
+    "corpus_contamination", "corpus_decontaminate", "cosine_topk",
+    "cosine_topk_blocked", "cosine_topk_q8", "cross_corr",
+    "curation_pipeline", "curation_scored", "dedup_components",
+    "dedup_components_grouped", "dedup_incremental", "domain_filter",
+    "dsir_select", "duplicated_spans", "embedding_near_dup_blocked",
+    "ewma_closed_form", "fdi_pipeline", "forecast_prep", "gap_fill",
+    "gopher_filter", "kalman1d_chunked", "kn3_perplexity",
+    "kn_perplexity", "language_id_model",
 ]
 
 
@@ -5582,35 +5586,36 @@ _WINDOW_PRIORITY = [
 # NEWEST GREEN DRIVER CHECK, so staleness for the r10 rotation is read off
 # the comments directly.
 _WINDOW_EXCLUDED_ORACLES = {
-    # newest green r9, back 24 alphabetically (the first 25 are in-window
-    # this round) — FIRST IN LINE for the r12 window:
-    "minhash_signatures", "minmax_scaler", "moving_average_padded",
-    "ngram_jaccard_pairs", "observer_kalman_events",
-    "observer_sliding_events", "orders_above_customer_avg", "pii_redact",
-    "quota_sample", "resample_nearest", "robust_scaler", "sales_rollup",
-    "seasonal_decompose", "semantic_dedup", "semi_join_urgent_customers",
-    "series_acf", "set_ops_customer_cohorts", "simhash_fingerprints",
-    "simulate_discrete_events", "supervised_windows", "text_quality",
-    "token_pack", "top_orders_per_customer", "video_frame_sample",
-    # newest green r10 (the r10 window: 50/50 hash-green, zero err rows, in
-    # CORRECTNESS_r10) — queue behind the r9 cohort for r12/r13:
-    "anti_join_quiet_customers", "median_filter_edge",
-    "cross_corr", "gap_fill", "mad_outliers", "source_mix", "text_normalize",
-    "corpus_contamination", "corpus_decontaminate", "cosine_topk",
-    "cosine_topk_q8", "dedup_incremental", "domain_filter", "dsir_select",
-    "duplicated_spans", "kn3_perplexity", "kn_perplexity", "ngram_counts",
-    "page_hinkley_drift", "pattern_search", "pq_encode",
-    "quality_classifier", "readability", "series_pacf",
-    "span_contamination", "text_repetition", "tfidf_vectors",
-    "time_bucket_rollup", "user_sessions", "value_histogram",
-    "asof_join_purchase", "cosine_topk_blocked", "curation_pipeline",
-    "curation_scored", "dedup_components", "dedup_components_grouped",
-    "embedding_near_dup_blocked", "ewma_closed_form", "fdi_pipeline",
-    "forecast_prep", "gopher_filter", "kalman1d_chunked",
-    "language_id_model", "minhash_dedup_pairs", "moving_average_valid",
-    "multimodal_image_features", "multimodal_image_resize",
+    # newest green r10, back 24 alphabetically (the first 26 are in-window
+    # this round) — FIRST IN LINE for the r13 window:
+    "mad_outliers", "median_filter_edge", "minhash_dedup_pairs",
+    "moving_average_valid", "multimodal_image_features",
+    "multimodal_image_resize", "ngram_counts",
     "observer_luenberger_events", "observer_replay_kalman",
-    "observer_replay_luenberger",
+    "observer_replay_luenberger", "page_hinkley_drift", "pattern_search",
+    "pq_encode", "quality_classifier", "readability", "series_pacf",
+    "source_mix", "span_contamination", "text_normalize",
+    "text_repetition", "tfidf_vectors", "time_bucket_rollup",
+    "user_sessions", "value_histogram",
+    # newest green r11 (the r11 window: 50/50 hash-green, zero err rows, in
+    # CORRECTNESS_r11) — queue behind the r10 cohort for r13/r14:
+    "chunk_documents", "split_sentences", "ngram_novelty",
+    "containment_pairs", "perplexity_buckets", "embedding_outliers",
+    "containment_screened", "curation_deploy", "containment_probe",
+    "corpus_report", "containment_probe_prebuilt",
+    "observer_replay_sliding", "q1_pricing_summary", "q3_top_orders",
+    "q5_nation_volume", "q6_revenue_change", "resample_linear",
+    "rolling_corr", "segment_windows", "series_profile",
+    "simulate_euler_events", "span_dedup", "standard_scaler",
+    "token_counts", "video_frame_features",
+    "bm25_search", "changepoint_scan", "corpus_hash_split",
+    "cube_order_stats", "cusum_drift", "dedup_exact",
+    "distinct_counts_by_status", "document_fingerprint", "dsir_weights",
+    "embedding_kmeans", "embedding_near_dup", "embedding_quantize",
+    "events_stats_salted", "ewma_chunked", "failure_encoder",
+    "holt_chunked", "holt_smoothing", "kalman1d_filter", "knn_accuracy",
+    "knn_classify", "language_id", "line_dedup", "lm_perplexity",
+    "median_filter_zeros", "min_cost_supplier",
 }
 
 

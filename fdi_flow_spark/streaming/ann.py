@@ -69,7 +69,19 @@ def streaming_ivfpq_probe(
     duplicate rows. Each batch OVERWRITES its own ``batch_id``-keyed
     subdirectory — a replay of batch N rewrites ``batch_id=N`` in place
     and the union over partitions stays exactly-once, preserving the
-    batch-parity contract under failure."""
+    batch-parity contract under failure.
+
+    SINK LAYOUT CONTRACT (r11 ADVICE, low — the r11 layout CHANGE from
+    flat append to ``batch_id=N`` partition directories): readers of
+    ``out_path`` now see an extra ``batch_id`` partition column, and
+    ``out_path`` must be FRESH PER STREAM LINEAGE — (a) a pre-r11 sink
+    directory holding old flat files must not be reused (flat files + new
+    partition dirs produce inconsistent reads), and (b) restarting a
+    stream with a NEW checkpoint resets batch numbering to 0 and silently
+    overwrites ``batch_id=0`` of the prior lineage. Resuming the SAME
+    checkpoint is always safe (the replay case this layout exists for);
+    a new lineage over old results needs a new ``out_path`` (or versioned
+    subdir) chosen by the caller."""
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
         write_probe_batch(
             batch_df, batch_id, index_path, out_path,
