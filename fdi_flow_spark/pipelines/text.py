@@ -550,31 +550,33 @@ def _bucket_stream(docs, buckets, seed, id_col, text_col):
     )
 
 
-def tfidf_fit(
-    docs: DataFrame,
-    buckets: int = 1024,
-    seed: int = 11,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Fit the idf model OFFLINE: one ``buckets``-row table ``(b, idf)``
-    over the FULL bucket domain (buckets unseen in the fit corpus carry
-    the pure-smoothed ``ln(N + 1) + 1``), so ``tfidf_score`` can
-    inner-join any document stream without dropping grams.
-    ``idf = ln((N + 1) / (df + 1)) + 1`` — the sklearn/MLlib smooth-idf
-    form. One gram scan; df aggregates the per-(doc, bucket) count table,
-    never a second corpus scan."""
+def _tf_table(docs, buckets, seed, id_col, text_col):
+    """The checkpointed per-(doc, bucket) count table ``(id, b, tf)`` —
+    ONE corpus scan. Both the df leg and the n_docs leg of the idf fit
+    aggregate it, and without the checkpoint each lazily re-derives the
+    gram stream — a second and third corpus scan in the executed plan
+    (measured; the repeated-scan audit pins this). tf is bounded by
+    n_docs * buckets rows of ints — far smaller than the corpus it
+    summarizes; SERIALIZED storage (the minhash signature-checkpoint
+    lesson — the deserialized default is ~10x its serialized bytes as
+    JVM rows, and this table is the x10 rehearsal's whole heap
+    footprint for tfidf)."""
+    from pyspark import StorageLevel
+
     stream = _bucket_stream(docs, buckets, seed, id_col, text_col)
-    # Materialize the per-(doc, bucket) count table: both the df leg and
-    # the n_docs leg aggregate it, and without the checkpoint each lazily
-    # re-derives the gram stream — a second and third corpus scan in the
-    # executed plan (measured; the repeated-scan audit now pins this).
-    # tf is bounded by n_docs * buckets rows of ints — far smaller than
-    # the corpus it summarizes.
-    tf = stream.groupBy("id", "b").agg(F.count("*").alias("tf")).localCheckpoint()
+    return (
+        stream.groupBy("id", "b")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _idf_from_tf(tf, buckets, spark):
+    """The idf model from a prebuilt ``(id, b, tf)`` table: a
+    ``buckets``-row table over the FULL bucket domain, smooth-idf form."""
     df_t = tf.groupBy("b").agg(F.count("*").alias("df"))
     n_docs = tf.select("id").distinct().agg(F.count("*").alias("n_docs"))
-    domain = docs.sparkSession.range(buckets).select(F.col("id").alias("b"))
+    domain = spark.range(buckets).select(F.col("id").alias("b"))
     return (
         domain.join(df_t, "b", "left")
         .crossJoin(F.broadcast(n_docs))
@@ -589,6 +591,24 @@ def tfidf_fit(
             ).alias("idf"),
         )
     )
+
+
+def tfidf_fit(
+    docs: DataFrame,
+    buckets: int = 1024,
+    seed: int = 11,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fit the idf model OFFLINE: one ``buckets``-row table ``(b, idf)``
+    over the FULL bucket domain (buckets unseen in the fit corpus carry
+    the pure-smoothed ``ln(N + 1) + 1``), so ``tfidf_score`` can
+    inner-join any document stream without dropping grams.
+    ``idf = ln((N + 1) / (df + 1)) + 1`` — the sklearn/MLlib smooth-idf
+    form. One gram scan; df aggregates the per-(doc, bucket) count table,
+    never a second corpus scan."""
+    tf = _tf_table(docs, buckets, seed, id_col, text_col)
+    return _idf_from_tf(tf, buckets, docs.sparkSession)
 
 
 def tfidf_score(
@@ -633,11 +653,26 @@ def tfidf_vectors(
     text_col: str = "text",
 ) -> DataFrame:
     """Hashed TF-IDF document vectors of the corpus itself (the
-    HashingTF + IDF recipe, exact and engine-portable):
-    ``tfidf_score(docs, tfidf_fit(docs))``. See those for semantics."""
-    model = tfidf_fit(docs, buckets=buckets, seed=seed, id_col=id_col, text_col=text_col)
-    return tfidf_score(
-        docs, model, buckets=buckets, seed=seed, id_col=id_col, text_col=text_col
+    HashingTF + IDF recipe, exact and engine-portable) — semantically
+    ``tfidf_score(docs, tfidf_fit(docs))``, but in ONE corpus scan
+    (r12, r11 VERDICT item 5): the fit's checkpointed ``(id, b, tf)``
+    table already IS the corpus-side aggregation the score needs, so
+    scoring joins the 1024-row idf model straight onto it instead of
+    re-tokenizing + re-exploding the corpus a second time. The composed
+    path previously paid two full gram scans (fit stream + score
+    stream); at x10 that second scan dominated the 4.05x input-linear
+    ratio. ``tfidf_score`` keeps the stream-shaped plan for scoring NEW
+    (possibly streaming) docs against an offline model."""
+    tf = _tf_table(docs, buckets, seed, id_col, text_col)
+    model = _idf_from_tf(tf, buckets, docs.sparkSession)
+    return (
+        tf.join(model, "b")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("b").alias("bucket"),
+            "tf",
+            F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+        )
     )
 
 

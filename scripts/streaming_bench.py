@@ -1,0 +1,344 @@
+#!/usr/bin/env python
+"""Streaming-twin micro-bench (round-11 VERDICT stretch item 8).
+
+The streaming paths (the stateful recurrences, streaming exact dedup, the
+stream-static containment/ANN probes, the composed deployment ingest) have
+batch-parity tests but had ZERO timing records — a state-store or shuffle
+regression there was invisible to the bench. This measures each twin over
+a FIXED shard count (8 micro-batches via maxFilesPerTrigger=1,
+availableNow) at $SPARK_GRAFT_SF_DIR (default sf0.1) and records wall
+time, rows/s, and per-batch trigger latency (from StreamingQuery
+.recentProgress — the engine's own per-trigger accounting) into
+bench_streaming.json.
+
+Thresholds: each twin carries "threshold_max_batch_ms" = a generous
+(~3x measured-at-record-time) per-batch latency ceiling. The file is
+evidence, not a gate — compare a fresh run against the committed numbers
+the way BENCH_r{N} compares against bench_baseline.json; a twin whose
+max batch latency exceeds its threshold on a quiet machine has a real
+state-store/shuffle regression.
+
+Run from the repo root on a QUIET machine:
+    python scripts/streaming_bench.py [twin ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_SHARDS = int(os.environ.get("SPARK_GRAFT_STREAM_SHARDS", "8"))
+
+# Committed-at-record-time latency ceilings (ms per trigger, ~3x the
+# quiet-machine max observed when the twin was first measured). A quiet
+# re-run exceeding these has a real regression.
+THRESHOLDS_MAX_BATCH_MS = {
+    "ewma": 3000,
+    "kalman1d": 3000,
+    "dedup_exact": 3000,
+    "containment_probe": 15000,
+    "curation_deploy": 30000,
+    "ivfpq_probe": 15000,
+}
+
+
+def _shard_append(df, d: str, col: str, n: int) -> None:
+    """Append ``df`` as ``n`` single-file shards ordered by ``col`` ranges
+    (sequential writes → increasing mtimes → FileStreamSource replays them
+    in shard order, the time-ordered contract of the recurrences)."""
+    from pyspark.sql import functions as F
+
+    bounds = [
+        r[0]
+        for r in df.select(
+            F.expr(
+                f"percentile_approx({col}, array({','.join(str((i + 1) / n) for i in range(n - 1))}), 10000)"
+            )
+        ).first()[0]
+    ] if n > 1 else []
+
+    lo = None
+    for i in range(n):
+        hi = bounds[i] if i < len(bounds) else None
+        part = df
+        if lo is not None:
+            part = part.where(F.col(col) > F.lit(lo))
+        if hi is not None:
+            part = part.where(F.col(col) <= F.lit(hi))
+        part.coalesce(1).write.mode("append").parquet(d)
+        lo = hi
+
+
+def _progress_metrics(q) -> dict:
+    """Per-trigger metrics from the engine's own progress accounting."""
+    prog = [
+        p
+        for p in (json.loads(j) for j in q.recentProgress)
+        if p.get("numInputRows", 0) > 0
+    ]
+    lat = [p["durationMs"]["triggerExecution"] for p in prog]
+    rows = sum(p["numInputRows"] for p in prog)
+    return {
+        "n_batches": len(prog),
+        "rows_total": rows,
+        "batch_ms_p50": round(statistics.median(lat), 1) if lat else None,
+        "batch_ms_max": max(lat) if lat else None,
+    }
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from fdi_flow_spark.core.session import get_spark
+    from fdi_flow_spark.sources.tables import events_series, load_table
+
+    spark = get_spark(app_name="fdi_flow_spark-streaming-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = tempfile.mkdtemp(prefix="fdi_stream_bench_")
+    results: dict[str, dict] = {}
+
+    def _run(name: str, start_query) -> None:
+        """Time one availableNow stream end-to-end; record engine metrics."""
+        t0 = time.perf_counter()
+        q = start_query()
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+        m = _progress_metrics(q)
+        m["wall_sec"] = round(wall, 3)
+        m["rows_per_sec"] = (
+            round(m["rows_total"] / wall, 1) if m["rows_total"] else None
+        )
+        m["threshold_max_batch_ms"] = THRESHOLDS_MAX_BATCH_MS.get(name)
+        results[name] = m
+        print(f"{name}: {m}", file=sys.stderr)
+
+    # ---- shared shard dirs -------------------------------------------------
+    series = events_series(spark, SF_DIR)  # (series_id, ts, value), ts dense
+    series_dir = os.path.join(root, "series")
+    _shard_append(series, series_dir, "ts", N_SHARDS)
+    series_schema = "series_id string, ts long, value double"
+
+    docs = load_table(spark, SF_DIR, "documents")
+    docs_dir = os.path.join(root, "docs")
+    _shard_append(
+        docs.select("doc_id", "text", "lang"), docs_dir, "doc_id", N_SHARDS
+    )
+    docs_schema = "doc_id long, text string, lang string"
+
+    def _read(d, schema):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+
+    def _noop(out, mode="append", name="snk"):
+        return (
+            out.writeStream.format("noop")
+            .outputMode(mode)
+            .option("checkpointLocation", os.path.join(root, f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    only = set(sys.argv[1:]) or None
+
+    def wanted(name):
+        return only is None or name in only
+
+    # warm: scans + shuffle + python workers (session-scoped one-time costs)
+    for t in ("documents", "events", "embeddings"):
+        load_table(spark, SF_DIR, t).count()
+    wide = spark.range(0, 10_000, 1, spark.sparkContext.defaultParallelism)
+    wide.groupBy((wide.id % 97).alias("k")).count().count()
+    wide.mapInPandas(lambda it: it, schema="id long").count()
+
+    # ---- 1/2: stateful recurrences (applyInPandasWithState) ---------------
+    if wanted("ewma"):
+        from fdi_flow_spark.streaming.stateful import streaming_ewma
+
+        _run(
+            "ewma",
+            lambda: _noop(
+                streaming_ewma(_read(series_dir, series_schema), alpha=0.3),
+                name="ewma",
+            ),
+        )
+    if wanted("kalman1d"):
+        from fdi_flow_spark.streaming.stateful import streaming_kalman_1d
+
+        _run(
+            "kalman1d",
+            lambda: _noop(
+                streaming_kalman_1d(_read(series_dir, series_schema), q=0.5, r=2.0),
+                name="kalman1d",
+            ),
+        )
+
+    # ---- 3: streaming exact dedup (watermarked digest state) --------------
+    if wanted("dedup_exact"):
+        from fdi_flow_spark.streaming.stateful import streaming_dedup_exact
+
+        dd_dir = os.path.join(root, "docs_ts")
+        _shard_append(
+            docs.select(
+                "doc_id",
+                "text",
+                F.timestamp_seconds(F.col("doc_id")).alias("event_time"),
+            ),
+            dd_dir,
+            "doc_id",
+            N_SHARDS,
+        )
+        _run(
+            "dedup_exact",
+            lambda: _noop(
+                streaming_dedup_exact(
+                    _read(dd_dir, "doc_id long, text string, event_time timestamp"),
+                    watermark="10 minutes",
+                ),
+                name="dedup",
+            ),
+        )
+
+    # ---- 4: stream-static containment probe (foreachBatch) ----------------
+    if wanted("containment_probe"):
+        from fdi_flow_spark.pipelines.dedup import containment_index
+        from fdi_flow_spark.streaming.containment import streaming_containment_probe
+
+        corpus = docs.where(F.col("doc_id") % 3 == 0)
+        index, hot = containment_index(corpus)
+        idx_p = os.path.join(root, "cont_index")
+        hot_p = os.path.join(root, "cont_hot")
+        index.write.parquet(idx_p)
+        hot.write.parquet(hot_p)
+        arr_dir = os.path.join(root, "cont_arriving")
+        _shard_append(
+            docs.where(F.col("doc_id") % 3 != 0).select("doc_id", "text"),
+            arr_dir,
+            "doc_id",
+            N_SHARDS,
+        )
+        _run(
+            "containment_probe",
+            lambda: streaming_containment_probe(
+                _read(arr_dir, "doc_id long, text string"),
+                idx_p,
+                hot_p,
+                os.path.join(root, "cont_out"),
+                k=64,
+                threshold=0.6,
+                checkpoint=os.path.join(root, "ckpt_cont"),
+            ),
+        )
+
+    # ---- 5: composed deployment ingest (stateful aggregation) -------------
+    if wanted("curation_deploy"):
+        from fdi_flow_spark.pipelines.curation import curation_deploy_score
+        from fdi_flow_spark.pipelines.lm import fit_bigram_counts, perplexity_cutoffs
+        from fdi_flow_spark.pipelines.quality_model import nb_quality_fit
+        from fdi_flow_spark.pipelines.selection import dsir_fit
+        from fdi_flow_spark.pipelines.text import clean_docs
+
+        corpus = docs.where(F.col("doc_id") % 3 == 0)
+        nb_model = nb_quality_fit(
+            corpus.withColumn("is_en", F.col("lang") == "en"), "is_en"
+        ).localCheckpoint()
+        dsir_model = dsir_fit(
+            corpus, corpus.where(F.col("source") == "src0")
+        ).localCheckpoint()
+        digests = (
+            clean_docs(corpus.select("doc_id", "text"))
+            .select(F.md5("text").alias("digest"))
+            .distinct()
+            .localCheckpoint()
+        )
+        counts = fit_bigram_counts(corpus).localCheckpoint()
+        cutoffs = perplexity_cutoffs(corpus, model_counts=counts).localCheckpoint()
+        arr_dir = os.path.join(root, "deploy_arriving")
+        _shard_append(
+            docs.where(F.col("doc_id") % 3 != 0).select("doc_id", "text", "lang"),
+            arr_dir,
+            "doc_id",
+            N_SHARDS,
+        )
+        _run(
+            "curation_deploy",
+            lambda: _noop(
+                curation_deploy_score(
+                    _read(arr_dir, docs_schema),
+                    digests,
+                    nb_model,
+                    dsir_model,
+                    None,
+                    cutoffs,
+                    lm_counts=counts,
+                ),
+                mode="complete",
+                name="deploy",
+            ),
+        )
+
+    # ---- 6: stream-static IVF-PQ ANN probe (foreachBatch) ------------------
+    if wanted("ivfpq_probe"):
+        from fdi_flow_spark.pipelines.quantization import ivfpq_build_index
+        from fdi_flow_spark.streaming.ann import streaming_ivfpq_probe
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        idx_p = os.path.join(root, "ivfpq_index")
+        ivfpq_build_index(emb, idx_p, m=32, ks=16, nlist=16, seed=42)
+        q_dir = os.path.join(root, "ann_queries")
+        _shard_append(emb, q_dir, "vec_id", N_SHARDS)
+        _run(
+            "ivfpq_probe",
+            lambda: streaming_ivfpq_probe(
+                _read(q_dir, "vec_id long, embedding array<float>"),
+                idx_p,
+                os.path.join(root, "ann_out"),
+                k=5,
+                nprobe=8,
+                checkpoint=os.path.join(root, "ckpt_ann"),
+            ),
+        )
+
+    doc = {
+        "sf_dir": SF_DIR,
+        "n_shards": N_SHARDS,
+        "twins": results,
+        "policy": (
+            "availableNow over N_SHARDS single-file micro-batches; latencies "
+            "are the engine's durationMs.triggerExecution per non-empty "
+            "trigger; threshold_max_batch_ms is a ~3x quiet-machine ceiling "
+            "- exceed it on a quiet host and the twin has a real state-store "
+            "or shuffle regression"
+        ),
+    }
+    out_path = os.path.join(_REPO, "bench_streaming.json")
+    prev: dict = {}
+    if only is not None:  # partial run keeps prior twins' records
+        try:
+            with open(out_path) as f:
+                prev = json.load(f).get("twins", {})
+        except (OSError, ValueError):
+            pass
+        prev.update(results)
+        doc["twins"] = prev
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({"streaming_bench_written": sorted(doc["twins"])}))
+
+
+if __name__ == "__main__":
+    main()
