@@ -1,20 +1,34 @@
 #!/usr/bin/env python
-"""Two-executor-JVM x100 probe for the queries blocked by the single-JVM
+"""Multi-executor-JVM x100 probe for the queries blocked by the single-JVM
 block-storage floor (round-11 VERDICT item 4).
 
-`curation_deploy` and the containment family have no x100 rows in
+`curation_deploy` and the containment family had no x100 rows in
 SCALING.json's x100 block: their composed plans exceed ONE 8 GiB local-mode
 JVM at the 1.4 GB x100 corpus (the serialized (id, h) checkpoint alone is
 ~2.3 GB, and local mode stores every block in the single driver-executor
-heap). The claim recorded there is that the floor is local-mode BLOCK
-STORAGE, not the plans — on a cluster the blocks partition across
-executors. This script tests exactly that claim in the only way this
-sandbox allows: `local-cluster[2,16,4096]` spawns TWO separate executor
-JVMs (16 cores, 4 GiB heap each — LESS total executor heap than the 8 GiB
-single JVM that OOM'd), so the block store partitions two ways and
-checkpoint/shuffle blocks spill per-executor. If the plans complete here,
-the floor was storage topology; if they OOM with the same total memory
-split across two JVMs, the plans themselves are implicated.
+heap). The claim recorded there is that the floor is local-mode topology,
+not the plans — on a cluster the blocks partition across executors. This
+script tests that claim with `local-cluster` (real separate executor JVMs,
+real block-store partitioning, real netty shuffle).
+
+Measured escalation (r12, all at the x100 corpus, containment_screened):
+- `local-cluster[2,16,4096]` — executor heap OOM (exit 52) in the
+  window-sort stage: 32 shuffle partitions put ~4.5M rows in one task and
+  16 concurrent tasks shared 4 GiB.
+- `[2,8,4096]` + 256 shuffle partitions — still OOM: AQE's default 64 MB
+  advisory target re-coalesced 256 partitions to ~23, recreating the same
+  task sizes.
+- `[2,4,4096]` + 16 MB advisory — still OOM, now in the spill-MERGE phase
+  (`ReadAheadInputStream` buffers during HashAggregate.finishAggregate):
+  with ~1 GiB of checkpoint blocks pinned under the protected storage
+  fraction, execution starved, spilled hundreds of chunks, and the merge's
+  per-spill-file read-ahead buffers blew the unmanaged heap.
+- `[2,4,8192]` (the default below) — COMPLETES: 958 s for 60.4M output
+  rows (98.2x time for 117,964x output — the twin-duplication fixture is
+  output-explosive by design). Two 8 GiB executor JVMs finish what one
+  8 GiB local-mode JVM cannot: the floor is storage/heap TOPOLOGY — a
+  single JVM must hold every checkpoint partition AND every concurrent
+  task's execution memory; two JVMs each hold half of both.
 
 Writes an `x100_cluster` block into SCALING.json (resumable per query, the
 run_x100 idiom):
@@ -39,7 +53,8 @@ if _REPO not in sys.path:
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 X100 = os.path.join(_REPO, ".scaling", "x100")
-MASTER = os.environ.get("SPARK_GRAFT_CLUSTER_MASTER", "local-cluster[2,16,4096]")
+MASTER = os.environ.get("SPARK_GRAFT_CLUSTER_MASTER", "local-cluster[2,4,8192]")
+EXEC_MEM = os.environ.get("SPARK_GRAFT_CLUSTER_EXECMEM", "8g")
 
 # The single-JVM-floor set: the two named by the r11 VERDICT, plus the
 # in-flight containment probe (same (id, h) checkpoint axis).
@@ -55,11 +70,34 @@ def main() -> None:
     spark = get_spark(
         app_name="fdi_flow_spark-cluster-floor",
         master=MASTER,
+        # Shuffle partitions sized for the x100 corpus (the library default
+        # 32 is the sf0.1 starting point; the repo-wide scale guidance is
+        # that partition count grows with data so each sort/agg task fits
+        # in executor memory — at x100 the 143M-row (id, h) shuffle at 32
+        # partitions put ~4.5M rows in one window-sort task, a measured
+        # executor heap OOM; at 256 each task holds ~0.5M rows. AQE
+        # coalesces the excess at x1, so the x1 leg is not fragmented).
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CLUSTER_SHUFFLE", "256")),
         extra_conf={
             # executor memory must match the worker size in the master
             # string; everything else inherits the library defaults (AQE,
             # Arrow, serialized-checkpoint storage inside the operators)
-            "spark.executor.memory": "4g",
+            "spark.executor.memory": EXEC_MEM,
+            # AQE's 64 MB advisory target re-coalesced the 256 shuffle
+            # partitions down to ~23 (measured), recreating the multi-
+            # million-row sort tasks the partition count exists to avoid —
+            # 64 MB of serialized shuffle bytes expands ~10x as in-flight
+            # sort rows. A smaller advisory size keeps post-coalesce tasks
+            # heap-sized at the x100 corpus; at x1 it just means more,
+            # smaller tasks (latency-irrelevant for a floor probe).
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
+                "SPARK_GRAFT_CLUSTER_ADVISORY", "16m"
+            ),
+            # unlike local[N], executor-side Python workers here are real
+            # separate processes that do not inherit the driver's sys.path —
+            # the Arrow-UDF stages (curation_deploy's cleanup/scoring) need
+            # the package importable on the executors
+            "spark.executorEnv.PYTHONPATH": _REPO,
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -93,7 +131,7 @@ def main() -> None:
             "x100_cluster",
             {
                 "master": MASTER,
-                "executor_memory": "4g",
+                "executor_memory": EXEC_MEM,
                 "n_runs": {"x1": n1, "x100": n100},
                 "queries": {},
             },

@@ -171,7 +171,10 @@ X100_QUERIES = [
     "split_sentences",
     "ngram_novelty",
     "perplexity_buckets",
-    # r11c: the dataset-card aggregation. curation_deploy is ABSENT: six
+    # r11c: the dataset-card aggregation. curation_deploy is ABSENT from
+    # THIS single-JVM block (r12: measured instead under
+    # local-cluster[2,4,8192] via scripts/cluster_floor_probe.py — 9.84x
+    # time for 100.1x input; see SCALING.json x100_cluster): six
     # composed stages (Arrow cleanup, digest distinct, two model fits, LM
     # fit + cutoffs, the combined-explode scoring agg) in ONE 8 GB JVM
     # OOM at the 1.4 GB x100 corpus — the same single-JVM block-storage
@@ -179,8 +182,11 @@ X100_QUERIES = [
     # the x10 entry (1.35x) and each constituent stage's own x100 row
     # (language_id_model-family fits, perplexity_buckets, dedup_exact).
     "corpus_report",
-    # containment_screened (and the probe twins) deliberately ABSENT (like
-    # containment_pairs):
+    # containment_screened (and the probe twins) deliberately ABSENT from
+    # the single-JVM block (r12: both now measured under
+    # local-cluster[2,4,8192] — 98.2x time for 117,964x output and 36.3x
+    # for 114,029x respectively; see SCALING.json x100_cluster), like
+    # containment_pairs:
     # at x100 the 143M-row (id, h) table — 2.3 GB serialized checkpoint +
     # a full window shuffle with 32 concurrent readers — exceeds the 8 GB
     # SINGLE-JVM rehearsal heap (measured OOM, serialized storage already
