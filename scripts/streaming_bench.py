@@ -43,12 +43,12 @@ N_SHARDS = int(os.environ.get("SPARK_GRAFT_STREAM_SHARDS", "8"))
 # quiet-machine max observed when the twin was first measured). A quiet
 # re-run exceeding these has a real regression.
 THRESHOLDS_MAX_BATCH_MS = {
-    "ewma": 3000,
-    "kalman1d": 3000,
+    "ewma": 6000,
+    "kalman1d": 4500,
     "dedup_exact": 3000,
-    "containment_probe": 15000,
-    "curation_deploy": 30000,
-    "ivfpq_probe": 15000,
+    "containment_probe": 7500,
+    "curation_deploy": 8000,
+    "ivfpq_probe": 7000,
 }
 
 
@@ -58,14 +58,13 @@ def _shard_append(df, d: str, col: str, n: int) -> None:
     in shard order, the time-ordered contract of the recurrences)."""
     from pyspark.sql import functions as F
 
-    bounds = [
-        r[0]
-        for r in df.select(
+    bounds = list(
+        df.select(
             F.expr(
                 f"percentile_approx({col}, array({','.join(str((i + 1) / n) for i in range(n - 1))}), 10000)"
             )
         ).first()[0]
-    ] if n > 1 else []
+    ) if n > 1 else []
 
     lo = None
     for i in range(n):
@@ -81,11 +80,11 @@ def _shard_append(df, d: str, col: str, n: int) -> None:
 
 def _progress_metrics(q) -> dict:
     """Per-trigger metrics from the engine's own progress accounting."""
-    prog = [
-        p
-        for p in (json.loads(j) for j in q.recentProgress)
-        if p.get("numInputRows", 0) > 0
+    raw = [
+        json.loads(p if isinstance(p, (str, bytes)) else p.json)
+        for p in q.recentProgress
     ]
+    prog = [p for p in raw if p.get("numInputRows", 0) > 0]
     lat = [p["durationMs"]["triggerExecution"] for p in prog]
     rows = sum(p["numInputRows"] for p in prog)
     return {
