@@ -488,7 +488,11 @@ def test_repeated_scan_audit_invariant(spark):
         "lm_perplexity": 1,
         "kn_perplexity": 1,
         "kn3_perplexity": 1,
-        "tfidf_vectors": 1,
+        "tfidf_vectors": 0,  # one-scan composed path (r12): the returned
+                             # frame reads the checkpointed (id, b, tf)
+                             # table + the 1024-row model, never the
+                             # corpus — reverting to the two-scan compose
+                             # turns this red
         "language_id_model": 2,  # predict gram scan + true-label attach
         "ngram_jaccard_pairs": 0,  # fully checkpointed shingle table
         "containment_pairs": 0,    # same checkpointed-shingle shape (r10)

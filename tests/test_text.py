@@ -86,6 +86,30 @@ def test_tfidf_semantics(spark):
     assert abs(by_doc_bucket[(3, banana_b)].tfidf - round(3 * idf_banana, 6)) < 1e-9
 
 
+def test_tfidf_composed_equals_fit_then_score(spark):
+    """The r12 one-scan composed path must remain EXACTLY
+    tfidf_score(docs, tfidf_fit(docs)) — same rows, same schema, same
+    rounded values (reverting the one-scan reuse or desyncing the two
+    paths' hashing/rounding turns this red)."""
+    from fdi_flow_spark.pipelines.text import tfidf_fit, tfidf_score, tfidf_vectors
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana kiwi"),
+            (2, "apple cherry cherry durian fig"),
+            (3, "banana banana banana fig"),
+            (4, "kiwi durian apple banana cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    composed = tfidf_vectors(docs, buckets=256)
+    two_scan = tfidf_score(docs, tfidf_fit(docs, buckets=256), buckets=256)
+    assert composed.columns == two_scan.columns
+    got = sorted(tuple(r) for r in composed.collect())
+    want = sorted(tuple(r) for r in two_scan.collect())
+    assert got == want and len(got) > 0
+
+
 def test_ngram_counts_order_and_df(spark):
     from fdi_flow_spark.pipelines.text import ngram_counts
 
