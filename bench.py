@@ -68,6 +68,35 @@ raw driver medians for everything added since (baseline_round=10), and
 quiet-machine medians for queries added in the same round they are
 snapshot. n_rated == n_queries from r11 on, so a regression in any query
 trips the gate, not just the original r1 set.
+
+Session anchor (r13, r12 VERDICT item 1): the per-pass load factor
+normalizes WITHIN-run contention but its reference is the run's own
+minimum calibration time, so a session-long monotonic host slowdown (r12:
+identical 128-query suites took 20 -> 37 minutes across one session, raw
+geomean 1.246 driver vs 1.015 quiet at the same HEAD) inflated every
+ratio untouched. bench_baseline.json now stores the calibration probes'
+quiet-host reference times ("calibration_ref": {"cpu": s, "io": s}); each
+run times BOTH probes (the pinned range+groupBy/sum CPU plan, and a
+pinned direct-parquet scan+agg IO plan — still framework-independent, no
+registry code) and the gate-feeding medians are additionally divided by
+anchor = clamp(geomean(cpu_now/cpu_base, io_now/io_base), [1, 3]) — how
+much slower this host is RIGHT NOW vs when the baselines were recorded,
+on pinned work. Raw medians and raw ratios never see the anchor, and the
+stdout line records both probes' now-vs-baseline values so the applied
+discount is always visible. geomean (not max) of the two probe ratios:
+queries blend CPU and scan cost, and max would be the most aggressive
+one-directional discounter (r9 ADVICE concern).
+
+Sub-second floor (r13, r12 VERDICT item 2): a query whose baseline is
+<1 s (e.g. embedding_near_dup, 0.446 s) can mechanically brush the 2x
+gate on JVM/host noise alone — r12 rated it 1.726 on an unchanged plan.
+The gate trip-wire figures (worst_ratio_vs_baseline / worst_ratio_raw)
+now rate sub-second queries against max(base, (base + 0.5)/2), which is
+exactly "pass if timing <= max(2*base, base + 0.5 s)" — a half-second
+absolute tolerance, far below any real regression of interest at sf0.1,
+unreachable by noise. GEOMEANS keep the unfloored bases (they are the
+cross-round-comparable series); the sidecar carries both per-query ratio
+sets (vs_baseline = unfloored, vs_baseline_gate = floored).
 """
 
 from __future__ import annotations
@@ -264,16 +293,49 @@ def load_factors(calib_times: list[float]) -> list[float]:
 
 
 def normalized_medians(
-    runs: dict[str, list[float]], factors: list[float]
+    runs: dict[str, list[float]], factors: list[float], anchor: float = 1.0
 ) -> dict[str, float]:
     """Median over per-pass timings, each divided by that pass's load
-    factor — the figures the 2x gate rates."""
+    factor and by the session anchor — the figures the 2x gate rates."""
     import statistics
 
     return {
-        name: round(statistics.median(t / lf for t, lf in zip(ts, factors)), 3)
+        name: round(
+            statistics.median(t / lf for t, lf in zip(ts, factors)) / anchor, 3
+        )
         for name, ts in runs.items()
     }
+
+
+def session_anchor(
+    cal_now: dict[str, float], cal_base: dict[str, float]
+) -> float:
+    """How much slower the host is NOW vs when the baselines were recorded,
+    measured on the two pinned framework-independent probes (r12 VERDICT
+    item 1). geomean of the per-probe now/baseline ratios, clamped [1, 3]:
+    >=1 so the anchor can only discount a degraded host, never flatter a
+    slow plan on a fast host; capped so a broken probe can't erase a real
+    3x regression. Probes missing on either side contribute nothing."""
+    import math
+
+    ratios = [
+        cal_now[k] / cal_base[k]
+        for k in ("cpu", "io")
+        if cal_now.get(k) and cal_base.get(k, 0) > 0
+    ]
+    if not ratios:
+        return 1.0
+    g = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+    return min(3.0, max(1.0, g))
+
+
+def floored_base(b: float) -> float:
+    """Gate-rating denominator with the sub-second absolute-tolerance floor
+    (r12 VERDICT item 2): rating against max(b, (b + 0.5)/2) makes the 2x
+    gate 'timing <= max(2*b, b + 0.5 s)', so sub-second queries carry a
+    half-second absolute tolerance that JVM/host noise cannot trip while
+    any real regression still does. Identity for baselines >= 1 s."""
+    return max(b, (b + 0.5) / 2.0) if b < 1.0 else b
 
 
 def choose_gated_median(
@@ -295,14 +357,16 @@ def choose_gated_median(
 
 
 def ratio_summary(
-    timings: dict[str, float], base: dict[str, float]
+    timings: dict[str, float], base: dict[str, float], floor: bool = False
 ) -> tuple[str | None, float | None, float | None]:
     """(worst_query, worst_ratio, geomean_ratio) of timings vs the r1
-    baseline medians, over the rated (baseline-covered) queries only."""
+    baseline medians, over the rated (baseline-covered) queries only.
+    floor=True rates against the sub-second floored denominators — the
+    gate trip-wire view; geomeans stay unfloored (comparable series)."""
     import math
 
     ratios = {
-        name: timings[name] / base[name]
+        name: timings[name] / (floored_base(base[name]) if floor else base[name])
         for name in timings
         if name in base and base[name] > 0
     }
@@ -418,18 +482,38 @@ def main() -> None:
         d = spark.range(0, _CALIB_N, 1, spark.sparkContext.defaultParallelism)
         return d.groupBy((d.id % 251).alias("k")).agg(F.sum(d.id).alias("s"))
 
-    def _calibrate() -> float:
+    # Second pinned probe (r13, r12 VERDICT item 1): a direct-parquet
+    # scan+agg over the fixed lineitem table — spark.read, no registry
+    # code, no Python stage — so the session anchor sees the SCAN/decode
+    # dimension of host drift that the pure-CPU plan under-reads (r12: the
+    # CPU probe moved 0.357 -> 0.407 while identical query suites went
+    # 20 -> 37 min; whatever degraded was not pure compute).
+    _IO_PATH = os.path.join(sf_dir, "lineitem.parquet")
+
+    def _io_plan():
+        d = spark.read.parquet(_IO_PATH)
+        return d.agg(
+            F.sum("l_extendedprice").alias("s1"),
+            F.sum("l_quantity").alias("s2"),
+            F.count("*").alias("n"),
+        )
+
+    def _timed_min3(plan_fn) -> float:
         best = float("inf")
         for _ in range(3):  # min of 3: the best run is the least-loaded one
             start = time.perf_counter()
-            _calib_plan().write.format("noop").mode("overwrite").save()
+            plan_fn().write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
         return best
 
-    # Warm the calibration plan itself (codegen/JIT) so pass-1 calibration
-    # measures HOST LOAD, not first-execution compile cost — an unwarmed
-    # first calibration read 3x and over-normalized pass 1.
+    def _calibrate() -> float:
+        return _timed_min3(_calib_plan)
+
+    # Warm the calibration plans themselves (codegen/JIT) so pass-1
+    # calibration measures HOST LOAD, not first-execution compile cost — an
+    # unwarmed first calibration read 3x and over-normalized pass 1.
     _calib_plan().write.format("noop").mode("overwrite").save()
+    _io_plan().write.format("noop").mode("overwrite").save()
     # r9 VERDICT item 3: cosine_topk_ivfpq_probe's FIRST call per process
     # trains the IVF-PQ quantizers and persists the index (~20-30 s at
     # sf0.1); every later call only probes it. Build the index during
@@ -446,9 +530,10 @@ def main() -> None:
     ).save()
 
     def _hygiene() -> None:
-        """Drop catalog caches, release driver-side references (so
-        ContextCleaner can reclaim localCheckpoint blocks), and force both
-        GCs — always OUTSIDE the timed regions."""
+        """Drop catalog caches and force both GCs so ContextCleaner can
+        reclaim already-unreferenced checkpoint blocks — always OUTSIDE the
+        timed regions. (Blocks still referenced by live caches, e.g. the
+        prebuilt containment index, are intentionally retained.)"""
         spark.catalog.clearCache()
         gc.collect()
         spark.sparkContext._jvm.System.gc()
@@ -485,10 +570,24 @@ def main() -> None:
     except (OSError, KeyError, ValueError):
         pass
     HEAVY = {n for n, b in _base_for_hygiene.items() if b > HYGIENE_SEC}
+    # r12 ADVICE (low): an empty HEAVY set means the pre-hygiene lever is
+    # OFF (baseline missing/unparseable/different sf) and the run is not
+    # comparable to keyed runs — record the condition instead of degrading
+    # silently.
+    hygiene_keyed = bool(HEAVY)
+    if not hygiene_keyed:
+        print(
+            "bench: WARNING pre-hygiene keying is OFF (no usable "
+            "bench_baseline.json at this sf) — run not comparable to keyed "
+            "recordings",
+            file=sys.stderr,
+        )
 
     calib_times: list[float] = []
+    io_calib_times: list[float] = []
     for _ in range(n_runs):
         calib_times.append(_calibrate())
+        io_calib_times.append(_timed_min3(_io_plan))
         for name in BENCH_QUERIES:
             fn = BENCH_OVERRIDES.get(name) or QUERIES[name]
             if name in HEAVY:
@@ -509,28 +608,41 @@ def main() -> None:
         _hygiene()
 
     calib_ref = min(calib_times)
+    io_calib_ref = min(io_calib_times)
     factors = load_factors(calib_times)
     timings_raw = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
-    # load-normalized medians: each pass's timing divided by that pass's
-    # load_factor — these feed the gate ratios so the recorded worst_ratio
-    # reflects plan cost, not whichever pass the host happened to be busy in
-    timings = normalized_medians(runs, factors)
-    spread = {
-        name: [round(min(ts), 3), round(max(ts), 3)] for name, ts in runs.items()
-    }
 
     # Load the committed round-1 medians (the 2x-gate reference) up front:
-    # they drive both the isolation re-measure and the reported ratios.
+    # they drive the session anchor, the isolation re-measure, and the
+    # reported ratios.
     base: dict[str, float] = {}
     base_rounds: dict[str, int] = {}
+    cal_base: dict[str, float] = {}
     try:
         with open(os.path.join(_REPO, "bench_baseline.json")) as f:
             doc = json.load(f)
         if float(sf) == float(doc.get("sf", 0.1)):  # rate only at baseline SF
             base = doc["queries"]
             base_rounds = doc.get("baseline_round", {})
+            cal_base = doc.get("calibration_ref", {})
     except (OSError, KeyError, ValueError):
         pass
+
+    # Session anchor (r12 VERDICT item 1): divide the gate-feeding medians
+    # by how much slower the pinned probes run NOW vs at baseline-recording
+    # time, so a session-long monotonic host slowdown (invisible to the
+    # within-run load factors, whose reference is the run's own minimum)
+    # stops inflating every rated ratio. Raw medians never see it.
+    cal_now = {"cpu": round(calib_ref, 3), "io": round(io_calib_ref, 3)}
+    anchor = session_anchor(cal_now, cal_base)
+    # load-normalized medians: each pass's timing divided by that pass's
+    # load_factor and by the session anchor — these feed the gate ratios so
+    # the recorded worst_ratio reflects plan cost, not whichever pass (or
+    # which end of a degrading session) the host happened to be busy in
+    timings = normalized_medians(runs, factors, anchor)
+    spread = {
+        name: [round(min(ts), 3), round(max(ts), 3)] for name, ts in runs.items()
+    }
 
     # Isolation re-measure (r7 VERDICT item 5; reworked r9 per the r8
     # VERDICT + ADVICE): with 100+ queries per pass, a query's in-suite
@@ -588,12 +700,23 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             ts.append(time.perf_counter() - start)
         iso_raw = round(min(ts), 3)
-        iso = iso_raw
+        # the isolated min is the quiet WITHIN-RUN estimate; the session
+        # anchor still applies (a degraded host slows back-to-back runs as
+        # much as suite passes), so the gate-feeding figure divides by it
+        iso = round(iso_raw / anchor, 3)
         # r9 ADVICE (low): the isolated number replaces the suite median
         # ONLY when elevated suite load corroborates the disturbance; a
         # quiet-suite delta is the framework's own suite-context behavior
-        # and stays in the gate.
-        gated = choose_gated_median(timings[name], iso, max_suite_lf)
+        # and stays in the gate. r12 ADVICE (low): an ALWAYS_ISOLATE entry
+        # that is NOT brushing keeps its suite median unconditionally — its
+        # isolated figures ride along as sidecar evidence only, so the
+        # standing isolation can never measure a non-brushing query under
+        # friendlier conditions than the baseline was recorded.
+        gated = (
+            choose_gated_median(timings[name], iso, max_suite_lf)
+            if brushing
+            else timings[name]
+        )
         isolated[name] = {
             "suite": timings_raw[name],
             "suite_norm": timings[name],
@@ -625,8 +748,19 @@ def main() -> None:
         for name in timings
         if name in base and base[name] > 0
     }
-    worst_q, worst_r, geomean = ratio_summary(timings, base)
-    worst_q_raw, worst_r_raw, geomean_raw = ratio_summary(timings_raw, base)
+    # geomeans stay on the UNFLOORED bases (the cross-round-comparable
+    # series); the worst_* trip-wires rate against the sub-second floored
+    # denominators (r12 VERDICT item 2) so a 0.4 s baseline plus JVM noise
+    # cannot mechanically trip the 2x gate on an unchanged plan.
+    _, _, geomean = ratio_summary(timings, base)
+    _, _, geomean_raw = ratio_summary(timings_raw, base)
+    worst_q, worst_r, _ = ratio_summary(timings, base, floor=True)
+    worst_q_raw, worst_r_raw, _ = ratio_summary(timings_raw, base, floor=True)
+    ratios_gate = {
+        name: round(timings[name] / floored_base(base[name]), 3)
+        for name in timings
+        if name in base and base[name] > 0
+    }
     ratios_raw = {
         name: round(timings_raw[name] / base[name], 3)
         for name in timings_raw
@@ -660,6 +794,7 @@ def main() -> None:
         "medians_raw": timings_raw,
         "spread": spread,
         "vs_baseline": ratios,
+        "vs_baseline_gate": ratios_gate,  # sub-second floored denominators
         "vs_baseline_raw": ratios_raw,
         # suite-vs-isolated medians for every gate-brushing query: the
         # delta IS the suite-context noise, recorded here once instead of
@@ -674,7 +809,16 @@ def main() -> None:
             "times": [round(c, 3) for c in calib_times],
             "ref": round(calib_ref, 3),
             "load_factors": [round(f, 3) for f in factors],
+            # session anchor (r12 VERDICT item 1): both pinned probes'
+            # now-vs-baseline values and the applied (clamped-geomean)
+            # discount — raw medians/ratios never see it
+            "io_query": "pinned direct-parquet lineitem scan+agg",
+            "io_times": [round(c, 3) for c in io_calib_times],
+            "io_ref": round(io_calib_ref, 3),
+            "ref_at_baseline": cal_base,
+            "anchor": round(anchor, 3),
         },
+        "hygiene_keyed": hygiene_keyed,
         "vs_baseline_r1_cohort": {
             "geomean": geomean_r1,
             "geomean_raw": geomean_r1_raw,
@@ -743,6 +887,12 @@ def main() -> None:
                 # means a quiet run (ratios are raw); >1 means that much
                 # ambient load was normalized out (detail in the sidecar)
                 "max_load_factor": round(max(factors), 3),
+                # session anchor: this run's pinned-probe times vs the
+                # probe times recorded with the baselines; the gate-feeding
+                # medians were divided by cal_anchor (1.0 = no discount)
+                "cal_anchor": round(anchor, 3),
+                "cal_now": cal_now,
+                "cal_base": cal_base,
                 "detail": sidecar,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

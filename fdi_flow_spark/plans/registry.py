@@ -1122,7 +1122,137 @@ def q_bandpass(spark, sf_dir):
     return _rounded(bandpass_filter(events_series(spark, sf_dir), 0.01, 0.2, 1.0))
 
 
-@register("resample_cubic")  # rows-only: spline tridiagonal solve per series
+def _resample_cubic_oracle_sql() -> str:
+    """Recursive-CTE oracle for the not-a-knot cubic resample (r12 VERDICT
+    item 5 — promoted from rows-only): mirrors ``cubic_spline_eval``'s r13
+    O(n) solve op-for-op — the boundary-row eliminations
+    (``M0 = ((h0+h1)*M1 - h0*M2)/h1`` and mirrored), the Thomas
+    forward/backward sweeps as two recursive CTEs keyed on knot index, and
+    the Hermite-form evaluation — over the same ``np.linspace`` knot grid
+    (``x_i = i*(1.0/(n-1))``, endpoint pinned) and target grid
+    (``x_j = j*(1.0/100)``, endpoint pinned), with the segment index as
+    ``searchsorted(..., side='right') - 1`` = (count of knots <= target)-1
+    clipped to n-2. Assumes every series has >= 4 points (the not-a-knot
+    branch; all driver scale factors qualify). Float-op order is kept in
+    sync with ``operators/segmenters.py:cubic_spline_eval`` — identical
+    doubles in, identical doubles out up to non-associativity ~1e-15, far
+    inside the 6-dp rounding."""
+    return f"""
+    WITH RECURSIVE base AS ({SERIES_SQL}),
+    ser AS MATERIALIZED (SELECT series_id, COUNT(*) AS n FROM base GROUP BY series_id),
+    kx AS MATERIALIZED (
+      SELECT b.series_id, b.ts AS i, b.value AS y, s.n,
+             CASE WHEN b.ts = s.n - 1 THEN 1.0
+                  ELSE CAST(b.ts AS DOUBLE) * (1.0 / CAST(s.n - 1 AS DOUBLE))
+             END AS x
+      FROM base b JOIN ser s USING (series_id)),
+    kh AS MATERIALIZED (
+      SELECT a.series_id, a.i, (c.x - a.x) AS h
+      FROM kx a JOIN kx c ON c.series_id = a.series_id AND c.i = a.i + 1),
+    bv AS MATERIALIZED (
+      SELECT m.series_id, m.i,
+             6.0 * ((r.y - m.y) / hm.h - (m.y - l.y) / hl.h) AS b
+      FROM kx m
+      JOIN kx l ON l.series_id = m.series_id AND l.i = m.i - 1
+      JOIN kx r ON r.series_id = m.series_id AND r.i = m.i + 1
+      JOIN kh hm ON hm.series_id = m.series_id AND hm.i = m.i
+      JOIN kh hl ON hl.series_id = m.series_id AND hl.i = m.i - 1),
+    coefs AS MATERIALIZED (
+      SELECT s.series_id, s.n, h0.h AS h0, h1.h AS h1,
+             hn3.h AS hn3, hn2.h AS hn2,
+             h0.h * (h0.h + h1.h) / h1.h + 2.0 * (h0.h + h1.h) AS alpha1,
+             h1.h - h0.h * h0.h / h1.h AS beta1,
+             hn3.h - hn2.h * hn2.h / hn3.h AS gamma,
+             2.0 * (hn3.h + hn2.h)
+               + hn2.h * (hn3.h + hn2.h) / hn3.h AS delta
+      FROM ser s
+      JOIN kh h0 ON h0.series_id = s.series_id AND h0.i = 0
+      JOIN kh h1 ON h1.series_id = s.series_id AND h1.i = 1
+      JOIN kh hn3 ON hn3.series_id = s.series_id AND hn3.i = s.n - 3
+      JOIN kh hn2 ON hn2.series_id = s.series_id AND hn2.i = s.n - 2),
+    fwd(series_id, i, cp, dp) AS (
+      SELECT c.series_id, CAST(1 AS BIGINT),
+             c.beta1 / c.alpha1, b1.b / c.alpha1
+      FROM coefs c JOIN bv b1 ON b1.series_id = c.series_id AND b1.i = 1
+      UNION ALL
+      SELECT fwd.series_id, fwd.i + 1,
+             hi.h / (2.0 * (hp.h + hi.h) - hp.h * fwd.cp),
+             (b.b - hp.h * fwd.dp) / (2.0 * (hp.h + hi.h) - hp.h * fwd.cp)
+      FROM fwd
+      JOIN coefs c ON c.series_id = fwd.series_id
+      JOIN kh hp ON hp.series_id = fwd.series_id AND hp.i = fwd.i
+      JOIN kh hi ON hi.series_id = fwd.series_id AND hi.i = fwd.i + 1
+      JOIN bv b ON b.series_id = fwd.series_id AND b.i = fwd.i + 1
+      WHERE fwd.i + 1 <= c.n - 3),
+    -- snapshot the recursive results: a recursive CTE referenced from
+    -- another recursive CTE would otherwise be RE-EVALUATED once per
+    -- iteration of the consumer (measured: the backward sweep re-ran the
+    -- full forward recursion every step, O(n^2) re-evaluation)
+    fwd_m AS MATERIALIZED (SELECT series_id, i, cp, dp FROM fwd),
+    mlast AS MATERIALIZED (
+      SELECT c.series_id,
+             (bn2.b - c.gamma * f.dp) / (c.delta - c.gamma * f.cp) AS m
+      FROM coefs c
+      JOIN fwd_m f ON f.series_id = c.series_id AND f.i = c.n - 3
+      JOIN bv bn2 ON bn2.series_id = c.series_id AND bn2.i = c.n - 2),
+    bwd(series_id, i, m) AS (
+      SELECT c.series_id, CAST(c.n - 2 AS BIGINT), ml.m
+      FROM coefs c JOIN mlast ml ON ml.series_id = c.series_id
+      UNION ALL
+      SELECT bwd.series_id, bwd.i - 1,
+             f.dp - f.cp * bwd.m
+      FROM bwd JOIN fwd_m f ON f.series_id = bwd.series_id AND f.i = bwd.i - 1
+      WHERE bwd.i - 1 >= 1),
+    bwd_m AS MATERIALIZED (SELECT series_id, i, m FROM bwd),
+    mm AS MATERIALIZED (
+      SELECT series_id, i, m FROM bwd_m
+      UNION ALL
+      SELECT c.series_id, 0,
+             ((c.h0 + c.h1) * m1.m - c.h0 * m2.m) / c.h1
+      FROM coefs c
+      JOIN bwd_m m1 ON m1.series_id = c.series_id AND m1.i = 1
+      JOIN bwd_m m2 ON m2.series_id = c.series_id AND m2.i = 2
+      UNION ALL
+      SELECT c.series_id, c.n - 1,
+             ((c.hn3 + c.hn2) * mn2.m - c.hn2 * mn3.m) / c.hn3
+      FROM coefs c
+      JOIN bwd_m mn2 ON mn2.series_id = c.series_id AND mn2.i = c.n - 2
+      JOIN bwd_m mn3 ON mn3.series_id = c.series_id AND mn3.i = c.n - 3),
+    targets AS MATERIALIZED (
+      SELECT s.series_id, s.n, CAST(j.j AS BIGINT) AS ts,
+             CASE WHEN j.j = 100 THEN 1.0
+                  ELSE CAST(j.j AS DOUBLE) * (1.0 / 100.0)
+             END AS xn
+      FROM ser s CROSS JOIN range(0, 101) j(j)),
+    seg AS MATERIALIZED (
+      SELECT t.series_id, t.ts, t.xn,
+             LEAST(t.n - 2, COUNT(*) - 1) AS idx
+      FROM targets t
+      JOIN kx k ON k.series_id = t.series_id AND k.x <= t.xn
+      GROUP BY t.series_id, t.ts, t.xn, t.n)
+    SELECT g.series_id, g.ts,
+           ROUND(
+             (1.0 - (g.xn - kl.x) / (kr.x - kl.x)) * kl.y
+             + ((g.xn - kl.x) / (kr.x - kl.x)) * kr.y
+             + (((1.0 - (g.xn - kl.x) / (kr.x - kl.x))
+                  * (1.0 - (g.xn - kl.x) / (kr.x - kl.x))
+                  * (1.0 - (g.xn - kl.x) / (kr.x - kl.x))
+                 - (1.0 - (g.xn - kl.x) / (kr.x - kl.x))) * ml.m
+                + (((g.xn - kl.x) / (kr.x - kl.x))
+                   * ((g.xn - kl.x) / (kr.x - kl.x))
+                   * ((g.xn - kl.x) / (kr.x - kl.x))
+                  - ((g.xn - kl.x) / (kr.x - kl.x))) * mr.m)
+               * ((kr.x - kl.x) * (kr.x - kl.x)) / 6.0,
+             6) AS value
+    FROM seg g
+    JOIN kx kl ON kl.series_id = g.series_id AND kl.i = g.idx
+    JOIN kx kr ON kr.series_id = g.series_id AND kr.i = g.idx + 1
+    JOIN mm ml ON ml.series_id = g.series_id AND ml.i = g.idx
+    JOIN mm mr ON mr.series_id = g.series_id AND mr.i = g.idx + 1
+    """
+
+
+@register("resample_cubic", _resample_cubic_oracle_sql())
 def q_resample_cubic(spark, sf_dir):
     return _rounded(resample(events_series(spark, sf_dir), 101, "cubic"))
 
@@ -1148,7 +1278,90 @@ def q_spline_smooth(spark, sf_dir):
 
 # ================================================= simulation & observers
 
-@register("simulate_linear_batch")  # rows-only: sequential ODE integration
+def _simulate_batch_oracle_sql() -> str:
+    """Recursive-CTE oracle for the seeded M5 generator batch (r12 VERDICT
+    item 5 — promoted from rows-only): the generator's DRAWS (x0 and the
+    per-channel sine input signals, ``np.random.default_rng((42, sim_id))``)
+    are driver-side fixture inputs, reproduced here with the very same
+    ``DynamicSystemDataGenerator._draw`` and inlined as full-``repr``
+    VALUES literals — what the oracle then verifies is the DISTRIBUTED
+    Euler integration itself: 8 sims x 200 steps of
+    ``x += (A@x + B@u)*dt`` on the FIXTURES.md §5 3-state system, replayed
+    with ``LinearContinuousStateSpaceModel.simulate``'s exact float-op
+    order (BLAS dot accumulates left-to-right; ``A@x + B@u`` sums the two
+    dots, then scales by dt, then adds x). ``t`` replays np.linspace's
+    arithmetic (``i*(t_final/div)`` with the endpoint pinned to t_final).
+    A = [[0,1,0],[0,0,1],[-1,-2,-3]], B = [[0,0],[1,0],[0,1]] make the
+    three state updates sparse closed forms; C = [[1,0,0],[0,0,1]], D = 0
+    make the outputs pass-throughs of x1/x3."""
+    import numpy as np
+
+    from fdi_flow_spark.models import (
+        DynamicSystemDataGenerator,
+        LinearContinuousStateSpaceModel,
+    )
+
+    model = LinearContinuousStateSpaceModel(
+        [[0, 1, 0], [0, 0, 1], [-1, -2, -3]],
+        [[0, 0], [1, 0], [0, 1]],
+        [[1, 0, 0], [0, 0, 1]],
+        np.zeros((2, 2)),
+    )
+    gen = DynamicSystemDataGenerator(model, ([-1, -1, -1], [1, 1, 1]), seed=42)
+    n_sims, t_final, dt = 8, 2.0, 0.01
+    u_rows = []
+    x0_rows = []
+    for sim_id in range(n_sims):
+        x0, u = gen._draw(sim_id, "sine", {"frequency": 0.5}, t_final, dt)
+        # CAST every literal: DuckDB infers DECIMAL for short decimal
+        # literals, and decimal arithmetic would diverge from the DOUBLE
+        # recurrence (the luenberger-replay precedent)
+        x0_rows.append(
+            f"({sim_id}, CAST({x0[0]!r} AS DOUBLE), "
+            f"CAST({x0[1]!r} AS DOUBLE), CAST({x0[2]!r} AS DOUBLE))"
+        )
+        u_rows.extend(
+            f"({sim_id}, {i}, CAST({u[i, 0]!r} AS DOUBLE), "
+            f"CAST({u[i, 1]!r} AS DOUBLE))"
+            for i in range(len(u))
+        )
+    values_u = ",\n      ".join(u_rows)
+    values_x0 = ",\n      ".join(x0_rows)
+    # np.linspace(0, 2, 200): step = 2.0/199 (double divide), t_i = i*step,
+    # endpoint pinned to 2.0 exactly
+    t_expr = (
+        "CASE WHEN rec.step = 199 THEN 2.0 "
+        "ELSE CAST(rec.step AS DOUBLE) * (2.0 / 199.0) END"
+    )
+    return f"""
+    WITH RECURSIVE u(sim_id, step, u1, u2) AS (VALUES
+      {values_u}),
+    x0(sim_id, x01, x02, x03) AS (VALUES
+      {values_x0}),
+    rec(sim_id, step, x1, x2, x3) AS (
+      SELECT x0.sim_id, CAST(0 AS BIGINT),
+             x01 + (x02) * 0.01,
+             x02 + (x03 + u.u1) * 0.01,
+             x03 + ((-1.0*x01 + -2.0*x02 + -3.0*x03) + u.u2) * 0.01
+      FROM x0 JOIN u ON u.sim_id = x0.sim_id AND u.step = 0
+      UNION ALL
+      SELECT rec.sim_id, rec.step + 1,
+             rec.x1 + (rec.x2) * 0.01,
+             rec.x2 + (rec.x3 + u.u1) * 0.01,
+             rec.x3 + ((-1.0*rec.x1 + -2.0*rec.x2 + -3.0*rec.x3) + u.u2) * 0.01
+      FROM rec JOIN u ON u.sim_id = rec.sim_id AND u.step = rec.step + 1
+      WHERE rec.step < 199)
+    SELECT CAST(rec.sim_id AS BIGINT) AS sim_id, rec.step,
+           ROUND({t_expr}, 6) AS t,
+           ROUND(rec.x1, 6) AS x1, ROUND(rec.x2, 6) AS x2,
+           ROUND(rec.x3, 6) AS x3,
+           ROUND(rec.x1, 6) AS y1, ROUND(rec.x3, 6) AS y2,
+           ROUND(u.u1, 6) AS u1, ROUND(u.u2, 6) AS u2
+    FROM rec JOIN u ON u.sim_id = rec.sim_id AND u.step = rec.step
+    """
+
+
+@register("simulate_linear_batch", _simulate_batch_oracle_sql())
 def q_simulate(spark, sf_dir):
     """FIXTURES.md §5 system, 8 seeded sims x 200 steps, sine inputs."""
     import numpy as np
@@ -2975,9 +3188,16 @@ def q_containment_probe_prebuilt(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    cache_key = (app_id, sf_dir)
     pair = _CONTAINMENT_INDEX_CACHE.get(cache_key)
     if pair is None:
+        # r12 ADVICE (low): entries keyed to OTHER applicationIds belong to
+        # stopped contexts (only the live context's artifacts are usable) —
+        # evict them on insert so a long-lived process that stops and
+        # recreates sessions doesn't accumulate dead DataFrame references.
+        for k in [k for k in _CONTAINMENT_INDEX_CACHE if k[0] != app_id]:
+            del _CONTAINMENT_INDEX_CACHE[k]
         corpus = docs.where(F.col("doc_id") % 3 == 0)
         index, hot = containment_index(corpus)
         pair = (index.localCheckpoint(), hot.localCheckpoint())
@@ -5546,35 +5766,41 @@ def q_series_profile(spark, sf_dir):
 # hash-checked against its own oracle every pytest run via
 # ``tests/test_oracle_queries.py``'s parametrization over ORACLES.
 _WINDOW_PRIORITY = [
-    # --- r12 rotation (round-11 VERDICT item 3): every query in the r11
-    # window went green (CORRECTNESS_r11 50/50, zero err), so the window
+    # --- r13 rotation (round-12 VERDICT item 3): every query in the r12
+    # window went green (CORRECTNESS_r12 50/50, zero err), so the window
     # rotates entirely to the next-stalest greens — zero repeat slots from
-    # r11. Order of staleness: (a) the 24 r9-greens that queued behind the
-    # r11 window's 25-query r9 cohort ("FIRST IN LINE for r12" since the
-    # r11 rotation), then (b) the alphabetically-first 26 of the 50
-    # r10-greens. The remaining 24 r10-greens (mad_outliers ..
-    # value_histogram) are FIRST IN LINE for r13, followed by the 50
-    # r11-greens.
-    # last green r9 (the 24 deferred from the r11 window):
-    "minhash_signatures", "minmax_scaler", "moving_average_padded",
-    "ngram_jaccard_pairs", "observer_kalman_events",
-    "observer_sliding_events", "orders_above_customer_avg", "pii_redact",
-    "quota_sample", "resample_nearest", "robust_scaler", "sales_rollup",
-    "seasonal_decompose", "semantic_dedup", "semi_join_urgent_customers",
-    "series_acf", "set_ops_customer_cohorts", "simhash_fingerprints",
-    "simulate_discrete_events", "supervised_windows", "text_quality",
-    "token_pack", "top_orders_per_customer", "video_frame_sample",
-    # last green r10 (first 26 alphabetically; the remaining 24 queue
-    # for r13):
-    "anti_join_quiet_customers", "asof_join_purchase",
-    "corpus_contamination", "corpus_decontaminate", "cosine_topk",
-    "cosine_topk_blocked", "cosine_topk_q8", "cross_corr",
-    "curation_pipeline", "curation_scored", "dedup_components",
-    "dedup_components_grouped", "dedup_incremental", "domain_filter",
-    "dsir_select", "duplicated_spans", "embedding_near_dup_blocked",
-    "ewma_closed_form", "fdi_pipeline", "forecast_prep", "gap_fill",
-    "gopher_filter", "kalman1d_chunked", "kn3_perplexity",
-    "kn_perplexity", "language_id_model",
+    # r12. Order of staleness: (a) the 24 r10-greens that queued behind
+    # the r12 window's 26-query r10 cohort ("FIRST IN LINE for r13" since
+    # the r12 rotation), then (b) the alphabetically-first 26 of the 50
+    # r11-greens. The remaining 24 r11-greens (knn_accuracy ..
+    # video_frame_features) are FIRST IN LINE for r14, followed by the 50
+    # r12-greens.
+    # last green r10 (the 24 deferred from the r12 window):
+    "mad_outliers", "median_filter_edge", "minhash_dedup_pairs",
+    "moving_average_valid", "multimodal_image_features",
+    "multimodal_image_resize", "ngram_counts",
+    "observer_luenberger_events", "observer_replay_kalman",
+    "observer_replay_luenberger", "page_hinkley_drift", "pattern_search",
+    "pq_encode", "quality_classifier", "readability", "series_pacf",
+    "source_mix", "span_contamination", "text_normalize",
+    "text_repetition", "tfidf_vectors", "time_bucket_rollup",
+    "user_sessions", "value_histogram",
+    # r13 promotions (r12 VERDICT item 5): rows-only queries promoted to
+    # full oracles this round — NEVER driver-hash-checked before, so they
+    # outrank every green cohort in staleness and take the last window
+    # slots (holt_smoothing / kalman1d_filter defer to the r14 queue):
+    "simulate_linear_batch", "resample_cubic",
+    # last green r11 (first 24 alphabetically; the remaining 26 queue
+    # for r14):
+    "bm25_search", "changepoint_scan", "chunk_documents",
+    "containment_pairs", "containment_probe",
+    "containment_probe_prebuilt", "containment_screened",
+    "corpus_hash_split", "corpus_report", "cube_order_stats",
+    "curation_deploy", "cusum_drift", "dedup_exact",
+    "distinct_counts_by_status", "document_fingerprint", "dsir_weights",
+    "embedding_kmeans", "embedding_near_dup", "embedding_outliers",
+    "embedding_quantize", "events_stats_salted", "ewma_chunked",
+    "failure_encoder", "holt_chunked",
 ]
 
 
@@ -5586,36 +5812,37 @@ _WINDOW_PRIORITY = [
 # NEWEST GREEN DRIVER CHECK, so staleness for the r10 rotation is read off
 # the comments directly.
 _WINDOW_EXCLUDED_ORACLES = {
-    # newest green r10, back 24 alphabetically (the first 26 are in-window
-    # this round) — FIRST IN LINE for the r13 window:
-    "mad_outliers", "median_filter_edge", "minhash_dedup_pairs",
-    "moving_average_valid", "multimodal_image_features",
-    "multimodal_image_resize", "ngram_counts",
-    "observer_luenberger_events", "observer_replay_kalman",
-    "observer_replay_luenberger", "page_hinkley_drift", "pattern_search",
-    "pq_encode", "quality_classifier", "readability", "series_pacf",
-    "source_mix", "span_contamination", "text_normalize",
-    "text_repetition", "tfidf_vectors", "time_bucket_rollup",
-    "user_sessions", "value_histogram",
-    # newest green r11 (the r11 window: 50/50 hash-green, zero err rows, in
-    # CORRECTNESS_r11) — queue behind the r10 cohort for r13/r14:
-    "chunk_documents", "split_sentences", "ngram_novelty",
-    "containment_pairs", "perplexity_buckets", "embedding_outliers",
-    "containment_screened", "curation_deploy", "containment_probe",
-    "corpus_report", "containment_probe_prebuilt",
-    "observer_replay_sliding", "q1_pricing_summary", "q3_top_orders",
+    # newest green r11, back 26 alphabetically (the first 24 are in-window
+    # this round; holt_smoothing and kalman1d_filter yielded their slots to
+    # the r13 oracle promotions simulate_linear_batch / resample_cubic) —
+    # FIRST IN LINE for the r14 window:
+    "holt_smoothing", "kalman1d_filter", "knn_accuracy", "knn_classify",
+    "language_id", "line_dedup", "lm_perplexity", "median_filter_zeros",
+    "min_cost_supplier", "ngram_novelty", "observer_replay_sliding",
+    "perplexity_buckets", "q1_pricing_summary", "q3_top_orders",
     "q5_nation_volume", "q6_revenue_change", "resample_linear",
     "rolling_corr", "segment_windows", "series_profile",
-    "simulate_euler_events", "span_dedup", "standard_scaler",
-    "token_counts", "video_frame_features",
-    "bm25_search", "changepoint_scan", "corpus_hash_split",
-    "cube_order_stats", "cusum_drift", "dedup_exact",
-    "distinct_counts_by_status", "document_fingerprint", "dsir_weights",
-    "embedding_kmeans", "embedding_near_dup", "embedding_quantize",
-    "events_stats_salted", "ewma_chunked", "failure_encoder",
-    "holt_chunked", "holt_smoothing", "kalman1d_filter", "knn_accuracy",
-    "knn_classify", "language_id", "line_dedup", "lm_perplexity",
-    "median_filter_zeros", "min_cost_supplier",
+    "simulate_euler_events", "span_dedup", "split_sentences",
+    "standard_scaler", "token_counts", "video_frame_features",
+    # newest green r12 (the r12 window: 50/50 hash-green, zero err rows, in
+    # CORRECTNESS_r12) — queue behind the r11 cohort for r14/r15:
+    "minhash_signatures", "minmax_scaler", "moving_average_padded",
+    "ngram_jaccard_pairs", "observer_kalman_events",
+    "observer_sliding_events", "orders_above_customer_avg", "pii_redact",
+    "quota_sample", "resample_nearest", "robust_scaler", "sales_rollup",
+    "seasonal_decompose", "semantic_dedup", "semi_join_urgent_customers",
+    "series_acf", "set_ops_customer_cohorts", "simhash_fingerprints",
+    "simulate_discrete_events", "supervised_windows", "text_quality",
+    "token_pack", "top_orders_per_customer", "video_frame_sample",
+    "anti_join_quiet_customers", "asof_join_purchase",
+    "corpus_contamination", "corpus_decontaminate", "cosine_topk",
+    "cosine_topk_blocked", "cosine_topk_q8", "cross_corr",
+    "curation_pipeline", "curation_scored", "dedup_components",
+    "dedup_components_grouped", "dedup_incremental", "domain_filter",
+    "dsir_select", "duplicated_spans", "embedding_near_dup_blocked",
+    "ewma_closed_form", "fdi_pipeline", "forecast_prep", "gap_fill",
+    "gopher_filter", "kalman1d_chunked", "kn3_perplexity",
+    "kn_perplexity", "language_id_model",
 }
 
 
