@@ -97,6 +97,16 @@ absolute tolerance, far below any real regression of interest at sf0.1,
 unreachable by noise. GEOMEANS keep the unfloored bases (they are the
 cross-round-comparable series); the sidecar carries both per-query ratio
 sets (vs_baseline = unfloored, vs_baseline_gate = floored).
+
+Isolation-window retry (r13): an isolation window whose own calibration
+reads loaded (iso_load_factor > 1.2) failed at its one job — producing a
+quiet estimate — and a min-of-5 cannot escape SUSTAINED contention the
+way it escapes bursts (observed: bm25_search's window at 1.548 while its
+neighbors read ~1.0, inflating its gated ratio to 1.545). Such windows
+are retried up to twice and the LOWEST-load window wins; selection is by
+measured window load, never by result value, so it cannot one-sidedly
+shave a genuinely slow plan. All windows' (load_factor, min) pairs ride
+in the sidecar.
 """
 
 from __future__ import annotations
@@ -384,7 +394,26 @@ def main() -> None:
     from fdi_flow_spark.core.session import get_spark
     from fdi_flow_spark.plans.registry import QUERIES
 
-    spark = get_spark(app_name="fdi_flow_spark-bench")
+    # $SPARK_GRAFT_BENCH_MASTER (r13, r12 VERDICT stretch item 7): run the
+    # whole recording under a different master — e.g. local-cluster[2,8,4096]
+    # (two REAL executor JVMs: separate block stores, netty shuffle,
+    # executor-side Python workers) to surface local-mode-only artifacts
+    # that local[32]'s single shared block store hides. Executor processes
+    # do not inherit the driver's sys.path, hence the PYTHONPATH conf.
+    bench_master = os.environ.get("SPARK_GRAFT_BENCH_MASTER")
+    if bench_master:
+        spark = get_spark(
+            app_name="fdi_flow_spark-bench",
+            master=bench_master,
+            extra_conf={
+                "spark.executor.memory": os.environ.get(
+                    "SPARK_GRAFT_BENCH_EXECMEM", "4g"
+                ),
+                "spark.executorEnv.PYTHONPATH": _REPO,
+            },
+        )
+    else:
+        spark = get_spark(app_name="fdi_flow_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the session (JVM JIT, parquet footer reads, noop sink registration)
@@ -674,13 +703,9 @@ def main() -> None:
         brushing = bool(b) and timings[name] / b > 1.25
         if not brushing and name not in ALWAYS_ISOLATE:
             continue
-        spark.catalog.clearCache()
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        iso_calib = _calibrate()
-        iso_lf = min(3.0, max(1.0, iso_calib / calib_ref)) if calib_ref > 0 else 1.0
         fn = BENCH_OVERRIDES.get(name) or QUERIES[name]
-        # one untimed run first: the forced GCs above can extend into (and
+
+        # one untimed run first: the forced GCs can extend into (and
         # page-cache/JIT re-warm inflate) the first execution after them —
         # that is measurement-window cost, not plan cost, and the suite
         # medians likewise absorb cold passes. Then 5 timed runs, all
@@ -692,14 +717,39 @@ def main() -> None:
         # embedding_near_dup's isolated median anywhere in 0.63-0.82 s
         # while the min sat at 0.45-0.52 s — the fresh-session figure).
         # The min is NOT load-factor-divided — it is already the quiet
-        # estimate; iso_load_factor rides along as context only.
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        ts = []
-        for _ in range(5):
-            start = time.perf_counter()
+        # estimate; iso_load_factor rides along as context.
+        def _iso_window() -> tuple[float, float, list[float]]:
+            spark.catalog.clearCache()
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            cal = _calibrate()
+            lf = min(3.0, max(1.0, cal / calib_ref)) if calib_ref > 0 else 1.0
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            ts.append(time.perf_counter() - start)
-        iso_raw = round(min(ts), 3)
+            ts = []
+            for _ in range(5):
+                start = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                ts.append(time.perf_counter() - start)
+            return lf, min(ts), ts
+
+        # r13: the isolation window exists to produce a QUIET estimate; a
+        # window whose own calibration reads loaded (iso_load_factor > 1.2
+        # — this run's quiet recording caught bm25_search's window at 1.548
+        # while neighbors read ~1.0) failed that job, and a min-of-5 cannot
+        # escape SUSTAINED contention the way it escapes bursts. Retry up
+        # to twice and keep the window with the LOWEST load factor — the
+        # selection is by measured window load, never by the result value,
+        # so it cannot one-sidedly shave a genuinely slow plan.
+        iso_lf, iso_min, ts = _iso_window()
+        iso_windows = [{"load_factor": round(iso_lf, 3), "min": round(iso_min, 3)}]
+        for _ in range(2):
+            if iso_lf <= 1.2:
+                break
+            lf2, min2, ts2 = _iso_window()
+            iso_windows.append({"load_factor": round(lf2, 3), "min": round(min2, 3)})
+            if lf2 < iso_lf:
+                iso_lf, iso_min, ts = lf2, min2, ts2
+        iso_raw = round(iso_min, 3)
         # the isolated min is the quiet WITHIN-RUN estimate; the session
         # anchor still applies (a degraded host slows back-to-back runs as
         # much as suite passes), so the gate-feeding figure divides by it
@@ -724,6 +774,7 @@ def main() -> None:
             "isolated_all": [round(t, 3) for t in ts],
             "isolated_norm": iso,
             "iso_load_factor": round(iso_lf, 3),
+            "iso_windows": iso_windows,
             "max_suite_load_factor": round(max_suite_lf, 3),
             "gated_on": "isolated" if gated == iso else "suite",
         }

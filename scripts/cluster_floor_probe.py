@@ -57,8 +57,20 @@ MASTER = os.environ.get("SPARK_GRAFT_CLUSTER_MASTER", "local-cluster[2,4,8192]")
 EXEC_MEM = os.environ.get("SPARK_GRAFT_CLUSTER_EXECMEM", "8g")
 
 # The single-JVM-floor set: the two named by the r11 VERDICT, plus the
-# in-flight containment probe (same (id, h) checkpoint axis).
-PROBE_QUERIES = ["containment_screened", "curation_deploy", "containment_probe"]
+# in-flight containment probe (same (id, h) checkpoint axis). r13 (r12
+# VERDICT item 6) extends the recorded block to the two biggest NON-blocked
+# suite queries — ngram_jaccard_pairs (extended-prefix AllPairs) and
+# minhash_dedup_pairs (LSH banding) — to confirm the two pinned
+# scale-tuning rules (shuffle partitions grow with data; AQE advisory
+# shrinks as serialized bytes expand into sort rows) generalize beyond the
+# containment family.
+PROBE_QUERIES = [
+    "containment_screened",
+    "curation_deploy",
+    "containment_probe",
+    "ngram_jaccard_pairs",
+    "minhash_dedup_pairs",
+]
 
 
 def main() -> None:
