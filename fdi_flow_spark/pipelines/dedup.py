@@ -94,6 +94,7 @@ def ngram_jaccard_pairs(
     unit: str = "word",
     char_k: int = 12,
     broadcast_verify: bool = False,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity >= threshold.
     ``unit='word'`` shingles on word n-grams; ``unit='char'`` on character
@@ -110,11 +111,40 @@ def ngram_jaccard_pairs(
     exactly with one ``array_intersect`` over the per-doc sorted shingle
     arrays — the quadratic hot-shingle blowup of the naive inverted-index
     join never materializes.
+
+    ``collapse_exact`` (r13, default on — LOSSLESS): exact-duplicate groups
+    defeat every AllPairs filter (identical texts share ALL shingles, so
+    the prefix/length filters prune nothing and a g-sized group costs
+    C(g,2) full verifications — at the x100 twin rehearsal that is 4,950
+    verify pairs per document). Identical text implies an identical
+    shingle SET, and set Jaccard depends only on the sets, so collapsing
+    to one representative per md5(text) digest BEFORE shingling, running
+    AllPairs over representatives, and expanding pairs back afterward
+    (cross-group pairs inherit the representative pair's jaccard verbatim;
+    same-digest pairs are exactly 1.0, emitted only when the text yields
+    >= 1 shingle, matching the shingling universe) reproduces the full
+    output bit-for-bit while the verify cost drops from O(sum g^2) to the
+    distinct-text pair space. This is the dedup_components_grouped insight
+    (exact-collapse first) made output-preserving.
     """
-    if unit == "char":
-        shingles = _char_ngrams(docs, id_col, text_col, char_k)
+    if collapse_exact:
+        dg = docs.select(
+            F.col(id_col).alias("_mid"), F.md5(F.col(text_col)).alias("_dg")
+        )
+        reps = dg.groupBy("_dg").agg(F.min("_mid").alias("_rid"))
+        # (representative id, member id) — the expansion map
+        mem = dg.join(reps, "_dg").select(
+            F.col("_rid").alias("_rep"), F.col("_mid")
+        )
+        work = docs.join(
+            reps.select(F.col("_rid").alias(id_col)), id_col, "left_semi"
+        )
     else:
-        shingles = _word_ngrams(docs, id_col, text_col, n)
+        work = docs
+    if unit == "char":
+        shingles = _char_ngrams(work, id_col, text_col, char_k)
+    else:
+        shingles = _word_ngrams(work, id_col, text_col, n)
     # Join/shuffle on 8-byte shingle hashes instead of strings (xxhash64
     # collisions are ~1e-11 at realistic shingle cardinalities — the exact
     # intersection count is then computed over hashed arrays).
@@ -214,12 +244,50 @@ def ngram_jaccard_pairs(
         aa, ab = F.broadcast(aa), F.broadcast(ab)
     else:
         aa, ab = aa.hint("shuffle_hash"), ab.hint("shuffle_hash")
-    return (
+    pairs = (
         cand.join(aa, "id_a")
         .join(ab, "id_b")
         .where(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+    if not collapse_exact:
+        return pairs
+    # Expand representative pairs back to member pairs. Cross-group pairs
+    # inherit the representative jaccard verbatim (identical sets, identical
+    # float); member ids interleave across groups, so re-order each pair.
+    ma = mem.select(F.col("_rep").alias("id_a"), F.col("_mid").alias("_xa"))
+    mb = mem.select(F.col("_rep").alias("id_b"), F.col("_mid").alias("_xb"))
+    cross = (
+        pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_xa", "_xb").alias("id_a"),
+            F.greatest("_xa", "_xb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # Same-digest pairs are exactly 1.0 — but only for texts that produce
+    # >= 1 shingle (shorter texts never enter the shingling universe, and
+    # the per-pair path would likewise never emit them). `arrays` holds
+    # precisely the representatives with non-empty shingle sets.
+    eligible = arrays.select(F.col("id").alias("_erep"))
+    intra = (
+        mem.alias("x")
+        .join(
+            mem.alias("y"),
+            (F.col("x._rep") == F.col("y._rep"))
+            & (F.col("x._mid") < F.col("y._mid")),
+        )
+        .join(eligible, F.col("x._rep") == F.col("_erep"), "left_semi")
+        .select(
+            F.col("x._mid").alias("id_a"),
+            F.col("y._mid").alias("id_b"),
+            F.round(F.lit(1.0), 6).alias("jaccard"),
+        )
+    )
+    if threshold > 1.0:  # degenerate caller: identical pairs no longer pass
+        return cross
+    return cross.unionByName(intra)
 
 
 def containment_pairs(
