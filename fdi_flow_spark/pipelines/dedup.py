@@ -128,8 +128,17 @@ def ngram_jaccard_pairs(
     (exact-collapse first) made output-preserving.
     """
     if collapse_exact:
-        dg = docs.select(
-            F.col(id_col).alias("_mid"), F.md5(F.col(text_col)).alias("_dg")
+        from pyspark import StorageLevel as _SL
+
+        # ONE corpus scan builds the (member id, digest) table; every
+        # downstream consumer (group-min reps, the expansion map, the
+        # representative semi-join) reads the checkpoint — without the cut
+        # the scan audit counted 8 corpus scans through these paths.
+        dg = (
+            docs.select(
+                F.col(id_col).alias("_mid"), F.md5(F.col(text_col)).alias("_dg")
+            )
+            .localCheckpoint(eager=True, storageLevel=_SL.MEMORY_AND_DISK)
         )
         reps = dg.groupBy("_dg").agg(F.min("_mid").alias("_rid"))
         # (representative id, member id) — the expansion map
@@ -300,6 +309,7 @@ def containment_pairs(
     unit: str = "char",
     char_k: int = 12,
     broadcast_verify: bool = False,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Directed near-clone pairs by shingle-set CONTAINMENT (r10, §2.9
     extension): ``C(A->B) = |A ∩ B| / |A| >= threshold`` over distinct
@@ -321,11 +331,42 @@ def containment_pairs(
     the B side (containment is one-sided: a tiny A can be contained in any
     B), so the B-side skew axis is hot shingles — at high thresholds the
     prefix is small and df-rarest, which is exactly the anti-skew order.
+
+    ``collapse_exact`` (r13, default on — LOSSLESS, the
+    ``ngram_jaccard_pairs`` collapse applied to the directed join):
+    containment depends only on the shingle SETS, and identical text means
+    an identical set, so exact-duplicate groups are collapsed to one
+    md5(text) representative before shingling and the directed pairs are
+    expanded back afterward — cross-group ordered pairs inherit the
+    representative containment verbatim (both directions arrive as
+    separate representative rows), same-digest ordered pairs are exactly
+    1.0 when the text shingles. Without it a g-sized twin group costs
+    g*(g-1) full verifications that no filter can prune.
     """
-    if unit == "char":
-        shingles = _char_ngrams(docs, id_col, text_col, char_k)
+    if collapse_exact:
+        from pyspark import StorageLevel as _SL
+
+        # one corpus scan for the digest table; consumers read the
+        # checkpoint (see the ngram_jaccard_pairs twin)
+        dg = (
+            docs.select(
+                F.col(id_col).alias("_mid"), F.md5(F.col(text_col)).alias("_dg")
+            )
+            .localCheckpoint(eager=True, storageLevel=_SL.MEMORY_AND_DISK)
+        )
+        reps = dg.groupBy("_dg").agg(F.min("_mid").alias("_rid"))
+        mem = dg.join(reps, "_dg").select(
+            F.col("_rid").alias("_rep"), F.col("_mid")
+        )
+        work = docs.join(
+            reps.select(F.col("_rid").alias(id_col)), id_col, "left_semi"
+        )
     else:
-        shingles = _word_ngrams(docs, id_col, text_col, n)
+        work = docs
+    if unit == "char":
+        shingles = _char_ngrams(work, id_col, text_col, char_k)
+    else:
+        shingles = _word_ngrams(work, id_col, text_col, n)
     # One materialization feeds sizes/arrays/dfreq/prefix/both join sides —
     # same cut as ngram_jaccard_pairs (the un-cut plan re-scans the corpus
     # per consumer).
@@ -384,12 +425,46 @@ def containment_pairs(
         aa, ab = F.broadcast(aa), F.broadcast(ab)
     else:
         aa, ab = aa.hint("shuffle_hash"), ab.hint("shuffle_hash")
-    return (
+    pairs = (
         cand.join(aa, "id_a")
         .join(ab, "id_b")
         .where(cont >= threshold)
         .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
     )
+    if not collapse_exact:
+        return pairs
+    # Directed expansion: keep orientation (id_a stays the contained side),
+    # no reordering — both directions exist as separate representative rows
+    # whenever both pass the threshold.
+    ma = mem.select(F.col("_rep").alias("id_a"), F.col("_mid").alias("_xa"))
+    mb = mem.select(F.col("_rep").alias("id_b"), F.col("_mid").alias("_xb"))
+    cross = (
+        pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.col("_xa").alias("id_a"),
+            F.col("_xb").alias("id_b"),
+            "containment",
+        )
+    )
+    eligible = arrays.select(F.col("id").alias("_erep"))
+    intra = (
+        mem.alias("x")
+        .join(
+            mem.alias("y"),
+            (F.col("x._rep") == F.col("y._rep"))
+            & (F.col("x._mid") != F.col("y._mid")),
+        )
+        .join(eligible, F.col("x._rep") == F.col("_erep"), "left_semi")
+        .select(
+            F.col("x._mid").alias("id_a"),
+            F.col("y._mid").alias("id_b"),
+            F.round(F.lit(1.0), 6).alias("containment"),
+        )
+    )
+    if threshold > 1.0:
+        return cross
+    return cross.unionByName(intra)
 
 
 def _shingle_hash(col):
