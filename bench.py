@@ -107,6 +107,15 @@ are retried up to twice and the LOWEST-load window wins; selection is by
 measured window load, never by result value, so it cannot one-sidedly
 shave a genuinely slow plan. All windows' (load_factor, min) pairs ride
 in the sidecar.
+
+Loaded-window gate ineligibility (r14, r13 VERDICT item 1): when even the
+winning window's load factor exceeds 1.2 (retry budget exhausted on a
+busy host), there is no quiet re-measure to substitute — the suite median
+(load-normalized + anchored) stands and gated_on records
+"suite (isolation windows loaded)". r13's only 2x breach
+(dedup_components_grouped gated 2.13 vs suite-anchored 1.39) was exactly
+this: three loaded windows (1.45-1.73) and the rule fed the loaded min
+into the gate over the quieter suite figure.
 """
 
 from __future__ import annotations
@@ -352,7 +361,9 @@ def choose_gated_median(
     suite_norm: float,
     isolated_norm: float,
     max_suite_load_factor: float,
+    iso_load_factor: float = 1.0,
     corroborate_threshold: float = 1.10,
+    iso_quiet_threshold: float = 1.2,
 ) -> float:
     """Which median feeds the gate for a gate-brushing query (r9 ADVICE):
     the isolated re-measure replaces the suite median ONLY when elevated
@@ -360,8 +371,22 @@ def choose_gated_median(
     number was disturbed. A quiet suite means any suite/isolated delta is
     the framework's OWN suite-context behavior (e.g. heap pressure from
     preceding queries' retained blocks) — that belongs in the gate, so the
-    suite median stands."""
-    if max_suite_load_factor > corroborate_threshold:
+    suite median stands.
+
+    r14 (r13 VERDICT item 1): a LOADED isolation window may never feed the
+    gate. In r13 all three dedup_components_grouped windows measured loaded
+    (1.733/1.584/1.45 — retry budget exhausted) and the lowest-load window's
+    min (6.329 s) replaced a LESS-disturbed suite-anchored median (4.139 s =
+    1.39x), recording the round's only 2x breach (2.13x) on an unchanged,
+    x100-proven plan. The substitution exists to rescue disturbed suite
+    figures with a QUIET re-measure; when the winning window's own
+    calibration reads loaded (iso_load_factor > iso_quiet_threshold) there
+    is no quiet re-measure to substitute, so the suite median — which is at
+    least load-factor-normalized and session-anchored — stands."""
+    if (
+        max_suite_load_factor > corroborate_threshold
+        and iso_load_factor <= iso_quiet_threshold
+    ):
         return isolated_norm
     return suite_norm
 
@@ -772,10 +797,20 @@ def main() -> None:
         # standing isolation can never measure a non-brushing query under
         # friendlier conditions than the baseline was recorded.
         gated = (
-            choose_gated_median(timings[name], iso, max_suite_lf)
+            choose_gated_median(timings[name], iso, max_suite_lf, iso_lf)
             if brushing
             else timings[name]
         )
+        # Why the suite median stood (sidecar provenance): distinguish "the
+        # suite was quiet, no substitution warranted" from "every isolation
+        # window measured loaded, so there was no quiet figure to feed the
+        # gate" (r13 VERDICT item 1 — the dedup_components_grouped breach).
+        if gated == iso:
+            gated_on = "isolated"
+        elif brushing and max_suite_lf > 1.10 and iso_lf > 1.2:
+            gated_on = "suite (isolation windows loaded)"
+        else:
+            gated_on = "suite"
         isolated[name] = {
             "suite": timings_raw[name],
             "suite_norm": timings[name],
@@ -785,7 +820,7 @@ def main() -> None:
             "iso_load_factor": round(iso_lf, 3),
             "iso_windows": iso_windows,
             "max_suite_load_factor": round(max_suite_lf, 3),
-            "gated_on": "isolated" if gated == iso else "suite",
+            "gated_on": gated_on,
         }
         if gated == iso:
             # Only the NORMALIZED (gate-feeding) median is substituted.

@@ -74,6 +74,32 @@ def _char_ngrams(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFra
     )
 
 
+def content_digests(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(_mid, _dg)`` — one sha2-256 content digest per document, eagerly
+    localCheckpoint'd (MEMORY_AND_DISK) so every downstream consumer of the
+    exact-duplicate collapse (group-min reps, the expansion map, the
+    representative semi-join) reads the materialized table instead of
+    re-scanning the corpus. Shared by :func:`ngram_jaccard_pairs` and
+    :func:`containment_pairs` via their ``digest_table`` parameter (r14,
+    r13 VERDICT item 4: each call re-checkpointing its own digest table
+    over the same input cost ~0.5-1 s per call at sf0.1 — callers that run
+    both joins over one corpus build this once and pass it to both).
+
+    sha-256, not md5 (r14 ADVICE): md5 collisions are adversarially
+    constructible (chosen-prefix), and a crafted pair in an untrusted
+    corpus would silently merge two distinct documents into one exact-dup
+    group — reported jaccard/containment 1.0, second text never shingled.
+    """
+    from pyspark import StorageLevel as _SL
+
+    return docs.select(
+        F.col(id_col).alias("_mid"),
+        F.sha2(F.col(text_col), 256).alias("_dg"),
+    ).localCheckpoint(eager=True, storageLevel=_SL.MEMORY_AND_DISK)
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by content digest. Output one row per distinct
     text: ``(keeper_id = min id, dup_count)``."""
@@ -95,6 +121,7 @@ def ngram_jaccard_pairs(
     char_k: int = 12,
     broadcast_verify: bool = False,
     collapse_exact: bool = True,
+    digest_table: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity >= threshold.
     ``unit='word'`` shingles on word n-grams; ``unit='char'`` on character
@@ -118,7 +145,10 @@ def ngram_jaccard_pairs(
     C(g,2) full verifications — at the x100 twin rehearsal that is 4,950
     verify pairs per document). Identical text implies an identical
     shingle SET, and set Jaccard depends only on the sets, so collapsing
-    to one representative per md5(text) digest BEFORE shingling, running
+    to one representative per sha2-256(text) digest BEFORE shingling
+    (r14 ADVICE: sha-256, not md5 — md5 collisions are adversarially
+    constructible, and a chosen-prefix pair in an untrusted corpus would
+    silently merge two distinct documents into one exact-dup group), running
     AllPairs over representatives, and expanding pairs back afterward
     (cross-group pairs inherit the representative pair's jaccard verbatim;
     same-digest pairs are exactly 1.0, emitted only when the text yields
@@ -126,19 +156,22 @@ def ngram_jaccard_pairs(
     output bit-for-bit while the verify cost drops from O(sum g^2) to the
     distinct-text pair space. This is the dedup_components_grouped insight
     (exact-collapse first) made output-preserving.
+
+    ``digest_table`` (r14, r13 VERDICT item 4): a prebuilt
+    :func:`content_digests` table for this exact ``docs`` input. When
+    given, the collapse reads it instead of checkpointing its own — a
+    caller running several exact pair joins over one corpus (this and
+    :func:`containment_pairs`) pays the digest scan once.
     """
     if collapse_exact:
-        from pyspark import StorageLevel as _SL
-
         # ONE corpus scan builds the (member id, digest) table; every
         # downstream consumer (group-min reps, the expansion map, the
         # representative semi-join) reads the checkpoint — without the cut
         # the scan audit counted 8 corpus scans through these paths.
         dg = (
-            docs.select(
-                F.col(id_col).alias("_mid"), F.md5(F.col(text_col)).alias("_dg")
-            )
-            .localCheckpoint(eager=True, storageLevel=_SL.MEMORY_AND_DISK)
+            digest_table
+            if digest_table is not None
+            else content_digests(docs, id_col, text_col)
         )
         reps = dg.groupBy("_dg").agg(F.min("_mid").alias("_rid"))
         # (representative id, member id) — the expansion map
@@ -310,6 +343,7 @@ def containment_pairs(
     char_k: int = 12,
     broadcast_verify: bool = False,
     collapse_exact: bool = True,
+    digest_table: DataFrame | None = None,
 ) -> DataFrame:
     """Directed near-clone pairs by shingle-set CONTAINMENT (r10, §2.9
     extension): ``C(A->B) = |A ∩ B| / |A| >= threshold`` over distinct
@@ -336,23 +370,27 @@ def containment_pairs(
     ``ngram_jaccard_pairs`` collapse applied to the directed join):
     containment depends only on the shingle SETS, and identical text means
     an identical set, so exact-duplicate groups are collapsed to one
-    md5(text) representative before shingling and the directed pairs are
+    sha2-256(text) representative before shingling (r14 ADVICE: collision-
+    resistant against adversarial corpus inputs, unlike md5) and the
+    directed pairs are
     expanded back afterward — cross-group ordered pairs inherit the
     representative containment verbatim (both directions arrive as
     separate representative rows), same-digest ordered pairs are exactly
     1.0 when the text shingles. Without it a g-sized twin group costs
     g*(g-1) full verifications that no filter can prune.
+
+    ``digest_table`` (r14, r13 VERDICT item 4): a prebuilt
+    :func:`content_digests` table for this exact ``docs`` input — shared
+    with :func:`ngram_jaccard_pairs` so a caller running both exact pair
+    joins over one corpus pays the digest scan + checkpoint once.
     """
     if collapse_exact:
-        from pyspark import StorageLevel as _SL
-
         # one corpus scan for the digest table; consumers read the
         # checkpoint (see the ngram_jaccard_pairs twin)
         dg = (
-            docs.select(
-                F.col(id_col).alias("_mid"), F.md5(F.col(text_col)).alias("_dg")
-            )
-            .localCheckpoint(eager=True, storageLevel=_SL.MEMORY_AND_DISK)
+            digest_table
+            if digest_table is not None
+            else content_digests(docs, id_col, text_col)
         )
         reps = dg.groupBy("_dg").agg(F.min("_mid").alias("_rid"))
         mem = dg.join(reps, "_dg").select(

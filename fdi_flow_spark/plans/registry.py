@@ -2249,9 +2249,40 @@ def q_dedup_exact(spark, sf_dir):
     """,
 )
 def q_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5, unit="char", char_k=12
+        docs,
+        threshold=0.5,
+        unit="char",
+        char_k=12,
+        digest_table=_doc_digests(spark, sf_dir, docs),
     )
+
+
+# per-(application, sf_dir) sha2-256 content-digest table for the exact
+# pair joins' duplicate collapse (r14, r13 VERDICT item 4): without it
+# ngram_jaccard_pairs and containment_pairs EACH re-scan + re-checkpoint the
+# same digest table per call (~0.5-1 s each at sf0.1). Same lifetime contract
+# as _CONTAINMENT_INDEX_CACHE above: live localCheckpoint'd blocks die with
+# their SparkContext, so the key leads with applicationId and entries from
+# other (stopped) applications are evicted on insert. The collapse is
+# LOSSLESS and the digest is a pure function of (sf_dir, full documents
+# table), so reuse cannot change any output — oracle hashes are unaffected.
+_DOC_DIGEST_CACHE: dict = {}
+
+
+def _doc_digests(spark, sf_dir, docs):
+    from fdi_flow_spark.pipelines.dedup import content_digests
+
+    app_id = spark.sparkContext.applicationId
+    cache_key = (app_id, sf_dir)
+    dg = _DOC_DIGEST_CACHE.get(cache_key)
+    if dg is None:
+        for k in [k for k in _DOC_DIGEST_CACHE if k[0] != app_id]:
+            del _DOC_DIGEST_CACHE[k]
+        dg = content_digests(docs)
+        _DOC_DIGEST_CACHE[cache_key] = dg
+    return dg
 
 
 def _minhash_coeff_values() -> str:
@@ -3039,8 +3070,13 @@ def q_containment_pairs(spark, sf_dir):
     same shingle/verify conventions as ``ngram_jaccard_pairs``."""
     from fdi_flow_spark.pipelines.dedup import containment_pairs
 
+    docs = load_table(spark, sf_dir, "documents")
     return containment_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.6, unit="char", char_k=12
+        docs,
+        threshold=0.6,
+        unit="char",
+        char_k=12,
+        digest_table=_doc_digests(spark, sf_dir, docs),
     )
 
 

@@ -63,6 +63,38 @@ def test_choose_gated_median_requires_load_corroboration():
     assert choose_gated_median(1.3, 1.8, max_suite_load_factor=1.2) == 1.8
 
 
+def test_loaded_isolation_window_never_feeds_the_gate():
+    """r14 rule (r13 VERDICT item 1), pinned to the r13 driver sidecar's
+    exact numbers: dedup_components_grouped's three isolation windows all
+    measured loaded (1.733/1.584/1.45 — retry budget exhausted) and the
+    winning window's min (6.329 s, anchored 6.329) replaced the quieter
+    suite-anchored median (4.139 s = 1.39x vs the 2.971 s baseline),
+    recording a 2.13x gate breach on an unchanged plan. With the rule, the
+    suite median stands."""
+    from bench import choose_gated_median
+
+    suite_norm, iso_norm = 4.139, 6.329
+    max_suite_lf, winning_iso_lf = 1.217, 1.45
+    gated = choose_gated_median(suite_norm, iso_norm, max_suite_lf, winning_iso_lf)
+    assert gated == suite_norm
+    base = 2.971
+    assert round(gated / base, 2) == 1.39  # under the 2x gate
+
+    # chunk_documents in the degraded-host close run: best of three loaded
+    # windows read 1.207 (> 1.2) — suite stands there too
+    assert choose_gated_median(0.434, 0.734, 1.5, 1.207) == 0.434
+
+    # a QUIET window under a loaded suite still substitutes (the rule the
+    # isolation re-measure exists for; containment_pairs' r13 window was
+    # 1.074-quiet and correctly fed the gate)
+    assert choose_gated_median(9.663, 7.217, 1.217, 1.074) == 7.217
+    # boundary: exactly 1.2 is quiet
+    assert choose_gated_median(2.0, 1.2, 1.5, 1.2) == 1.2
+    # default iso_load_factor keeps the pre-r14 behavior for callers that
+    # never had a window (non-brushing ALWAYS_ISOLATE entries)
+    assert choose_gated_median(2.0, 1.2, 1.5) == 1.2
+
+
 def test_ratio_summary_matches_hand_math():
     import math
 

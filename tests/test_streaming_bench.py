@@ -59,8 +59,16 @@ def fresh_run(tmp_path_factory):
 
 
 def _committed_twins() -> dict:
-    with open(_COMMITTED) as f:
-        return json.load(f)["twins"]
+    # r14 ADVICE (low): this runs at COLLECTION time (parametrize), on every
+    # pytest invocation — including default runs where the streaming_bench
+    # marker is deselected. A missing/unparseable committed recording must
+    # yield an empty parameter set (the marker's tests simply don't exist),
+    # not a collection hard-fail of the whole suite.
+    try:
+        with open(_COMMITTED) as f:
+            return json.load(f)["twins"]
+    except (OSError, ValueError, KeyError):
+        return {}
 
 
 @pytest.mark.parametrize("twin", sorted(_committed_twins()))
