@@ -615,14 +615,40 @@ def main() -> None:
     # one starts from a clean heap deterministically. Keyed on the
     # committed BASELINE (order-independent, known before the run), not
     # the just-measured time.
-    _base_for_hygiene: dict[str, float] = {}
-    try:
-        with open(os.path.join(_REPO, "bench_baseline.json")) as f:
-            _bdoc = json.load(f)
-        if float(sf) == float(_bdoc.get("sf", 0.1)):
-            _base_for_hygiene = _bdoc["queries"]
-    except (OSError, KeyError, ValueError):
-        pass
+    # Baseline selection (r14, r13 VERDICT item 6): a cluster-master run is
+    # a DIFFERENT machine shape (2 executor JVMs x N cores vs local[32]) —
+    # its timings are not comparable to the local[32] baselines, which is
+    # why cluster recordings were ratio-only evidence through r13. A
+    # cluster-EPOCH baseline (bench_baseline_cluster.json, snapshotted from
+    # a cluster run at a known-good HEAD) makes cluster recordings rateable
+    # against their own epoch, so cluster-specific regressions
+    # (serialization, netty shuffle, executor-pool spin-up) that local mode
+    # structurally hides become visible. The file's recorded master string
+    # must match this run's $SPARK_GRAFT_BENCH_MASTER exactly — a [2,8,4096]
+    # epoch says nothing about a [2,4,8192] run.
+    def _baseline_doc() -> dict:
+        if bench_master:
+            try:
+                with open(os.path.join(_REPO, "bench_baseline_cluster.json")) as f:
+                    cdoc = json.load(f)
+                if cdoc.get("master") == bench_master and float(sf) == float(
+                    cdoc.get("sf", 0.1)
+                ):
+                    return cdoc
+            except (OSError, KeyError, ValueError):
+                pass
+            return {}
+        try:
+            with open(os.path.join(_REPO, "bench_baseline.json")) as f:
+                doc = json.load(f)
+            if float(sf) == float(doc.get("sf", 0.1)):  # rate only at baseline SF
+                return doc
+        except (OSError, KeyError, ValueError):
+            pass
+        return {}
+
+    _bdoc = _baseline_doc()
+    _base_for_hygiene: dict[str, float] = _bdoc.get("queries", {})
     HEAVY = {n for n, b in _base_for_hygiene.items() if b > HYGIENE_SEC}
     # r12 ADVICE (low): an empty HEAVY set means the pre-hygiene lever is
     # OFF (baseline missing/unparseable/different sf) and the run is not
@@ -666,21 +692,16 @@ def main() -> None:
     factors = load_factors(calib_times)
     timings_raw = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
 
-    # Load the committed round-1 medians (the 2x-gate reference) up front:
+    # Load the committed baseline medians (the 2x-gate reference) up front:
     # they drive the session anchor, the isolation re-measure, and the
-    # reported ratios.
-    base: dict[str, float] = {}
-    base_rounds: dict[str, int] = {}
-    cal_base: dict[str, float] = {}
-    try:
-        with open(os.path.join(_REPO, "bench_baseline.json")) as f:
-            doc = json.load(f)
-        if float(sf) == float(doc.get("sf", 0.1)):  # rate only at baseline SF
-            base = doc["queries"]
-            base_rounds = doc.get("baseline_round", {})
-            cal_base = doc.get("calibration_ref", {})
-    except (OSError, KeyError, ValueError):
-        pass
+    # reported ratios. Local runs read bench_baseline.json (the r1-epoch
+    # reference); cluster-master runs read bench_baseline_cluster.json when
+    # its recorded master matches (r14, r13 VERDICT item 6 — see
+    # _baseline_doc above).
+    doc = _baseline_doc()
+    base: dict[str, float] = doc.get("queries", {})
+    base_rounds: dict[str, int] = doc.get("baseline_round", {})
+    cal_base: dict[str, float] = doc.get("calibration_ref", {})
 
     # Session anchor (r12 VERDICT item 1): divide the gate-feeding medians
     # by how much slower the pinned probes run NOW vs at baseline-recording
@@ -688,12 +709,14 @@ def main() -> None:
     # within-run load factors, whose reference is the run's own minimum)
     # stops inflating every rated ratio. Raw medians never see it.
     cal_now = {"cpu": round(calib_ref, 3), "io": round(io_calib_ref, 3)}
-    # A cluster-master recording (stretch item 7) measures a DIFFERENT
-    # machine shape (2x8 executor cores vs local[32]); the baseline-epoch
-    # probe refs don't transfer, so the anchor stays inert there and the
-    # recording is read as per-query cluster-vs-local ratios, not gate
-    # figures.
-    anchor = 1.0 if bench_master else session_anchor(cal_now, cal_base)
+    # A cluster-master recording measures a DIFFERENT machine shape
+    # (2xN executor cores vs local[32]); the LOCAL baseline-epoch probe
+    # refs don't transfer, so without a cluster-epoch baseline the anchor
+    # stays inert and the recording reads as per-query cluster-vs-local
+    # ratios only. With a matching bench_baseline_cluster.json (r14 item 6)
+    # the probe refs WERE recorded under this exact master on this host, so
+    # the session anchor applies the same way it does locally.
+    anchor = session_anchor(cal_now, cal_base)
     # load-normalized medians: each pass's timing divided by that pass's
     # load_factor and by the session anchor — these feed the gate ratios so
     # the recorded worst_ratio reflects plan cost, not whichever pass (or

@@ -1122,7 +1122,7 @@ def q_bandpass(spark, sf_dir):
     return _rounded(bandpass_filter(events_series(spark, sf_dir), 0.01, 0.2, 1.0))
 
 
-def _resample_cubic_oracle_sql() -> str:
+def _resample_cubic_oracle_sql(targets: int = 101) -> str:
     """Recursive-CTE oracle for the not-a-knot cubic resample (r12 VERDICT
     item 5 — promoted from rows-only): mirrors ``cubic_spline_eval``'s r13
     O(n) solve op-for-op — the boundary-row eliminations
@@ -1136,7 +1136,15 @@ def _resample_cubic_oracle_sql() -> str:
     branch; all driver scale factors qualify). Float-op order is kept in
     sync with ``operators/segmenters.py:cubic_spline_eval`` — identical
     doubles in, identical doubles out up to non-associativity ~1e-15, far
-    inside the 6-dp rounding."""
+    inside the 6-dp rounding.
+
+    ``targets`` (r14, r13 VERDICT item 5): the target-grid size. The s=0
+    interpolating ``spline_upsample`` is the SAME kernel
+    (``operators/segmenters.py:spline_upsample`` routes ``smoothing == 0,
+    degree 3`` straight to ``_resample_cubic``) on a 151-point grid, so
+    its oracle is this machinery with ``targets=151`` — one generator,
+    two hash-checked queries."""
+    last = targets - 1
     return f"""
     WITH RECURSIVE base AS ({SERIES_SQL}),
     ser AS MATERIALIZED (SELECT series_id, COUNT(*) AS n FROM base GROUP BY series_id),
@@ -1220,10 +1228,10 @@ def _resample_cubic_oracle_sql() -> str:
       JOIN bwd_m mn3 ON mn3.series_id = c.series_id AND mn3.i = c.n - 3),
     targets AS MATERIALIZED (
       SELECT s.series_id, s.n, CAST(j.j AS BIGINT) AS ts,
-             CASE WHEN j.j = 100 THEN 1.0
-                  ELSE CAST(j.j AS DOUBLE) * (1.0 / 100.0)
+             CASE WHEN j.j = {last} THEN 1.0
+                  ELSE CAST(j.j AS DOUBLE) * (1.0 / {last}.0)
              END AS xn
-      FROM ser s CROSS JOIN range(0, 101) j(j)),
+      FROM ser s CROSS JOIN range(0, {targets}) j(j)),
     seg AS MATERIALIZED (
       SELECT t.series_id, t.ts, t.xn,
              LEAST(t.n - 2, COUNT(*) - 1) AS idx
@@ -1257,8 +1265,12 @@ def q_resample_cubic(spark, sf_dir):
     return _rounded(resample(events_series(spark, sf_dir), 101, "cubic"))
 
 
-@register("spline_upsample")  # rows-only
+@register("spline_upsample", _resample_cubic_oracle_sql(targets=151))
 def q_spline(spark, sf_dir):
+    """G3 ``smoothing == 0`` surface — oracle-backed since r14 (r13 VERDICT
+    item 5): the interpolating path routes to the same not-a-knot
+    Thomas-solve kernel as ``resample_cubic``, so the oracle is the
+    parameterized recursive-CTE machinery on the 151-point grid."""
     from fdi_flow_spark.operators import spline_upsample
 
     return _rounded(spline_upsample(events_series(spark, sf_dir), 151, spline_degree=3))
@@ -5802,41 +5814,40 @@ def q_series_profile(spark, sf_dir):
 # hash-checked against its own oracle every pytest run via
 # ``tests/test_oracle_queries.py``'s parametrization over ORACLES.
 _WINDOW_PRIORITY = [
-    # --- r13 rotation (round-12 VERDICT item 3): every query in the r12
-    # window went green (CORRECTNESS_r12 50/50, zero err), so the window
-    # rotates entirely to the next-stalest greens — zero repeat slots from
-    # r12. Order of staleness: (a) the 24 r10-greens that queued behind
-    # the r12 window's 26-query r10 cohort ("FIRST IN LINE for r13" since
-    # the r12 rotation), then (b) the alphabetically-first 26 of the 50
-    # r11-greens. The remaining 24 r11-greens (knn_accuracy ..
-    # video_frame_features) are FIRST IN LINE for r14, followed by the 50
-    # r12-greens.
-    # last green r10 (the 24 deferred from the r12 window):
-    "mad_outliers", "median_filter_edge", "minhash_dedup_pairs",
-    "moving_average_valid", "multimodal_image_features",
-    "multimodal_image_resize", "ngram_counts",
-    "observer_luenberger_events", "observer_replay_kalman",
-    "observer_replay_luenberger", "page_hinkley_drift", "pattern_search",
-    "pq_encode", "quality_classifier", "readability", "series_pacf",
-    "source_mix", "span_contamination", "text_normalize",
-    "text_repetition", "tfidf_vectors", "time_bucket_rollup",
-    "user_sessions", "value_histogram",
-    # r13 promotions (r12 VERDICT item 5): rows-only queries promoted to
-    # full oracles this round — NEVER driver-hash-checked before, so they
-    # outrank every green cohort in staleness and take the last window
-    # slots (holt_smoothing / kalman1d_filter defer to the r14 queue):
-    "simulate_linear_batch", "resample_cubic",
-    # last green r11 (first 24 alphabetically; the remaining 26 queue
-    # for r14):
-    "bm25_search", "changepoint_scan", "chunk_documents",
-    "containment_pairs", "containment_probe",
-    "containment_probe_prebuilt", "containment_screened",
-    "corpus_hash_split", "corpus_report", "cube_order_stats",
-    "curation_deploy", "cusum_drift", "dedup_exact",
-    "distinct_counts_by_status", "document_fingerprint", "dsir_weights",
-    "embedding_kmeans", "embedding_near_dup", "embedding_outliers",
-    "embedding_quantize", "events_stats_salted", "ewma_chunked",
-    "failure_encoder", "holt_chunked",
+    # --- r14 rotation (round-13 VERDICT item 3): every r13 window slot went
+    # green (CORRECTNESS_r13 50/50, zero err), so the window rotates entirely
+    # — zero repeat slots from r13. Staleness order: (a) the 26 r11-greens
+    # that queued behind the r13 window ("FIRST IN LINE for r14" since the
+    # r13 rotation — holt_smoothing / kalman1d_filter lead, having yielded
+    # their r13 slots to that round's oracle promotions), then (b) the r14
+    # oracle promotion spline_upsample (never driver-hash-checked, so it
+    # outranks every green cohort), then (c) the alphabetically-first 23 of
+    # the 50 r12-greens. The remaining 27 r12-greens (kn3_perplexity ..
+    # video_frame_sample) are FIRST IN LINE for r15, followed by the 50
+    # r13-greens.
+    # last green r11 (the 26 deferred from the r13 window):
+    "holt_smoothing", "kalman1d_filter", "knn_accuracy", "knn_classify",
+    "language_id", "line_dedup", "lm_perplexity", "median_filter_zeros",
+    "min_cost_supplier", "ngram_novelty", "observer_replay_sliding",
+    "perplexity_buckets", "q1_pricing_summary", "q3_top_orders",
+    "q5_nation_volume", "q6_revenue_change", "resample_linear",
+    "rolling_corr", "segment_windows", "series_profile",
+    "simulate_euler_events", "span_dedup", "split_sentences",
+    "standard_scaler", "token_counts", "video_frame_features",
+    # r14 promotion (r13 VERDICT item 5): the s=0 interpolating spline,
+    # oracle-backed via the parameterized resample_cubic machinery —
+    # never hash-checked before:
+    "spline_upsample",
+    # last green r12 (first 23 alphabetically; the remaining 27 queue
+    # for r15):
+    "anti_join_quiet_customers", "asof_join_purchase",
+    "corpus_contamination", "corpus_decontaminate", "cosine_topk",
+    "cosine_topk_blocked", "cosine_topk_q8", "cross_corr",
+    "curation_pipeline", "curation_scored", "dedup_components",
+    "dedup_components_grouped", "dedup_incremental", "domain_filter",
+    "dsir_select", "duplicated_spans", "embedding_near_dup_blocked",
+    "ewma_closed_form", "fdi_pipeline", "forecast_prep", "gap_fill",
+    "gopher_filter", "kalman1d_chunked",
 ]
 
 
@@ -5848,20 +5859,10 @@ _WINDOW_PRIORITY = [
 # NEWEST GREEN DRIVER CHECK, so staleness for the r10 rotation is read off
 # the comments directly.
 _WINDOW_EXCLUDED_ORACLES = {
-    # newest green r11, back 26 alphabetically (the first 24 are in-window
-    # this round; holt_smoothing and kalman1d_filter yielded their slots to
-    # the r13 oracle promotions simulate_linear_batch / resample_cubic) —
-    # FIRST IN LINE for the r14 window:
-    "holt_smoothing", "kalman1d_filter", "knn_accuracy", "knn_classify",
-    "language_id", "line_dedup", "lm_perplexity", "median_filter_zeros",
-    "min_cost_supplier", "ngram_novelty", "observer_replay_sliding",
-    "perplexity_buckets", "q1_pricing_summary", "q3_top_orders",
-    "q5_nation_volume", "q6_revenue_change", "resample_linear",
-    "rolling_corr", "segment_windows", "series_profile",
-    "simulate_euler_events", "span_dedup", "split_sentences",
-    "standard_scaler", "token_counts", "video_frame_features",
-    # newest green r12 (the r12 window: 50/50 hash-green, zero err rows, in
-    # CORRECTNESS_r12) — queue behind the r11 cohort for r14/r15:
+    # newest green r12, back 27 alphabetically (the first 23 are in-window
+    # this round, after the 26-query r11 cohort + the spline_upsample
+    # promotion) — FIRST IN LINE for the r15 window:
+    "kn3_perplexity", "kn_perplexity", "language_id_model",
     "minhash_signatures", "minmax_scaler", "moving_average_padded",
     "ngram_jaccard_pairs", "observer_kalman_events",
     "observer_sliding_events", "orders_above_customer_avg", "pii_redact",
@@ -5870,15 +5871,26 @@ _WINDOW_EXCLUDED_ORACLES = {
     "series_acf", "set_ops_customer_cohorts", "simhash_fingerprints",
     "simulate_discrete_events", "supervised_windows", "text_quality",
     "token_pack", "top_orders_per_customer", "video_frame_sample",
-    "anti_join_quiet_customers", "asof_join_purchase",
-    "corpus_contamination", "corpus_decontaminate", "cosine_topk",
-    "cosine_topk_blocked", "cosine_topk_q8", "cross_corr",
-    "curation_pipeline", "curation_scored", "dedup_components",
-    "dedup_components_grouped", "dedup_incremental", "domain_filter",
-    "dsir_select", "duplicated_spans", "embedding_near_dup_blocked",
-    "ewma_closed_form", "fdi_pipeline", "forecast_prep", "gap_fill",
-    "gopher_filter", "kalman1d_chunked", "kn3_perplexity",
-    "kn_perplexity", "language_id_model",
+    # newest green r13 (the r13 window: 50/50 hash-green, zero err rows, in
+    # CORRECTNESS_r13) — queue behind the r12 cohort for r15/r16:
+    "bm25_search", "changepoint_scan", "chunk_documents",
+    "containment_pairs", "containment_probe",
+    "containment_probe_prebuilt", "containment_screened",
+    "corpus_hash_split", "corpus_report", "cube_order_stats",
+    "curation_deploy", "cusum_drift", "dedup_exact",
+    "distinct_counts_by_status", "document_fingerprint", "dsir_weights",
+    "embedding_kmeans", "embedding_near_dup", "embedding_outliers",
+    "embedding_quantize", "events_stats_salted", "ewma_chunked",
+    "failure_encoder", "holt_chunked", "mad_outliers",
+    "median_filter_edge", "minhash_dedup_pairs", "moving_average_valid",
+    "multimodal_image_features", "multimodal_image_resize",
+    "ngram_counts", "observer_luenberger_events", "observer_replay_kalman",
+    "observer_replay_luenberger", "page_hinkley_drift", "pattern_search",
+    "pq_encode", "quality_classifier", "readability",
+    "resample_cubic", "series_pacf", "simulate_linear_batch",
+    "source_mix", "span_contamination", "text_normalize",
+    "text_repetition", "tfidf_vectors", "time_bucket_rollup",
+    "user_sessions", "value_histogram",
 }
 
 
