@@ -391,6 +391,36 @@ def choose_gated_median(
     return suite_norm
 
 
+def baseline_doc(bench_master: str | None, sf, repo: str = _REPO) -> dict:
+    """Which committed baseline epoch rates this run (r14, r13 VERDICT
+    item 6). Local runs: bench_baseline.json at the matching sf (the
+    r1-epoch local[32] reference). Cluster-master runs:
+    bench_baseline_cluster.json, and ONLY when its recorded master string
+    matches this run's $SPARK_GRAFT_BENCH_MASTER exactly — a [2,8,4096]
+    epoch says nothing about a [2,4,8192] run, and falling back to the
+    local epoch would rate a 16-core cluster against 32 local cores.
+    Empty dict = unrated (ratio-only) run."""
+    if bench_master:
+        try:
+            with open(os.path.join(repo, "bench_baseline_cluster.json")) as f:
+                cdoc = json.load(f)
+            if cdoc.get("master") == bench_master and float(sf) == float(
+                cdoc.get("sf", 0.1)
+            ):
+                return cdoc
+        except (OSError, KeyError, ValueError):
+            pass
+        return {}
+    try:
+        with open(os.path.join(repo, "bench_baseline.json")) as f:
+            doc = json.load(f)
+        if float(sf) == float(doc.get("sf", 0.1)):  # rate only at baseline SF
+            return doc
+    except (OSError, KeyError, ValueError):
+        pass
+    return {}
+
+
 def ratio_summary(
     timings: dict[str, float], base: dict[str, float], floor: bool = False
 ) -> tuple[str | None, float | None, float | None]:
@@ -626,28 +656,7 @@ def main() -> None:
     # structurally hides become visible. The file's recorded master string
     # must match this run's $SPARK_GRAFT_BENCH_MASTER exactly — a [2,8,4096]
     # epoch says nothing about a [2,4,8192] run.
-    def _baseline_doc() -> dict:
-        if bench_master:
-            try:
-                with open(os.path.join(_REPO, "bench_baseline_cluster.json")) as f:
-                    cdoc = json.load(f)
-                if cdoc.get("master") == bench_master and float(sf) == float(
-                    cdoc.get("sf", 0.1)
-                ):
-                    return cdoc
-            except (OSError, KeyError, ValueError):
-                pass
-            return {}
-        try:
-            with open(os.path.join(_REPO, "bench_baseline.json")) as f:
-                doc = json.load(f)
-            if float(sf) == float(doc.get("sf", 0.1)):  # rate only at baseline SF
-                return doc
-        except (OSError, KeyError, ValueError):
-            pass
-        return {}
-
-    _bdoc = _baseline_doc()
+    _bdoc = baseline_doc(bench_master, sf)
     _base_for_hygiene: dict[str, float] = _bdoc.get("queries", {})
     HEAVY = {n for n, b in _base_for_hygiene.items() if b > HYGIENE_SEC}
     # r12 ADVICE (low): an empty HEAVY set means the pre-hygiene lever is
@@ -698,7 +707,7 @@ def main() -> None:
     # reference); cluster-master runs read bench_baseline_cluster.json when
     # its recorded master matches (r14, r13 VERDICT item 6 — see
     # _baseline_doc above).
-    doc = _baseline_doc()
+    doc = _bdoc
     base: dict[str, float] = doc.get("queries", {})
     base_rounds: dict[str, int] = doc.get("baseline_round", {})
     cal_base: dict[str, float] = doc.get("calibration_ref", {})

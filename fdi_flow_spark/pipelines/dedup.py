@@ -100,6 +100,38 @@ def content_digests(
     ).localCheckpoint(eager=True, storageLevel=_SL.MEMORY_AND_DISK)
 
 
+def exact_dup_members(
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digest_table: DataFrame | None = None,
+) -> DataFrame:
+    """``(_rep, _mid)`` for members of MULTI-member content-digest groups
+    only (``_rep`` = group-min id, rows include the representative itself),
+    eagerly localCheckpoint'd. This is the whole state the exact-duplicate
+    collapse needs (r14 rework of the r13 collapse): singleton documents
+    never enter it, so its size rides on the corpus's DUPLICATE MASS, not
+    its row count — 8 twin docs among 5000 yield ~16 rows, while the x100
+    twin-duplication fixture (every doc 100x) yields the full corpus,
+    exactly where the collapse pays for itself. Build from a prebuilt
+    :func:`content_digests` table when available."""
+    from pyspark import StorageLevel as _SL
+
+    dg = (
+        digest_table
+        if digest_table is not None
+        else content_digests(docs, id_col, text_col)
+    )
+    groups = dg.groupBy("_dg").agg(
+        F.min("_mid").alias("_rid"), F.count("*").alias("_gc")
+    )
+    return (
+        dg.join(groups.where(F.col("_gc") > 1), "_dg")
+        .select(F.col("_rid").alias("_rep"), F.col("_mid"))
+        .localCheckpoint(eager=True, storageLevel=_SL.MEMORY_AND_DISK)
+    )
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by content digest. Output one row per distinct
     text: ``(keeper_id = min id, dup_count)``."""
@@ -122,6 +154,7 @@ def ngram_jaccard_pairs(
     broadcast_verify: bool = False,
     collapse_exact: bool = True,
     digest_table: DataFrame | None = None,
+    dup_members: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity >= threshold.
     ``unit='word'`` shingles on word n-grams; ``unit='char'`` on character
@@ -162,24 +195,47 @@ def ngram_jaccard_pairs(
     given, the collapse reads it instead of checkpointing its own — a
     caller running several exact pair joins over one corpus (this and
     :func:`containment_pairs`) pays the digest scan once.
+
+    Duplicate-mass-sized collapse state (r14 rework): the r13 collapse
+    carried corpus-sized machinery per call (a reps aggregate over every
+    digest, a corpus-wide expansion map, a representative semi-join and a
+    full-mem self-join — the measured ~0.5-1 s at sf0.1) even when the
+    corpus held almost no twins. The state is now
+    :func:`exact_dup_members` — members of MULTI-member digest groups
+    only — so the twin drop is an anti-join against the twin set, the
+    expansion legs are LEFT joins with identity fallback, and the intra
+    leg self-joins only actual twin groups: a corpus with 8 twins among
+    5000 docs pays ~16 rows of collapse state, while the x100
+    twin-duplication fixture degenerates to the full r13 collapse exactly
+    where it wins (>10 h -> 37 s). When the corpus has NO duplicate
+    groups the map is empty and the direct plan runs — bit-identical
+    output on every path. ``dup_members`` accepts a prebuilt (cached)
+    map; ``digest_table`` feeds the map build when only digests are
+    cached.
     """
     if collapse_exact:
-        # ONE corpus scan builds the (member id, digest) table; every
-        # downstream consumer (group-min reps, the expansion map, the
-        # representative semi-join) reads the checkpoint — without the cut
-        # the scan audit counted 8 corpus scans through these paths.
-        dg = (
-            digest_table
-            if digest_table is not None
-            else content_digests(docs, id_col, text_col)
+        # ONE corpus scan builds the dup-member map (r14: members of
+        # multi-member digest groups ONLY — the collapse state rides on
+        # duplicate mass, not corpus size); every downstream consumer
+        # (the twin anti-join, both expansion legs, the intra self-join)
+        # reads the checkpoint — without the cut the scan audit counted 8
+        # corpus scans through these paths.
+        mem = (
+            dup_members
+            if dup_members is not None
+            else exact_dup_members(docs, id_col, text_col, digest_table)
         )
-        reps = dg.groupBy("_dg").agg(F.min("_mid").alias("_rid"))
-        # (representative id, member id) — the expansion map
-        mem = dg.join(reps, "_dg").select(
-            F.col("_rid").alias("_rep"), F.col("_mid")
-        )
+        # adaptive identity skip: no duplicate groups -> the collapse is
+        # an algebraic identity; run the direct plan (bit-identical)
+        collapse_exact = bool(mem.take(1))
+    if collapse_exact:
+        # drop non-representative twins; singletons and reps stay
         work = docs.join(
-            reps.select(F.col("_rid").alias(id_col)), id_col, "left_semi"
+            mem.where(F.col("_mid") != F.col("_rep")).select(
+                F.col("_mid").alias(id_col)
+            ),
+            id_col,
+            "left_anti",
         )
     else:
         work = docs
@@ -299,12 +355,17 @@ def ngram_jaccard_pairs(
     # float); member ids interleave across groups, so re-order each pair.
     ma = mem.select(F.col("_rep").alias("id_a"), F.col("_mid").alias("_xa"))
     mb = mem.select(F.col("_rep").alias("id_b"), F.col("_mid").alias("_xb"))
+    # LEFT joins with identity fallback (r14): mem holds only dup-group
+    # members, so a pair not touching a dup representative expands to
+    # itself — the join state is duplicate-mass-sized, not corpus-sized.
+    xa = F.coalesce("_xa", F.col("id_a"))
+    xb = F.coalesce("_xb", F.col("id_b"))
     cross = (
-        pairs.join(ma, "id_a")
-        .join(mb, "id_b")
+        pairs.join(ma, "id_a", "left")
+        .join(mb, "id_b", "left")
         .select(
-            F.least("_xa", "_xb").alias("id_a"),
-            F.greatest("_xa", "_xb").alias("id_b"),
+            F.least(xa, xb).alias("id_a"),
+            F.greatest(xa, xb).alias("id_b"),
             "jaccard",
         )
     )
@@ -344,6 +405,7 @@ def containment_pairs(
     broadcast_verify: bool = False,
     collapse_exact: bool = True,
     digest_table: DataFrame | None = None,
+    dup_members: DataFrame | None = None,
 ) -> DataFrame:
     """Directed near-clone pairs by shingle-set CONTAINMENT (r10, §2.9
     extension): ``C(A->B) = |A ∩ B| / |A| >= threshold`` over distinct
@@ -383,21 +445,26 @@ def containment_pairs(
     :func:`content_digests` table for this exact ``docs`` input — shared
     with :func:`ngram_jaccard_pairs` so a caller running both exact pair
     joins over one corpus pays the digest scan + checkpoint once.
+    ``dup_members`` / the duplicate-mass-sized collapse state and the
+    adaptive identity skip follow the ``ngram_jaccard_pairs`` contract:
+    no duplicate groups -> the collapse is a no-op and the direct plan
+    runs, bit-identical.
     """
     if collapse_exact:
-        # one corpus scan for the digest table; consumers read the
-        # checkpoint (see the ngram_jaccard_pairs twin)
-        dg = (
-            digest_table
-            if digest_table is not None
-            else content_digests(docs, id_col, text_col)
+        # the dup-member map (duplicate-mass-sized; see the jaccard twin)
+        mem = (
+            dup_members
+            if dup_members is not None
+            else exact_dup_members(docs, id_col, text_col, digest_table)
         )
-        reps = dg.groupBy("_dg").agg(F.min("_mid").alias("_rid"))
-        mem = dg.join(reps, "_dg").select(
-            F.col("_rid").alias("_rep"), F.col("_mid")
-        )
+        collapse_exact = bool(mem.take(1))
+    if collapse_exact:
         work = docs.join(
-            reps.select(F.col("_rid").alias(id_col)), id_col, "left_semi"
+            mem.where(F.col("_mid") != F.col("_rep")).select(
+                F.col("_mid").alias(id_col)
+            ),
+            id_col,
+            "left_anti",
         )
     else:
         work = docs
@@ -476,12 +543,13 @@ def containment_pairs(
     # whenever both pass the threshold.
     ma = mem.select(F.col("_rep").alias("id_a"), F.col("_mid").alias("_xa"))
     mb = mem.select(F.col("_rep").alias("id_b"), F.col("_mid").alias("_xb"))
+    # LEFT joins with identity fallback (r14; see the jaccard twin)
     cross = (
-        pairs.join(ma, "id_a")
-        .join(mb, "id_b")
+        pairs.join(ma, "id_a", "left")
+        .join(mb, "id_b", "left")
         .select(
-            F.col("_xa").alias("id_a"),
-            F.col("_xb").alias("id_b"),
+            F.coalesce("_xa", F.col("id_a")).alias("id_a"),
+            F.coalesce("_xb", F.col("id_b")).alias("id_b"),
             "containment",
         )
     )

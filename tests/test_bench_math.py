@@ -122,3 +122,36 @@ def test_raw_and_normalized_summaries_coincide_on_quiet_run():
     raw = {k: round(statistics.median(v), 3) for k, v in runs.items()}
     base = {"a": 1.0, "b": 0.5}
     assert ratio_summary(norm, base) == ratio_summary(raw, base)
+
+
+def test_baseline_doc_selects_epoch_by_master(tmp_path):
+    """r14 (r13 VERDICT item 6): local runs rate against bench_baseline.json;
+    cluster-master runs rate against bench_baseline_cluster.json ONLY when
+    the recorded master matches exactly — never against the local epoch
+    (32 local cores vs 2xN executor cores are not comparable)."""
+    import json
+
+    from bench import baseline_doc
+
+    local = {"sf": 0.1, "queries": {"q": 1.0}}
+    cluster = {
+        "sf": 0.1,
+        "master": "local-cluster[2,8,4096]",
+        "queries": {"q": 2.0},
+    }
+    (tmp_path / "bench_baseline.json").write_text(json.dumps(local))
+    (tmp_path / "bench_baseline_cluster.json").write_text(json.dumps(cluster))
+    repo = str(tmp_path)
+
+    assert baseline_doc(None, "0.1", repo)["queries"] == {"q": 1.0}
+    assert baseline_doc("local-cluster[2,8,4096]", "0.1", repo)["queries"] == {
+        "q": 2.0
+    }
+    # a DIFFERENT cluster shape is unrated (ratio-only), not local-rated
+    assert baseline_doc("local-cluster[2,4,8192]", "0.1", repo) == {}
+    # sf mismatch -> unrated on both paths
+    assert baseline_doc(None, "0.01", repo) == {}
+    assert baseline_doc("local-cluster[2,8,4096]", "0.01", repo) == {}
+    # missing cluster epoch -> unrated cluster run
+    (tmp_path / "bench_baseline_cluster.json").unlink()
+    assert baseline_doc("local-cluster[2,8,4096]", "0.1", repo) == {}

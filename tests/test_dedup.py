@@ -870,3 +870,60 @@ def test_containment_broadcast_verify_output_identical(spark, docs_df):
         for r in containment_pairs(docs_df, broadcast_verify=True, **kw).collect()
     }
     assert default == bcast and len(default) > 0
+
+
+def test_exact_collapse_adaptive_skip_is_lossless(spark, docs_df):
+    """r14: the digest-collapse runs ONLY when duplicate digests exist —
+    on a dup-free corpus it is an algebraic identity whose ~5 extra
+    exchanges per call are pure overhead (the r13-measured ~0.5-1 s at
+    sf0.1). Pin both sides: (a) with dups present, collapse on == off;
+    (b) on a dup-free corpus, the skipped plan == the forced-collapse
+    plan (digest_has_dups=True forces the machinery through the identity
+    case); (c) exact twins still emit 1.0 pairs through the collapse."""
+    from fdi_flow_spark.pipelines.dedup import containment_pairs
+
+    # (a) dup corpus (docs_df carries 3 exact twins): collapse on == off
+    on = _pairs(ngram_jaccard_pairs(docs_df, n=2, threshold=0.5))
+    off = _pairs(
+        ngram_jaccard_pairs(docs_df, n=2, threshold=0.5, collapse_exact=False)
+    )
+    assert on == off and len(on) > 0
+    # (c) twin pairs present at exactly 1.0
+    assert any(v == 1.0 for v in on.values())
+
+    # (b) dup-free corpus: the dup-member map is empty, the skip fires,
+    # and the output equals the explicit no-collapse plan
+    # base docs + the 8 near-dups (ids 40-47), minus the 3 exact twins
+    # (ids 48-50): near-dup pairs exist but no digest repeats
+    from fdi_flow_spark.pipelines.dedup import exact_dup_members
+
+    nodup = docs_df.where(F.col("doc_id") < 48)
+    assert exact_dup_members(nodup).count() == 0
+    skip = _pairs(ngram_jaccard_pairs(nodup, n=2, threshold=0.5))
+    direct = _pairs(
+        ngram_jaccard_pairs(nodup, n=2, threshold=0.5, collapse_exact=False)
+    )
+    assert skip == direct and len(skip) > 0
+    # ... and a PREBUILT dup map (the registry cache path) on the dup
+    # corpus matches the self-built path
+    mem = exact_dup_members(docs_df)
+    assert mem.count() > 0
+    cached = _pairs(
+        ngram_jaccard_pairs(docs_df, n=2, threshold=0.5, dup_members=mem)
+    )
+    assert cached == on
+
+    # same contract for the directed join
+    c_on = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(
+            docs_df, n=2, unit="word", threshold=0.6
+        ).collect()
+    }
+    c_off = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(
+            docs_df, n=2, unit="word", threshold=0.6, collapse_exact=False
+        ).collect()
+    }
+    assert c_on == c_off and len(c_on) > 0
