@@ -116,6 +116,18 @@ busy host), there is no quiet re-measure to substitute — the suite median
 (dedup_components_grouped gated 2.13 vs suite-anchored 1.39) was exactly
 this: three loaded windows (1.45-1.73) and the rule fed the loaded min
 into the gate over the quieter suite figure.
+
+Cluster baseline epoch (r14, r13 VERDICT item 6): a
+$SPARK_GRAFT_BENCH_MASTER run rates against bench_baseline_cluster.json
+when that file's recorded master matches exactly (see baseline_doc) —
+cluster-specific regressions (serialization, netty shuffle, executor
+Python pools) become gateable against their own epoch instead of hiding
+inside cluster-vs-local ratios. Snapshot the epoch with
+scripts/snapshot_cluster_baseline.py from a cluster spread sidecar.
+Isolation re-measures stay disabled under a cluster master; hygiene
+keying always uses the LOCAL baseline there (which-queries-are-heavy is
+machine-shape-invariant), so the epoch recording — taken before any epoch
+file exists — and later epoch-rated runs share one protocol.
 """
 
 from __future__ import annotations
@@ -657,7 +669,14 @@ def main() -> None:
     # must match this run's $SPARK_GRAFT_BENCH_MASTER exactly — a [2,8,4096]
     # epoch says nothing about a [2,4,8192] run.
     _bdoc = baseline_doc(bench_master, sf)
-    _base_for_hygiene: dict[str, float] = _bdoc.get("queries", {})
+    # Hygiene keying ALWAYS uses the local baseline (r14): which queries
+    # are heap-heavy is machine-shape-invariant, and keying a cluster run
+    # on cluster medians (~1.3x local) would give the epoch recording (no
+    # epoch file yet -> local keying) a different HEAVY set than the
+    # epoch-rated runs after it. Rating uses _bdoc (the per-shape epoch).
+    _base_for_hygiene: dict[str, float] = (
+        baseline_doc(None, sf) if bench_master else _bdoc
+    ).get("queries", {})
     HEAVY = {n for n, b in _base_for_hygiene.items() if b > HYGIENE_SEC}
     # r12 ADVICE (low): an empty HEAVY set means the pre-hygiene lever is
     # OFF (baseline missing/unparseable/different sf) and the run is not
