@@ -927,3 +927,38 @@ def test_exact_collapse_adaptive_skip_is_lossless(spark, docs_df):
         ).collect()
     }
     assert c_on == c_off and len(c_on) > 0
+
+
+def test_collapse_twin_edge_cases(spark):
+    """r14: the same-digest 1.0 leg must track the shingling universe —
+    twins whose text yields ZERO shingles (shorter than the n-gram window)
+    never enter the pair space, exactly as the direct per-pair path would
+    never emit them; and exact_dup_members holds only multi-member groups
+    with the group-min id as representative."""
+    from fdi_flow_spark.pipelines.dedup import (
+        containment_pairs,
+        exact_dup_members,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4"),   # twin group A (shingles exist)
+            (2, "w1 w2 w3 w4"),
+            (3, "x"),              # twin group B: single word -> no bigrams
+            (4, "x"),
+            (5, "z1 z2 z3"),       # singleton
+        ],
+        "doc_id long, text string",
+    )
+    mem = {(r._rep, r._mid) for r in exact_dup_members(docs).collect()}
+    assert mem == {(1, 1), (1, 2), (3, 3), (3, 4)}  # reps = group minima
+
+    got = _pairs(ngram_jaccard_pairs(docs, n=2, unit="word", threshold=0.5))
+    assert got == {(1, 2): 1.0}  # group B never shingles -> no 1.0 pair
+
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(docs, n=2, unit="word", threshold=0.5).collect()
+    }
+    assert cont == {(1, 2): 1.0, (2, 1): 1.0}  # directed: both orientations
