@@ -155,12 +155,34 @@ def main() -> None:
         with open(sidecar, "w") as f:
             json.dump(out, f, indent=1)
 
+    # Custom entries measure an operator's DOCUMENTED scale path when the
+    # registry query pins an x1-shaped knob (the rolling_corr_grouped
+    # precedent in scaling_rehearsal.py). semantic_dedup's contract is
+    # "k scales with the corpus" (SemDeDup uses ~100k clusters at web
+    # scale) precisely so per-cluster gemm blocks stay bounded — at the
+    # x100 corpus the registry's k=8 would grow each cluster 100x and the
+    # O(cluster^2) gemm 10,000x (~1e16 FLOPs, a measured-by-arithmetic
+    # stall), which would demonstrate the documented anti-pattern, not
+    # the engine. k=800 at x100 holds per-cluster blocks at their x1 size;
+    # output still explodes legitimately (every vector has 99 exact twins
+    # in-cluster by construction).
+    def _semantic_dedup_scaled_k(spark, d):
+        from fdi_flow_spark.pipelines.clustering import semantic_dedup_pairs
+        from fdi_flow_spark.sources.tables import load_table
+
+        k = 8 if d == BASE else 800
+        return semantic_dedup_pairs(
+            load_table(spark, d, "embeddings"), k=k, n_iter=2, threshold=0.4
+        )
+
+    CUSTOM = {"semantic_dedup_scaled_k": _semantic_dedup_scaled_k}
+
     done = set(_load().get("x100_cluster", {}).get("queries", {}))
     for name in names:
         if name in done:
             print(f"x100_cluster {name}: already recorded, skipping", file=sys.stderr)
             continue
-        fn = REG[name]
+        fn = CUSTOM.get(name) or REG[name]
         rec: dict = {}
         for label, d, n_runs in (("1", BASE, n1), ("100", X100, n100)):
             ts = []
