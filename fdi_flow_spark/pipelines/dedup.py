@@ -1425,17 +1425,18 @@ def strip_duplicated_spans(
     string when everything was dropped), mirroring ``line_dedup``'s
     reassembly contract.
 
-    Scale shape: three corpus scans (token stream, window aggregate,
-    occurrence join), all joins on 8-byte hashes; the covered-position
-    explode is k x (foreign duplicated occurrences) — proportional to the
-    duplicated portion of the corpus, not to the corpus."""
+    Scale shape: two corpus scans (doc token arrays, window aggregate) and
+    ONE data-sized join keyed by doc — the per-token stream is never
+    exploded or shuffled. Covered positions are aggregated per doc from the
+    FOREIGN duplicated occurrences only (rows proportional to the
+    duplicated portion of the corpus, k positions flattened in array land),
+    and the kept text is rebuilt in place with array_except over the
+    position range, so the corpus token payload crosses the network at most
+    once (not at all when the coverage side broadcasts)."""
     docs = ensure_min_parallelism(docs, id_col)
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
-    tokens = (
-        docs.select(F.col(id_col).alias("id"), toks.alias("_t"))
-        .where(F.size("_t") >= 1)
-        .select("id", F.posexplode("_t").alias("_p0", "tok"))
-        .select("id", (F.col("_p0") + 1).cast("bigint").alias("pos"), "tok")
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("_t")).where(
+        F.size("_t") >= 1
     )
     w = _token_windows(docs, id_col, text_col, k)
     stats = (
@@ -1445,34 +1446,38 @@ def strip_duplicated_spans(
         .select("h", "_owner")
     )
     foreign = w.join(stats, "h").where(F.col("id") > F.col("_owner")).select("id", "start")
-    covered = (
-        foreign.select(
-            "id",
-            F.explode(F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))).alias(
-                "pos"
-            ),
-        )
-        .distinct()
-        .withColumn("_cov", F.lit(True))
+    cov = foreign.groupBy("id").agg(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.collect_list("start"),
+                    lambda s: F.sequence(s, s + F.lit(k - 1)),
+                )
+            )
+        ).alias("_cov")
     )
-    marked = tokens.join(covered, ["id", "pos"], "left").withColumn(
-        "_drop", F.coalesce(F.col("_cov"), F.lit(False))
-    )
+    # every covered position is a valid token index (window starts satisfy
+    # start + k - 1 <= n_tokens), so n_dropped = |cov| and the kept tokens
+    # are the position range minus cov, in ascending order (array_except
+    # preserves the first array's order).
     kept = F.transform(
-        F.filter(
-            F.sort_array(F.collect_list(F.struct("pos", "_drop", "tok"))),
-            lambda s: ~s["_drop"],
+        F.array_except(
+            F.sequence(F.lit(1).cast("bigint"), F.size("_t").cast("bigint")),
+            F.col("_cov"),
         ),
-        lambda s: s["tok"],
+        lambda p: F.element_at(F.col("_t"), p.cast("int")),
     )
     return (
-        marked.groupBy("id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_tokens"),
-            F.sum(F.col("_drop").cast("bigint")).alias("n_dropped"),
+        base.join(cov, "id", "left")
+        .withColumn(
+            "_cov", F.coalesce(F.col("_cov"), F.expr("CAST(array() AS array<bigint>)"))
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.size("_t").cast("bigint").alias("n_tokens"),
+            F.size("_cov").cast("bigint").alias("n_dropped"),
             F.md5(F.array_join(kept, " ")).alias("clean_md5"),
         )
-        .select(F.col("id").alias(id_col), "n_tokens", "n_dropped", "clean_md5")
     )
 
 
