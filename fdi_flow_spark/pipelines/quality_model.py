@@ -89,22 +89,32 @@ def nb_quality_fit(
     # leg — totals here, and the WHOLE fit inside any fit+score plan like
     # curation_scored — lazily re-derives the corpus gram stream
     # (curation_scored measured 10 documents scans before this).
-    counts = (
-        g.groupBy("b")
-        .agg(
-            F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("c1"),
-            F.sum(F.when(F.col("label"), 0).otherwise(1)).alias("c0"),
-        )
-        .localCheckpoint()
+    from fdi_flow_spark.core.concurrency import build_concurrently
+
+    counts, dprior = build_concurrently(
+        lambda: (
+            g.groupBy("b")
+            .agg(
+                F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("c1"),
+                F.sum(F.when(F.col("label"), 0).otherwise(1)).alias("c0"),
+            )
+            .localCheckpoint()
+        ),
+        lambda: (
+            docs.agg(
+                F.sum(
+                    F.when(F.col(label_col).cast("boolean"), 1).otherwise(0)
+                ).alias("d1"),
+                F.sum(
+                    F.when(F.col(label_col).cast("boolean"), 0).otherwise(1)
+                ).alias("d0"),
+            ).localCheckpoint()
+        ),
     )
     totals = counts.agg(
         F.coalesce(F.sum("c1"), F.lit(0)).alias("n1"),
         F.coalesce(F.sum("c0"), F.lit(0)).alias("n0"),
     )
-    dprior = docs.agg(
-        F.sum(F.when(F.col(label_col).cast("boolean"), 1).otherwise(0)).alias("d1"),
-        F.sum(F.when(F.col(label_col).cast("boolean"), 0).otherwise(1)).alias("d0"),
-    ).localCheckpoint()
     domain = docs.sparkSession.range(buckets).select(F.col("id").alias("b"))
     return (
         domain.join(counts, "b", "left")

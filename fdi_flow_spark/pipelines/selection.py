@@ -88,19 +88,21 @@ def dsir_fit(
     # <= buckets rows, and without the checkpoints the totals legs below —
     # and the whole fit inside any fit+score plan — lazily re-derive the
     # corpus gram streams (the repeated-scan class test_plan_shape pins).
-    raw_c = (
-        _gram_stream(raw_docs, id_col, text_col)
-        .withColumn("b", _hash_bucket(F.col("gram"), seed, buckets))
-        .groupBy("b")
-        .agg(F.count("*").alias("cr"))
-        .localCheckpoint()
-    )
-    tgt_c = (
-        _gram_stream(target_docs, id_col, text_col)
-        .withColumn("b", _hash_bucket(F.col("gram"), seed, buckets))
-        .groupBy("b")
-        .agg(F.count("*").alias("ct"))
-        .localCheckpoint()
+    # The two scans are independent jobs, so they run concurrently.
+    from fdi_flow_spark.core.concurrency import build_concurrently
+
+    def _bucket_counts(docs: DataFrame, out: str) -> DataFrame:
+        return (
+            _gram_stream(docs, id_col, text_col)
+            .withColumn("b", _hash_bucket(F.col("gram"), seed, buckets))
+            .groupBy("b")
+            .agg(F.count("*").alias(out))
+            .localCheckpoint()
+        )
+
+    raw_c, tgt_c = build_concurrently(
+        lambda: _bucket_counts(raw_docs, "cr"),
+        lambda: _bucket_counts(target_docs, "ct"),
     )
     raw_n = raw_c.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
     tgt_n = tgt_c.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))

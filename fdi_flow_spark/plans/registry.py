@@ -3693,23 +3693,27 @@ def q_curation_scored(spark, sf_dir):
             F.concat(F.lit("  "), F.col("text")).alias("text"),
         )
     )
-    nb_model = nb_quality_fit(
-        corpus.withColumn("is_en", F.col("lang") == "en"), "is_en"
-    )
-    dsir_model = dsir_fit(corpus, corpus.where(F.col("source") == "src0"))
     # materialized like the models: in production the digest table is
     # PERSISTED next to the LSH band index (dedup_against contract), so
     # the per-shard plan reads digests, never the corpus. Digests are of
     # the CLEANED corpus text (ADVICE r7): curation_stream_score digests
     # arriving text AFTER clean_docs, so a raw-text digest table would
     # silently never flag any corpus doc whose text cleanup alters.
+    # The three artifact builds are independent jobs -> built concurrently.
+    from fdi_flow_spark.core.concurrency import build_concurrently
     from fdi_flow_spark.pipelines.text import clean_docs
 
-    digests = (
-        clean_docs(corpus.select("doc_id", "text"))
-        .select(F.md5("text").alias("digest"))
-        .distinct()
-        .localCheckpoint()
+    nb_model, dsir_model, digests = build_concurrently(
+        lambda: nb_quality_fit(
+            corpus.withColumn("is_en", F.col("lang") == "en"), "is_en"
+        ),
+        lambda: dsir_fit(corpus, corpus.where(F.col("source") == "src0")),
+        lambda: (
+            clean_docs(corpus.select("doc_id", "text"))
+            .select(F.md5("text").alias("digest"))
+            .distinct()
+            .localCheckpoint()
+        ),
     )
     return curation_stream_score(arriving, digests, nb_model, dsir_model)
 
@@ -3869,20 +3873,31 @@ def q_curation_deploy(spark, sf_dir):
             (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "lang"
         )
     )
-    nb_model = nb_quality_fit(
-        corpus.withColumn("is_en", F.col("lang") == "en"), "is_en"
+    # The offline artifact fits are independent jobs (the LM cutoff fit
+    # depends on the LM counts, so that pair is one sequenced task) ->
+    # built concurrently instead of serially from the driver.
+    from fdi_flow_spark.core.concurrency import build_concurrently
+
+    def _lm_artifacts():
+        # ONE LM fit serves both the cutoff fitting and the scoring stage —
+        # the count table IS the persisted artifact (KenLM shape)
+        counts = fit_bigram_counts(corpus).localCheckpoint()
+        cutoffs = perplexity_cutoffs(corpus, model_counts=counts).localCheckpoint()
+        return counts, cutoffs
+
+    nb_model, dsir_model, digests, (counts, cutoffs) = build_concurrently(
+        lambda: nb_quality_fit(
+            corpus.withColumn("is_en", F.col("lang") == "en"), "is_en"
+        ),
+        lambda: dsir_fit(corpus, corpus.where(F.col("source") == "src0")),
+        lambda: (
+            clean_docs(corpus.select("doc_id", "text"))
+            .select(F.md5("text").alias("digest"))
+            .distinct()
+            .localCheckpoint()
+        ),
+        _lm_artifacts,
     )
-    dsir_model = dsir_fit(corpus, corpus.where(F.col("source") == "src0"))
-    digests = (
-        clean_docs(corpus.select("doc_id", "text"))
-        .select(F.md5("text").alias("digest"))
-        .distinct()
-        .localCheckpoint()
-    )
-    # ONE LM fit serves both the cutoff fitting and the scoring stage —
-    # the count table IS the persisted artifact (KenLM shape)
-    counts = fit_bigram_counts(corpus).localCheckpoint()
-    cutoffs = perplexity_cutoffs(corpus, model_counts=counts).localCheckpoint()
     return curation_deploy_score(
         arriving, digests, nb_model, dsir_model, None, cutoffs, lm_counts=counts
     )
