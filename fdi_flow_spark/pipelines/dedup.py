@@ -579,6 +579,53 @@ def _shingle_hash(col):
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def _hashed_shingles(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    unit: str = "char",
+    char_k: int = 12,
+) -> DataFrame:
+    """Per-doc DISTINCT md5-bridge shingle hashes ``(id, h)`` with the
+    dedup done in array land: the shingle array is hashed and
+    ``array_distinct``-ed per row BEFORE the explode, so an in-doc hash
+    collision between distinct shingles collapses exactly like
+    ``dropDuplicates(["id", "h"])`` — but without the corpus-sized
+    exchange that dropDuplicates pays (the map-side partial aggregate
+    already found the rows unique, so that exchange moved the full
+    stream to discover nothing). Output rows stay clustered by the
+    input's doc partitioning, which per-doc windows downstream reuse."""
+    docs = ensure_min_parallelism(docs, id_col)
+    if unit == "char":
+        grams = F.expr(
+            f"""
+            array_distinct(transform(
+              sequence(1, length({text_col}) - {char_k - 1}),
+              i -> substring({text_col}, i, {char_k})))
+            """
+        )
+        base = docs.where(F.length(F.col(text_col)) >= char_k).select(
+            F.col(id_col).alias("id"), grams.alias("_g")
+        )
+    else:
+        toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
+        grams = F.expr(
+            f"""
+            array_distinct(transform(
+              sequence(1, greatest(0, size(_toks) - {n - 1})),
+              i -> array_join(slice(_toks, i, {n}), ' ')))
+            """
+        )
+        base = (
+            docs.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+            .where(F.size("_toks") >= n)
+            .select("id", grams.alias("_g"))
+        )
+    harr = F.array_distinct(F.transform(F.col("_g"), lambda s: _shingle_hash(s)))
+    return base.select("id", F.explode(harr).alias("h"))
+
+
 def containment_screened(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -665,24 +712,19 @@ def containment_screened(
     cap, or ``None`` to disable (full-universe semantics; only safe on
     high-entropy corpora).
     """
-    if unit == "char":
-        shingles = _char_ngrams(docs, id_col, text_col, char_k)
-    else:
-        shingles = _word_ngrams(docs, id_col, text_col, n)
     # deduped on (id, h): an in-doc hash collision shrinks the set the same
-    # way in both engines. One materialization feeds sketch + index (+
-    # verify arrays) — same cut as the exact twins. SERIALIZED storage
-    # (the minhash signature-checkpoint lesson): 143M (long, long) rows at
-    # the x100 rehearsal are ~2 GB serialized but ~10x that as deserialized
-    # JVM rows — the deserialized default OOM'd the 8 GB single-JVM
-    # rehearsal before the first join ran.
+    # way in both engines (array-land dedup — no dropDuplicates exchange).
+    # One materialization feeds sketch + index (+ verify arrays) — same cut
+    # as the exact twins. SERIALIZED storage (the minhash
+    # signature-checkpoint lesson): 143M (long, long) rows at the x100
+    # rehearsal are ~2 GB serialized but ~10x that as deserialized JVM rows
+    # — the deserialized default OOM'd the 8 GB single-JVM rehearsal before
+    # the first join ran.
     from pyspark import StorageLevel
 
-    hashed = (
-        shingles.select("id", _shingle_hash(F.col("shingle")).alias("h"))
-        .dropDuplicates(["id", "h"])
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
-    )
+    hashed = _hashed_shingles(
+        docs, id_col, text_col, n=n, unit=unit, char_k=char_k
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     dfreq = hashed.groupBy("h").agg(F.count("*").alias("_df"))
     if max_df is not None:
         if max_df == "auto":
@@ -767,21 +809,15 @@ def containment_index(
     Persist both next to the LSH band index; arriving shards never
     re-scan the corpus.
     """
-    if unit == "char":
-        shingles = _char_ngrams(corpus, id_col, text_col, char_k)
-    else:
-        shingles = _word_ngrams(corpus, id_col, text_col, n)
     # one materialization (serialized, as in containment_screened) feeds
     # the THREE consumers below — dfreq, the n_docs scalar, and the
     # anti-join — which otherwise each re-run the corpus md5-shingle
     # explode (measured: the unchecked build paid the explode twice)
     from pyspark import StorageLevel
 
-    hashed = (
-        shingles.select("id", _shingle_hash(F.col("shingle")).alias("h"))
-        .dropDuplicates(["id", "h"])
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
-    )
+    hashed = _hashed_shingles(
+        corpus, id_col, text_col, n=n, unit=unit, char_k=char_k
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     dfreq = hashed.groupBy("h").agg(F.count("*").alias("_df"))
     if max_df is None:
         hot = dfreq.where(F.lit(False))
@@ -791,7 +827,11 @@ def containment_index(
         hot = dfreq.crossJoin(F.broadcast(nd)).where(F.col("_df") > cap)
     else:
         hot = dfreq.where(F.col("_df") > F.lit(int(max_df)))
-    hot = hot.select("h")
+    # the hot set is tiny by construction; materializing it here means the
+    # caller's index checkpoint runs ONE anti-join over the hashed table
+    # instead of re-deriving the df aggregate (and the n_docs scalar)
+    # inside its own job
+    hot = hot.select("h").localCheckpoint()
     index = hashed.join(F.broadcast(hot), "h", "left_anti").select("id", "h")
     return index, hot
 
@@ -829,15 +869,9 @@ def containment_screen_against(
     per-shard cost. Streaming twin: ``streaming.containment_probe``
     (foreachBatch — the per-doc rank window is a batch-side shape), with
     the ``batch_id``-partition idempotent sink of the ANN probe."""
-    if unit == "char":
-        shingles = _char_ngrams(new_docs, id_col, text_col, char_k)
-    else:
-        shingles = _word_ngrams(new_docs, id_col, text_col, n)
-    hashed_new = (
-        shingles.select("id", _shingle_hash(F.col("shingle")).alias("h"))
-        .dropDuplicates(["id", "h"])
-        .join(F.broadcast(corpus_hot), "h", "left_anti")
-    )
+    hashed_new = _hashed_shingles(
+        new_docs, id_col, text_col, n=n, unit=unit, char_k=char_k
+    ).join(F.broadcast(corpus_hot), "h", "left_anti")
     dfreq = corpus_index.groupBy("h").agg(F.count("*").alias("_df"))
     byid = Window.partitionBy("id")
     sk = (

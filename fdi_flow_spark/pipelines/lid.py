@@ -130,15 +130,21 @@ def lid_fit(
     # plan (and anything scoring against it) re-reads the tiny checkpointed
     # tables, never the corpus. Without this the lazy plan re-derived the
     # gram stream per downstream leg (7 corpus scans, measured).
-    counts = (
-        gb.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    from fdi_flow_spark.core.concurrency import build_concurrently
+
+    counts, dp = build_concurrently(
+        lambda: (
+            gb.groupBy("lang", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint()
+        ),
+        lambda: (
+            docs.groupBy(F.col(label_col).alias("lang"))
+            .agg(F.count(F.lit(1)).alias("dl"))
+            .localCheckpoint()
+        ),
     )
     totals = counts.groupBy("lang").agg(F.sum("c").alias("n"))
-    dp = (
-        docs.groupBy(F.col(label_col).alias("lang"))
-        .agg(F.count(F.lit(1)).alias("dl"))
-        .localCheckpoint()
-    )
     # class-count totals derive from dp (n_langs rows) — identical values
     # to aggregating the corpus again, without the extra scan
     dt = dp.agg(F.sum("dl").alias("dd"), F.count(F.lit(1)).alias("ll"))
