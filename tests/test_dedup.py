@@ -962,3 +962,33 @@ def test_collapse_twin_edge_cases(spark):
         for r in containment_pairs(docs, n=2, unit="word", threshold=0.5).collect()
     }
     assert cont == {(1, 2): 1.0, (2, 1): 1.0}  # directed: both orientations
+
+
+def test_hashed_shingles_matches_legacy_dedup_and_adds_no_exchange(spark, docs_df):
+    """r14 optimization pin: _hashed_shingles (per-row array_distinct before
+    the explode) must produce exactly the (id, h) set the legacy
+    explode + dropDuplicates(["id","h"]) form produced — in-doc hash
+    collisions and all — while its physical plan carries NO Exchange (the
+    removed corpus-sized dedup shuffle is the point of the rewrite)."""
+    from fdi_flow_spark.pipelines.dedup import (
+        _char_ngrams,
+        _hashed_shingles,
+        _shingle_hash,
+        _word_ngrams,
+    )
+
+    for unit in ("word", "char"):
+        new = _hashed_shingles(docs_df, "doc_id", "text", n=2, unit=unit, char_k=12)
+        legacy_shingles = (
+            _char_ngrams(docs_df, "doc_id", "text", 12)
+            if unit == "char"
+            else _word_ngrams(docs_df, "doc_id", "text", 2)
+        )
+        legacy = legacy_shingles.select(
+            "id", _shingle_hash(F.col("shingle")).alias("h")
+        ).dropDuplicates(["id", "h"])
+        assert {(r.id, r.h) for r in new.collect()} == {
+            (r.id, r.h) for r in legacy.collect()
+        }, unit
+        plan = new._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"unexpected shuffle in {unit} plan:\n{plan}"
