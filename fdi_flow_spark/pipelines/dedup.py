@@ -74,6 +74,57 @@ def _char_ngrams(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFra
     )
 
 
+def _shingle_hash_arrays(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    unit: str = "char",
+    char_k: int = 12,
+) -> DataFrame:
+    """Per-doc SORTED xxhash64 shingle-hash arrays ``(id, ns, arr)`` built
+    entirely in array land — the zero-shuffle twin of the
+    ``explode -> xxhash64 -> groupBy(id).collect_list -> sort_array``
+    rebuild the exact pair joins paid before r14: that collect_list groupBy
+    hash-partitioned the full corpus shingle stream to reassemble rows that
+    were never split across partitions in the first place (every doc's
+    shingles are born in one row). ``arr`` keeps in-doc hash collisions
+    between distinct shingles exactly like collect_list did (array_distinct
+    runs on shingle STRINGS, before hashing); ``ns`` = size of the distinct
+    shingle set — the per-doc count the prefix filters previously recomputed
+    with an unordered count window over the id exchange. Row filter matches
+    :func:`_word_ngrams` / :func:`_char_ngrams`: docs that yield no shingle
+    emit no row."""
+    docs = ensure_min_parallelism(docs, id_col)
+    if unit == "char":
+        grams = F.expr(
+            f"""
+            array_distinct(transform(
+              sequence(1, length({text_col}) - {char_k - 1}),
+              i -> substring({text_col}, i, {char_k})))
+            """
+        )
+        base = docs.where(F.length(F.col(text_col)) >= char_k).select(
+            F.col(id_col).alias("id"), grams.alias("_g")
+        )
+    else:
+        toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
+        grams = F.expr(
+            f"""
+            array_distinct(transform(
+              sequence(1, greatest(0, size(_toks) - {n - 1})),
+              i -> array_join(slice(_toks, i, {n}), ' ')))
+            """
+        )
+        base = (
+            docs.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+            .where(F.size("_toks") >= n)
+            .select("id", grams.alias("_g"))
+        )
+    harr = F.sort_array(F.transform(F.col("_g"), lambda s: F.xxhash64(s)))
+    return base.select("id", F.size("_g").alias("ns"), harr.alias("arr"))
+
+
 def content_digests(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -239,27 +290,30 @@ def ngram_jaccard_pairs(
         )
     else:
         work = docs
-    if unit == "char":
-        shingles = _char_ngrams(work, id_col, text_col, char_k)
-    else:
-        shingles = _word_ngrams(work, id_col, text_col, n)
     # Join/shuffle on 8-byte shingle hashes instead of strings (xxhash64
     # collisions are ~1e-11 at realistic shingle cardinalities — the exact
     # intersection count is then computed over hashed arrays).
-    # Materialize ONCE: six downstream consumers (sizes, arrays, dfreq,
-    # prefix rank, both verify sides) otherwise each re-run the corpus scan
-    # + explode + hash — the un-cut plan held 16 parquet scans of the corpus.
+    # Materialize ONCE, in ARRAY form (r14): the per-doc sorted hash arrays
+    # are built in array land (zero shuffle) and every downstream consumer —
+    # dfreq, prefix rank, both verify sides — derives from this checkpoint.
+    # The pre-r14 shape checkpointed the EXPLODED (id, hash) stream and
+    # rebuilt the verify arrays with groupBy(id).collect_list: a full
+    # corpus-shingle Exchange (paid once per verify side in the physical
+    # plan) reassembling rows that were born together, plus an unordered
+    # count window recomputing per-doc sizes the arrays already knew.
     from pyspark import StorageLevel
 
     # SERIALIZED storage (r11, the minhash signature-checkpoint lesson):
-    # (long, long) rows held as deserialized JVM objects are ~10x their
+    # long-array rows held as deserialized JVM objects are ~10x their
     # bytes; the serialized block is the difference between fitting and
     # OOMing the single-JVM x100 rehearsal, and cuts GC pressure on the
     # wide verify joins at every scale.
-    shingles = shingles.select(
-        "id", F.xxhash64("shingle").alias("shingle")
-    ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
-    arrays = shingles.groupBy("id").agg(F.sort_array(F.collect_list("shingle")).alias("arr"))
+    arrays = _shingle_hash_arrays(work, id_col, text_col, n, unit, char_k).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+    # the inverted-index stream, re-derived map-side from the checkpoint
+    # (explode is CPU-only; ns rides along so no count window is needed)
+    shingles = arrays.select("id", "ns", F.explode("arr").alias("shingle"))
 
     if prefix_filter:
         # Extended-prefix AllPairs: keep each doc's beta-fraction rarest
@@ -272,10 +326,8 @@ def ngram_jaccard_pairs(
         # pairs, and only near-matches reach exact verification.
         beta = max(0.8, 1.0 - threshold + 0.05)
         dfreq = shingles.groupBy("shingle").agg(F.count("*").alias("_df"))
-        # ns rides the SAME id-partitioned window exchange as the rank
-        # (an unordered count window; the n:1 dfreq join preserves the
-        # per-id row count) — a separate groupBy(id) sizes table + rejoin
-        # cost two extra stages over the full shingle stream (r10b).
+        # ns arrives with the explode (size of the checkpointed array) —
+        # the pre-r14 unordered count window over the id exchange is gone.
         ranked = (
             shingles.join(dfreq, "shingle")
             .withColumn(
@@ -284,7 +336,6 @@ def ngram_jaccard_pairs(
                     Window.partitionBy("id").orderBy(F.col("_df").asc(), F.col("shingle").asc())
                 ),
             )
-            .withColumn("ns", F.count("*").over(Window.partitionBy("id")))
             .withColumn("_p", F.ceil(F.lit(beta) * F.col("ns")))
             .where(F.col("_r") <= F.col("_p"))
             .select("id", "shingle", "ns", "_p")
@@ -321,7 +372,8 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b")
         )
     else:
-        a, b = shingles.alias("a"), shingles.alias("b")
+        inv = shingles.select("id", "shingle")
+        a, b = inv.alias("a"), inv.alias("b")
         cand = (
             a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -468,29 +520,28 @@ def containment_pairs(
         )
     else:
         work = docs
-    if unit == "char":
-        shingles = _char_ngrams(work, id_col, text_col, char_k)
-    else:
-        shingles = _word_ngrams(work, id_col, text_col, n)
     # One materialization feeds sizes/arrays/dfreq/prefix/both join sides —
-    # same cut as ngram_jaccard_pairs (the un-cut plan re-scans the corpus
-    # per consumer).
+    # same cut as ngram_jaccard_pairs, and same r14 ARRAY-form rework: the
+    # per-doc sorted hash arrays are built in array land (zero shuffle),
+    # killing the groupBy(id).collect_list Exchange that reassembled the
+    # exploded stream and the unordered count window that recomputed ns.
     from pyspark import StorageLevel
 
     # SERIALIZED storage (r11, the minhash signature-checkpoint lesson):
-    # (long, long) rows held as deserialized JVM objects are ~10x their
+    # long-array rows held as deserialized JVM objects are ~10x their
     # bytes; the serialized block is the difference between fitting and
     # OOMing the single-JVM x100 rehearsal, and cuts GC pressure on the
     # wide verify joins at every scale.
-    shingles = shingles.select(
-        "id", F.xxhash64("shingle").alias("shingle")
-    ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
-    arrays = shingles.groupBy("id").agg(F.sort_array(F.collect_list("shingle")).alias("arr"))
+    arrays = _shingle_hash_arrays(work, id_col, text_col, n, unit, char_k).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+    shingles = arrays.select("id", "ns", F.explode("arr").alias("shingle"))
+    inv = shingles.select("id", "shingle")
 
     if prefix_filter:
         dfreq = shingles.groupBy("shingle").agg(F.count("*").alias("_df"))
-        # ns via an unordered count window on the same id exchange as the
-        # rank — no separate sizes aggregate + rejoin (see the Jaccard twin)
+        # ns arrives with the explode (size of the checkpointed array) —
+        # no count window (see the Jaccard twin)
         pref = (
             shingles.join(dfreq, "shingle")
             .withColumn(
@@ -499,14 +550,13 @@ def containment_pairs(
                     Window.partitionBy("id").orderBy(F.col("_df").asc(), F.col("shingle").asc())
                 ),
             )
-            .withColumn("_ns", F.count("*").over(Window.partitionBy("id")))
-            .where(F.col("_r") <= F.col("_ns") - F.ceil(F.lit(threshold) * F.col("_ns")) + 1)
+            .where(F.col("_r") <= F.col("ns") - F.ceil(F.lit(threshold) * F.col("ns")) + 1)
             .select("id", "shingle")
         )
         cand = (
             pref.alias("a")
             .join(
-                shingles.alias("b"),
+                inv.alias("b"),
                 (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") != F.col("b.id")),
             )
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -514,9 +564,9 @@ def containment_pairs(
         )
     else:
         cand = (
-            shingles.alias("a")
+            inv.alias("a")
             .join(
-                shingles.alias("b"),
+                inv.alias("b"),
                 (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") != F.col("b.id")),
             )
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

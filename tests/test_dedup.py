@@ -992,3 +992,39 @@ def test_hashed_shingles_matches_legacy_dedup_and_adds_no_exchange(spark, docs_d
         }, unit
         plan = new._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, f"unexpected shuffle in {unit} plan:\n{plan}"
+
+
+def test_shingle_hash_arrays_matches_legacy_collect_list(spark, docs_df):
+    """r14 optimization pin: _shingle_hash_arrays (per-row sorted xxhash64
+    arrays, the exact pair joins' r14 checkpoint form) must produce exactly
+    the (id, ns, arr) rows the legacy
+    explode -> xxhash64 -> groupBy(id).collect_list -> sort_array rebuild
+    produced — in-doc hash collisions between distinct shingle strings and
+    all — while its physical plan carries NO Exchange (the removed
+    corpus-shingle reassembly shuffle is the point of the rewrite)."""
+    from fdi_flow_spark.pipelines.dedup import (
+        _char_ngrams,
+        _shingle_hash_arrays,
+        _word_ngrams,
+    )
+
+    for unit in ("word", "char"):
+        new = _shingle_hash_arrays(docs_df, "doc_id", "text", n=2, unit=unit, char_k=12)
+        legacy_shingles = (
+            _char_ngrams(docs_df, "doc_id", "text", 12)
+            if unit == "char"
+            else _word_ngrams(docs_df, "doc_id", "text", 2)
+        )
+        legacy = (
+            legacy_shingles.select("id", F.xxhash64("shingle").alias("h"))
+            .groupBy("id")
+            .agg(
+                F.count("*").alias("ns"),
+                F.sort_array(F.collect_list("h")).alias("arr"),
+            )
+        )
+        got = {(r.id, r.ns, tuple(r.arr)) for r in new.collect()}
+        want = {(r.id, r.ns, tuple(r.arr)) for r in legacy.collect()}
+        assert got == want, unit
+        plan = new._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"unexpected shuffle in {unit} plan:\n{plan}"
