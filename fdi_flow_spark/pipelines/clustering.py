@@ -186,11 +186,26 @@ def semantic_dedup_pairs(
     ever materialized. At 100 TB, k scales with the corpus (SemDeDup uses
     ~100k clusters for web scale) precisely so the per-cluster blocks stay
     gemm-sized AND the cluster count keeps every executor busy.
+
+    r14: the cluster label is attached by the zero-shuffle assignment
+    projection itself (:func:`kmeans_fit` centroids + :func:`_assign`
+    carrying the vector through), not by re-scanning the source and
+    equi-joining the EMBEDDING PAYLOAD on id against the ``(id, cluster)``
+    table — that join shuffled every vector once by id before the
+    groupBy(cluster) shuffled it again by placement (guide §8: decide on
+    small rows, move the payload once). Training is unchanged (float ->
+    double widening is exact, so centroids/assignments are bit-identical);
+    the payload now crosses exactly one exchange, the cluster one.
     """
-    assign = kmeans_embeddings(df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
-    vecs = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
-    ).join(assign.select(F.col(id_col).alias("_id"), "cluster"), "_id")
+    work = ensure_min_parallelism(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ),
+        "_id",
+    )
+    cent = kmeans_fit(work, k=k, n_iter=n_iter, id_col="_id", vec_col="_v")
+    vecs = _assign(work, cent, "_id", "_v").select("_id", "_v", "cluster")
 
     thr = float(threshold)
     schema = StructType(

@@ -1246,15 +1246,32 @@ def dedup_components(
     if algorithm not in ("label", "star"):
         raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
     ca, cb = pair_cols
-    edges = (
-        pairs.select(F.col(ca).alias("src"), F.col(cb).alias("dst"))
-        .unionByName(pairs.select(F.col(cb).alias("src"), F.col(ca).alias("dst")))
-        .distinct()
-        # materialize once: every round joins edges, and without the cut each
-        # round would recompute the entire upstream pair pipeline (MinHash,
-        # banding, ...) from scratch
-        .localCheckpoint(eager=True)
-    )
+    base = pairs.select(F.col(ca).alias("src"), F.col(cb).alias("dst"))
+    # r14 (guide §2.4): the pre-r14 shape ran `.distinct()` over the
+    # symmetrized union — a full edge-stream Exchange + two-phase aggregate
+    # that discovers nothing when the pairs are already unique (every
+    # operator feeding this — minhash/jaccard/cosine pairs — emits distinct
+    # pairs with id_a < id_b, so the two union legs are disjoint). Both
+    # algorithms are duplicate-INSENSITIVE anyway: label propagation and the
+    # star steps only take per-node minima (duplicates cannot change a min),
+    # each star round ends in its own `.distinct()`, and a duplicate-bearing
+    # initial edge set costs the star loop at most one extra round before
+    # the checksum fixpoint — never a different output. The star path also
+    # drops the orientation union entirely: `_large_star` symmetrizes
+    # internally and `_small_star` re-orients with greatest/least, so a
+    # single-orientation edge set halves the checkpointed rows AND the
+    # first round's group/join volume. Label propagation keeps both
+    # orientations (its labels table and dst->src min joins need every
+    # node on the src side).
+    # materialize once: every round joins edges, and without the cut each
+    # round would recompute the entire upstream pair pipeline (MinHash,
+    # banding, ...) from scratch
+    if algorithm == "star":
+        edges = base.localCheckpoint(eager=True)
+    else:
+        edges = base.unionByName(
+            pairs.select(F.col(cb).alias("src"), F.col(ca).alias("dst"))
+        ).localCheckpoint(eager=True)
     if algorithm == "star":
         e = edges
         prev = _star_edge_checksum(e)

@@ -461,3 +461,45 @@ def test_embedding_outliers_flags_far_vector(spark):
     for r in out.values():
         assert r["cutoff"] == cut
         assert r["is_outlier"] == (r["dist"] > cut)
+
+
+def test_semantic_dedup_payload_crosses_one_exchange(spark):
+    """r14 optimization pin: semantic_dedup_pairs attaches the cluster label
+    with the zero-shuffle assignment projection (kmeans_fit centroids +
+    _assign carrying the vector), NOT by re-scanning the source and
+    equi-joining the embedding payload on id — the physical plan must hold
+    no join at all (the only payload exchange is the groupBy(cluster)
+    placement shuffle), and the pairs must match kmeans_embeddings + join
+    semantics exactly (same centroids, same argmin)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.normal(0, 1, 8).astype(float).tolist()) for i in range(60)]
+    # plant two near-identical vectors so at least one pair crosses 0.95
+    rows.append((100, rows[0][1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = semantic_dedup_pairs(df, k=3, n_iter=2, threshold=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert node not in plan, f"payload join leaked back into the plan:\n{plan}"
+
+    got = {(r.id_a, r.id_b): (r.cluster, r.cosine) for r in out.collect()}
+    # reference semantics: label via kmeans_embeddings, join, brute-force cosine
+    assign = {
+        r.vec_id: r.cluster
+        for r in kmeans_embeddings(df, k=3, n_iter=2).collect()
+    }
+    vecs = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
+    want = {}
+    for a in sorted(vecs):
+        for b in sorted(vecs):
+            if a < b and assign[a] == assign[b]:
+                va, vb = vecs[a], vecs[b]
+                c = float(va @ vb / max(np.linalg.norm(va) * np.linalg.norm(vb), 1e-12))
+                if c >= 0.9:
+                    want[(a, b)] = (assign[a], round(c, 6))
+    assert set(got) == set(want)
+    for key, (cl, cos) in want.items():
+        assert got[key][0] == cl
+        assert abs(got[key][1] - cos) < 1e-6

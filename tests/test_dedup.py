@@ -1028,3 +1028,40 @@ def test_shingle_hash_arrays_matches_legacy_collect_list(spark, docs_df):
         assert got == want, unit
         plan = new._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, f"unexpected shuffle in {unit} plan:\n{plan}"
+
+
+def test_dedup_components_duplicate_and_reversed_pairs_identical(spark):
+    """r14 optimization pin: the initial edge materialization no longer
+    dedups (guide §2.4 — `.distinct()` over pairs that every feeding
+    operator already emits unique was a full edge-stream Exchange finding
+    nothing), and the star path keeps a single orientation (_large_star
+    symmetrizes internally). Both rely on the algorithms being duplicate-
+    and orientation-INSENSITIVE: a pair list with exact duplicates and
+    reversed duplicates must produce components identical to its clean
+    form under both algorithms."""
+    from fdi_flow_spark.pipelines.dedup import dedup_components
+
+    clean = [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12)]
+    messy = clean + [(2, 1), (3, 2), (7, 8), (8, 7), (12, 11), (10, 11)]
+    docs = spark.createDataFrame([(i,) for i in range(1, 14)], "doc_id int")
+    for algorithm in ("label", "star"):
+        want = {
+            r.doc_id: r.component_id
+            for r in dedup_components(
+                spark.createDataFrame(clean, "id_a int, id_b int"),
+                docs=docs,
+                algorithm=algorithm,
+            ).collect()
+        }
+        got = {
+            r.doc_id: r.component_id
+            for r in dedup_components(
+                spark.createDataFrame(messy, "id_a int, id_b int"),
+                docs=docs,
+                algorithm=algorithm,
+            ).collect()
+        }
+        assert got == want, algorithm
+        assert want[1] == want[2] == want[3] == 1
+        assert want[10] == want[11] == want[12] == 10
+        assert want[13] == 13  # singleton via docs fallback
