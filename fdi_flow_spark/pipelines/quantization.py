@@ -269,15 +269,22 @@ def cosine_topk_pq(
     top-k (LUT gathers, no vector math), then a tiny global rank —
     identical topology to the exact kernel but over ``m``-byte codes, so
     the streamed bytes drop ~``4*d/m``-fold."""
-    books = pq_train(
-        candidates, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    from fdi_flow_spark.core.concurrency import build_concurrently
+
+    # the query-matrix collect is independent of codebook training — overlap
+    # the two jobs (guide §2.6) instead of paying the small collect's full
+    # scheduling latency after the fit
+    books, qrows = build_concurrently(
+        lambda: pq_train(
+            candidates, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        ),
+        lambda: queries.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        ).collect(),
     )
     enc = pq_encode(
         candidates, id_col=id_col, vec_col=vec_col, codebooks=books
     )
-    qrows = queries.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).collect()
     spark = candidates.sparkSession
     if not qrows:
         return spark.createDataFrame(
@@ -587,16 +594,32 @@ def cosine_topk_ivfpq(
     UDF per pass. Same output schema as ``cosine_topk_bruteforce``;
     recall floors for both modes are pinned in
     tests/test_quantization.py."""
+    from fdi_flow_spark.core.concurrency import build_concurrently
     from fdi_flow_spark.pipelines.similarity import _train_spherical_centroids
 
-    C = _train_spherical_centroids(candidates, vec_col, nlist, seed)  # normalized
-    M = _cell_means(candidates, C, vec_col) if residual else None
-    train_src = (
-        _residual_df(candidates, C, M, id_col, vec_col) if residual else candidates
-    )
-    books = pq_train(
-        train_src, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
-    )
+    if residual:
+        # residual mode chains C -> M -> residual stream -> PQ training:
+        # every step consumes the previous one, so the fits stay sequential
+        C = _train_spherical_centroids(candidates, vec_col, nlist, seed)
+        M = _cell_means(candidates, C, vec_col)
+        train_src = _residual_df(candidates, C, M, id_col, vec_col)
+        books = pq_train(
+            train_src, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        # non-residual: the coarse quantizer and the PQ codebooks both train
+        # directly on `candidates` and never read each other — two
+        # independent corpus-scan chains issued serially left the cluster
+        # idle through each fit's tail (guide §2.6). Overlap them; each
+        # trainer is seeded and partition-deterministic, so concurrent
+        # submission cannot change its output.
+        C, books = build_concurrently(
+            lambda: _train_spherical_centroids(candidates, vec_col, nlist, seed),
+            lambda: pq_train(
+                candidates, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+            ),
+        )
+        M = None
     spark = candidates.sparkSession
     plan = _ivfpq_probe_plan(queries, C, books, nprobe, id_col, vec_col)
     if plan is None:
@@ -629,16 +652,25 @@ def ivfpq_build_index(
     postings of ``ivf_build_index`` — at 100 TB that is the difference
     between an in-memory probe and a spilling one. One full fused-encode
     pass over the corpus; the quantizers retrain only on drift."""
+    from fdi_flow_spark.core.concurrency import build_concurrently
     from fdi_flow_spark.pipelines.similarity import _train_spherical_centroids
 
-    C = _train_spherical_centroids(candidates, vec_col, nlist, seed)
-    M = _cell_means(candidates, C, vec_col) if residual else None
-    train_src = (
-        _residual_df(candidates, C, M, id_col, vec_col) if residual else candidates
-    )
-    books = pq_train(
-        train_src, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
-    )
+    if residual:
+        C = _train_spherical_centroids(candidates, vec_col, nlist, seed)
+        M = _cell_means(candidates, C, vec_col)
+        train_src = _residual_df(candidates, C, M, id_col, vec_col)
+        books = pq_train(
+            train_src, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        # same independent-fit overlap as cosine_topk_ivfpq (guide §2.6)
+        C, books = build_concurrently(
+            lambda: _train_spherical_centroids(candidates, vec_col, nlist, seed),
+            lambda: pq_train(
+                candidates, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+            ),
+        )
+        M = None
     spark = candidates.sparkSession
     # single-slice local relations (core.partitioning.local_df): these three
     # one-file metadata writes used to cost ~5 s EACH — a coalesce(1) over a
