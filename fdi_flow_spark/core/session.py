@@ -41,6 +41,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Scale-out guard (r14, guide §2.2): AQE's partition coalescing only
+    # SHRINKS the shuffle partition count — it never grows it above
+    # spark.sql.shuffle.partitions — so the local starting point of 32
+    # would cap reduce-side parallelism on a real cluster. Production sets
+    # SPARK_GRAFT_INITIAL_SHUFFLE_PARTITIONS (rule of thumb: ~2-4x total
+    # executor cores, or input_bytes / 256 MB for the big shuffles) and AQE
+    # coalesces DOWN from there per stage; unset locally, nothing changes,
+    # keeping the driver's bench comparable across rounds.
+    initial_parts = os.environ.get("SPARK_GRAFT_INITIAL_SHUFFLE_PARTITIONS")
+    if initial_parts:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            initial_parts,
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
