@@ -31,9 +31,35 @@ def build_concurrently(*thunks: Callable[[], Any]) -> tuple:
     or two eager ``localCheckpoint`` jobs (a model fit, a digest table);
     the thunks MUST be independent — a thunk that consumes another
     thunk's result belongs in the same thunk, sequenced after it.
-    Exceptions propagate to the caller unchanged."""
+    Exceptions propagate to the caller unchanged.
+
+    Thread-local JVM properties (job group/description, scheduler pool)
+    set on the CALLING thread are not inherited by plain pool threads
+    under PySpark's pinned-thread mode (the default since 3.2), so each
+    thunk is wrapped with ``pyspark.inheritable_thread_target`` — the
+    documented way to propagate them — when a SparkContext is live (r14
+    ADVICE). Without it a ``cancelJobGroup`` aimed at the calling
+    thread's group would miss (or, with pinning disabled, hit) the
+    concurrent build jobs. With no active context (unit tests of the
+    pool itself) the thunks run unwrapped."""
     if len(thunks) == 1:
         return (thunks[0](),)
+    try:
+        from pyspark import SparkContext, inheritable_thread_target
+        from pyspark.sql import SparkSession
+
+        if SparkContext._active_spark_context is not None:
+            # pass the live session so job TAGS propagate too (the
+            # function-only form warns and skips tag inheritance)
+            session = SparkSession.getActiveSession()
+            wrap = (
+                inheritable_thread_target(session)
+                if session is not None
+                else inheritable_thread_target
+            )
+            thunks = tuple(wrap(t) for t in thunks)
+    except Exception:
+        pass  # no live classic context; nothing to inherit
     with ThreadPoolExecutor(
         max_workers=min(_MAX_CONCURRENT_BUILDS, len(thunks))
     ) as pool:

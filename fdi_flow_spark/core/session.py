@@ -51,9 +51,22 @@ def get_spark(
     # keeping the driver's bench comparable across rounds.
     initial_parts = os.environ.get("SPARK_GRAFT_INITIAL_SHUFFLE_PARTITIONS")
     if initial_parts:
+        # validate at read time (r14 ADVICE): a non-integer value would
+        # otherwise surface only at the first query as an opaque Spark
+        # conf error. NOTE the knob requires AQE partition coalescing
+        # (enabled above) — extra_conf that disables it leaves this inert.
+        try:
+            n = int(initial_parts)
+            if n <= 0:
+                raise ValueError
+        except ValueError:
+            raise ValueError(
+                "SPARK_GRAFT_INITIAL_SHUFFLE_PARTITIONS must be a positive "
+                f"integer, got {initial_parts!r}"
+            ) from None
         builder = builder.config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            initial_parts,
+            str(n),
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -440,6 +440,7 @@ def curation_stream_score(
     dsir_seed: int = 7,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_models: bool = True,
 ) -> DataFrame:
     """The composed ingest-curation stage as ONE streaming-executable
     plan: unicode cleanup -> token-count gate -> exact-dedup flag against
@@ -515,10 +516,20 @@ def curation_stream_score(
             _hash_bucket(F.col("gram"), dsir_seed, dsir_buckets).alias("_bd"),
         )
     )
+    # EXPLICIT broadcast (r15, guide §3.1): both models are <= buckets
+    # rows BY CONSTRUCTION (their module contracts), but their plans end
+    # in crossJoins of the count tables with the totals rows, whose SIZE
+    # ESTIMATE is a product that blows past the auto-broadcast threshold
+    # — Catalyst picked SortMergeJoin, paying a full gram-stream Exchange
+    # + Sort per model join (2 of the 3 stream shuffles in the composed
+    # scoring plan; measured r15). ``broadcast_models=False`` keeps the
+    # estimate-driven legacy shape (A/B evidence only).
     nbm = nb_model.select(
         F.col("b").alias("_bn"), F.col("w").alias("_w"), F.col("prior").alias("_pr")
     )
     dsm = dsir_model.select(F.col("b").alias("_bd"), F.col("logr").alias("_lr"))
+    if broadcast_models:
+        nbm, dsm = F.broadcast(nbm), F.broadcast(dsm)
     return (
         g.join(nbm, "_bn")
         .join(dsm, "_bd")
@@ -558,6 +569,7 @@ def curation_deploy_score(
     lang_col: str = "lang",
     broadcast_model: bool = True,
     lm_counts: DataFrame | None = None,
+    broadcast_models: bool = True,
 ) -> DataFrame:
     """The FULL deployment-shape ingest stage (r11, r10 VERDICT stretch
     item 8): :func:`curation_stream_score`'s composed plan (cleanup ->
@@ -684,10 +696,15 @@ def curation_deploy_score(
             ),
         )
     )
+    # explicit broadcast: <= buckets rows by construction; the crossJoin
+    # size estimate otherwise forces SortMergeJoin — two full gram-stream
+    # Exchange+Sort pairs (see curation_stream_score, guide §3.1)
     nbm = nb_model.select(
         F.col("b").alias("_bn"), F.col("w").alias("_w"), F.col("prior").alias("_pr")
     )
     dsm = dsir_model.select(F.col("b").alias("_bd"), F.col("logr").alias("_lr"))
+    if broadcast_models:
+        nbm, dsm = F.broadcast(nbm), F.broadcast(dsm)
     logp = F.when(
         F.col("w1").isNotNull(),
         F.log(F.coalesce(F.col("_c12"), F.lit(0)) + F.lit(1))

@@ -540,8 +540,22 @@ def containment_pairs(
 
     if prefix_filter:
         dfreq = shingles.groupBy("shingle").agg(F.count("*").alias("_df"))
-        # ns arrives with the explode (size of the checkpointed array) —
-        # no count window (see the Jaccard twin)
+        # EXTENDED prefix + count bound (r15, the Jaccard twin's design
+        # brought to the directed join; guide §2.3 "shuffle fewer bytes" —
+        # here "verify fewer pairs"). The minimal prefix p = ns - ceil(t*ns)
+        # + 1 guarantees >= 1 collision, so every pair sharing ONE rare
+        # shingle reached the exact array_intersect verify: measured at
+        # sf0.1, 1.57M candidate pairs for 482 true pairs, and the verify
+        # joins (wide array payloads + per-pair intersects) were ~60% of
+        # the query's warm cost. Keeping the LARGER prefix
+        # p' = ns - ceil(beta*t*ns) + 1 (beta < 1) buys a SOUND pair-count
+        # bound: if C(A->B) >= t then |A∩B| >= ceil(t*ns_a), and at most
+        # ns_a - p'_a of those lie outside A's prefix, so prefix collisions
+        # c >= ceil(t*ns_a) - (ns_a - p'_a). Pairs under the bound provably
+        # miss the threshold — the filter is lossless, and the dedup the
+        # old dropDuplicates paid becomes the same-shuffle count aggregate.
+        beta = 0.8
+        pa = F.col("ns") - F.ceil(F.lit(beta * threshold) * F.col("ns")) + 1
         pref = (
             shingles.join(dfreq, "shingle")
             .withColumn(
@@ -550,8 +564,8 @@ def containment_pairs(
                     Window.partitionBy("id").orderBy(F.col("_df").asc(), F.col("shingle").asc())
                 ),
             )
-            .where(F.col("_r") <= F.col("ns") - F.ceil(F.lit(threshold) * F.col("ns")) + 1)
-            .select("id", "shingle")
+            .where(F.col("_r") <= pa)
+            .select("id", "shingle", "ns", pa.alias("_pa"))
         )
         cand = (
             pref.alias("a")
@@ -559,8 +573,22 @@ def containment_pairs(
                 inv.alias("b"),
                 (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") != F.col("b.id")),
             )
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
+            .groupBy(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.ns").alias("_nsa"),
+                F.col("a._pa").alias("_paa"),
+            )
+            .agg(F.count("*").alias("_c"))
+            .where(
+                F.col("_c")
+                >= F.greatest(
+                    F.lit(1),
+                    F.ceil(F.lit(threshold) * F.col("_nsa"))
+                    - (F.col("_nsa") - F.col("_paa")),
+                )
+            )
+            .select("id_a", "id_b")
         )
     else:
         cand = (
@@ -1240,6 +1268,15 @@ def dedup_components(
 
     ``localCheckpoint`` cuts lineage per round in both algorithms so the
     plan does not grow with iterations.
+
+    CONTRACT (r14): the input pair stream is consumed WITHOUT a
+    deduplicating exchange, and the star path feeds single-orientation
+    edges — any algorithm added here must therefore be insensitive to
+    duplicate edges AND to edge orientation (both current algorithms are:
+    per-node minima cannot change under duplicates, ``_large_star``
+    symmetrizes internally, ``_small_star`` re-orients with
+    greatest/least). An algorithm without that property must re-add its
+    own ``.distinct()``/symmetrization over ``base``.
     """
     import warnings
 

@@ -566,6 +566,50 @@ def _ivfpq_adc_rank(cand, probes, q_ids, q_norm, lut, k, qc=None) -> DataFrame:
     )
 
 
+def _fit_ivfpq_quantizers(
+    candidates: DataFrame,
+    m: int,
+    ks: int,
+    n_iter: int,
+    nlist: int,
+    seed: int,
+    residual: bool,
+    id_col: str,
+    vec_col: str,
+) -> tuple[np.ndarray, np.ndarray | None, np.ndarray]:
+    """The one IVF-PQ trainer chain shared by :func:`cosine_topk_ivfpq`
+    and :func:`ivfpq_build_index` (r14 ADVICE: the two blocks were
+    duplicated verbatim). Returns ``(C, M, books)`` with ``M`` None in
+    non-residual mode.
+
+    residual=True chains C -> M -> residual stream -> PQ (every step
+    consumes the previous one, so the fits stay sequential). Non-residual:
+    the coarse quantizer and the PQ codebooks both train directly on
+    ``candidates`` and never read each other — two independent corpus-scan
+    chains issued serially left the cluster idle through each fit's tail
+    (guide §2.6), so they overlap; each trainer is seeded and
+    partition-deterministic, so concurrent submission cannot change its
+    output."""
+    from fdi_flow_spark.core.concurrency import build_concurrently
+    from fdi_flow_spark.pipelines.similarity import _train_spherical_centroids
+
+    if residual:
+        C = _train_spherical_centroids(candidates, vec_col, nlist, seed)
+        M = _cell_means(candidates, C, vec_col)
+        train_src = _residual_df(candidates, C, M, id_col, vec_col)
+        books = pq_train(
+            train_src, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
+        return C, M, books
+    C, books = build_concurrently(
+        lambda: _train_spherical_centroids(candidates, vec_col, nlist, seed),
+        lambda: pq_train(
+            candidates, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        ),
+    )
+    return C, None, books
+
+
 def cosine_topk_ivfpq(
     queries: DataFrame,
     candidates: DataFrame,
@@ -594,32 +638,9 @@ def cosine_topk_ivfpq(
     UDF per pass. Same output schema as ``cosine_topk_bruteforce``;
     recall floors for both modes are pinned in
     tests/test_quantization.py."""
-    from fdi_flow_spark.core.concurrency import build_concurrently
-    from fdi_flow_spark.pipelines.similarity import _train_spherical_centroids
-
-    if residual:
-        # residual mode chains C -> M -> residual stream -> PQ training:
-        # every step consumes the previous one, so the fits stay sequential
-        C = _train_spherical_centroids(candidates, vec_col, nlist, seed)
-        M = _cell_means(candidates, C, vec_col)
-        train_src = _residual_df(candidates, C, M, id_col, vec_col)
-        books = pq_train(
-            train_src, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
-        )
-    else:
-        # non-residual: the coarse quantizer and the PQ codebooks both train
-        # directly on `candidates` and never read each other — two
-        # independent corpus-scan chains issued serially left the cluster
-        # idle through each fit's tail (guide §2.6). Overlap them; each
-        # trainer is seeded and partition-deterministic, so concurrent
-        # submission cannot change its output.
-        C, books = build_concurrently(
-            lambda: _train_spherical_centroids(candidates, vec_col, nlist, seed),
-            lambda: pq_train(
-                candidates, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
-            ),
-        )
-        M = None
+    C, M, books = _fit_ivfpq_quantizers(
+        candidates, m, ks, n_iter, nlist, seed, residual, id_col, vec_col
+    )
     spark = candidates.sparkSession
     plan = _ivfpq_probe_plan(queries, C, books, nprobe, id_col, vec_col)
     if plan is None:
@@ -652,25 +673,9 @@ def ivfpq_build_index(
     postings of ``ivf_build_index`` — at 100 TB that is the difference
     between an in-memory probe and a spilling one. One full fused-encode
     pass over the corpus; the quantizers retrain only on drift."""
-    from fdi_flow_spark.core.concurrency import build_concurrently
-    from fdi_flow_spark.pipelines.similarity import _train_spherical_centroids
-
-    if residual:
-        C = _train_spherical_centroids(candidates, vec_col, nlist, seed)
-        M = _cell_means(candidates, C, vec_col)
-        train_src = _residual_df(candidates, C, M, id_col, vec_col)
-        books = pq_train(
-            train_src, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
-        )
-    else:
-        # same independent-fit overlap as cosine_topk_ivfpq (guide §2.6)
-        C, books = build_concurrently(
-            lambda: _train_spherical_centroids(candidates, vec_col, nlist, seed),
-            lambda: pq_train(
-                candidates, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
-            ),
-        )
-        M = None
+    C, M, books = _fit_ivfpq_quantizers(
+        candidates, m, ks, n_iter, nlist, seed, residual, id_col, vec_col
+    )
     spark = candidates.sparkSession
     # single-slice local relations (core.partitioning.local_df): these three
     # one-file metadata writes used to cost ~5 s EACH — a coalesce(1) over a

@@ -77,7 +77,23 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        import functools
+
+        from fdi_flow_spark.core import checkpoints
+
+        # r15 (r14 VERDICT item 1): every registry build runs inside a
+        # checkpoint-tracking scope — the localCheckpoint blocks a query
+        # materializes at build time are released when the NEXT query
+        # builds (by which point every sequential runner has consumed the
+        # previous query's sink), instead of lingering until the async
+        # ContextCleaner chain notices. App-lifetime artifacts are pinned
+        # at their cache sites. See core/checkpoints.py for the contract.
+        @functools.wraps(fn)
+        def tracked(spark, sf_dir):
+            with checkpoints.query_build_scope(spark):
+                return fn(spark, sf_dir)
+
+        QUERIES[name] = tracked
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -2294,7 +2310,15 @@ def _doc_dup_members(spark, sf_dir, docs):
     if mem is None:
         for k in [k for k in _DOC_DUP_CACHE if k[0] != app_id]:
             del _DOC_DUP_CACHE[k]
-        mem = exact_dup_members(docs)
+        # pin ONLY the member map (it outlives the building query); the
+        # digest-table intermediate stays unpinned and is released at the
+        # next query build once the map below has materialized from it
+        from fdi_flow_spark.core.checkpoints import pinned_scope
+        from fdi_flow_spark.pipelines.dedup import content_digests
+
+        dg = content_digests(docs)
+        with pinned_scope(spark):
+            mem = exact_dup_members(digest_table=dg)
         _DOC_DUP_CACHE[cache_key] = mem
     return mem
 
@@ -3249,8 +3273,16 @@ def q_containment_probe_prebuilt(spark, sf_dir):
         for k in [k for k in _CONTAINMENT_INDEX_CACHE if k[0] != app_id]:
             del _CONTAINMENT_INDEX_CACHE[k]
         corpus = docs.where(F.col("doc_id") % 3 == 0)
+        # pin ONLY the final cached artifacts: they outlive the building
+        # query (r15 release tracking must never unpersist them). The
+        # build's intermediates (the big hashed-shingle checkpoint, the
+        # inner hot set) stay UNpinned — once the pair below materializes
+        # they are dead weight, and the next query build releases them.
+        from fdi_flow_spark.core.checkpoints import pinned_scope
+
         index, hot = containment_index(corpus)
-        pair = (index.localCheckpoint(), hot.localCheckpoint())
+        with pinned_scope(spark):
+            pair = (index.localCheckpoint(), hot.localCheckpoint())
         _CONTAINMENT_INDEX_CACHE[cache_key] = pair
     index, hot = pair
     arriving = docs.where(F.col("doc_id") % 3 != 0)

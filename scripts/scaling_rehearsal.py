@@ -70,6 +70,12 @@ QUERIES = [
     "containment_probe",
     # r11: dataset-card aggregation (single grouped agg w/ exact median)
     "corpus_report",
+    # r15 (r14 VERDICT item 6): the GROUP-BOUNDED rolling-correlation scale
+    # path (pairs bounded per plant via group_col — the documented scale
+    # knob; the unbounded registry entry's x10 ratio 9.28 is quadratic
+    # PAIR growth in the fixture, not a plan defect). Resolved to the
+    # custom builder below, not a registry name.
+    "rolling_corr_grouped",
 ]
 
 
@@ -420,7 +426,11 @@ def main() -> None:
         raise SystemExit(f"not in the x10 measured set: {unknown}")
     results: dict[str, dict] = {}
     for name in names:
-        fn = REG[name]
+        fn = (
+            _grouped_rolling_corr
+            if name == "rolling_corr_grouped"
+            else REG[name]
+        )
         rec: dict = {}
         for label, d, n_runs in (("1", BASE, n1), ("10", X10, n10)):
             ts = []

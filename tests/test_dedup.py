@@ -1065,3 +1065,35 @@ def test_dedup_components_duplicate_and_reversed_pairs_identical(spark):
         assert want[1] == want[2] == want[3] == 1
         assert want[10] == want[11] == want[12] == 10
         assert want[13] == 13  # singleton via docs fallback
+
+
+def test_containment_count_bound_keeps_boundary_pairs(spark):
+    """r15: the extended-prefix count bound must never prune a pair that
+    sits EXACTLY at the threshold (c >= ceil(t*ns_a) - (ns_a - p'_a) is a
+    lower bound, not an estimate). A doc sharing exactly 6 of its 10
+    distinct unigram shingles with another doc has C = 0.6 and must
+    survive t = 0.6; one sharing 5 must not appear."""
+    from fdi_flow_spark.pipelines.dedup import containment_pairs
+
+    a = " ".join(f"a{i}" for i in range(10))                  # 10 shingles
+    b = " ".join([f"a{i}" for i in range(6)] + [f"b{i}" for i in range(14)])
+    c = " ".join([f"a{i}" for i in range(5)] + [f"c{i}" for i in range(15)])
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    out = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(
+            docs, n=1, unit="word", threshold=0.6, prefix_filter=True
+        ).collect()
+    }
+    assert out.get((1, 2)) == 0.6          # boundary pair survives
+    assert (1, 3) not in out               # 0.5 < t correctly dropped
+    # parity with the unpruned path on the same corpus
+    full = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(
+            docs, n=1, unit="word", threshold=0.6, prefix_filter=False
+        ).collect()
+    }
+    assert out == full
